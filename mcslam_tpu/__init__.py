@@ -1,0 +1,25 @@
+"""mcslam_tpu — TPU-native multi-camera visual-inertial-GPS SLAM framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the C++ MC-SLAM
+reference system (multi-camera ORB front end, cross-camera intra-matching,
+multi-view triangulation, robust pose estimation, sliding-window bundle
+adjustment, IMU preintegration, GPS fusion, loop closure, relocalization).
+
+Design principles (TPU-first, not a port):
+  * the camera rig axis is a batch dimension, not a thread pool;
+  * descriptor matching is popcount matmul on the MXU, not BoW bucket walks;
+  * RANSAC is a fixed batch of vectorized hypotheses, not a data-dependent loop;
+  * bundle adjustment is batched Levenberg-Marquardt with dense Schur
+    complement in XLA, not ISAM2;
+  * all shapes are static; variable-size sets are padded SoA pools with masks.
+"""
+
+import jax as _jax
+
+# Geometry (poses, triangulation, bundle adjustment) cannot tolerate the TPU
+# default bf16 matmul precision; default the whole library to float32 matmuls.
+# Throughput-critical kernels (descriptor popcount matmuls, image ops) request
+# lower precision explicitly where it is safe.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
+__version__ = "0.1.0"

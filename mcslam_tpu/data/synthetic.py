@@ -1,0 +1,266 @@
+"""Synthetic multi-camera / IMU / GPS sequence generation for tests & benches.
+
+Mirrors the reference's strategy of validating fusion without a physical rig
+(simulated IMU/GPS in VideoStreamReader,
+/root/reference/MCDataUtils/include/MCDataUtils/VideoStreamReader.h:100-107,
+and the graph-log replay harness). Two tiers:
+
+  * feature-level: known landmarks with per-landmark binary descriptors,
+    projected into each rig camera with noise -- drives matching, RANSAC,
+    BA and the full pipeline deterministically, no images needed;
+  * image-level: blob-textured images rendered from the same geometry to
+    exercise the ORB extraction kernels end to end.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from mcslam_tpu.geometry import camera as cam_ops
+
+
+class SyntheticRigSpec(NamedTuple):
+    num_cams: int = 4
+    image_size: tuple = (640, 480)
+    focal: float = 400.0
+    baseline: float = 0.12  # spacing between cameras along +x
+
+
+def make_synthetic_rig(spec: SyntheticRigSpec = SyntheticRigSpec()):
+    n = spec.num_cams
+    w, h = spec.image_size
+    fxycxy = np.tile(
+        np.array([[spec.focal, spec.focal, w / 2.0, h / 2.0]], np.float32), (n, 1)
+    )
+    cam_T_ref = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    for i in range(n):
+        cam_T_ref[i, 0, 3] = -spec.baseline * i  # camera i at +x*i in ref frame
+    return cam_ops.make_rig(
+        fxycxy, dist=None, cam_T_ref=cam_T_ref, image_size=spec.image_size
+    )
+
+
+def smooth_trajectory(num_frames: int, radius: float = 4.0, height: float = 0.0,
+                      step_angle: float = 0.02, seed: int = 0):
+    """World_T_ref poses along a smooth arc (fixed angular step per frame so
+    consecutive frames always share most of their field of view).
+
+    Returns (num_frames, 4, 4) float32 with small smooth perturbations.
+    """
+    rng = np.random.RandomState(seed)
+    poses = np.zeros((num_frames, 4, 4), np.float32)
+    jitter = rng.randn(num_frames, 3).cumsum(axis=0) * 0.001
+    for k in range(num_frames):
+        a = step_angle * k
+        # camera moves along an arc of radius `radius` centered at origin,
+        # always looking roughly at the scene ahead (+z in camera frame)
+        pos = np.array(
+            [radius * np.sin(a), height + 0.2 * np.sin(2 * a), -radius * np.cos(a)],
+            np.float64,
+        ) + jitter[k]
+        yaw = a  # face tangentially
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float64)
+        poses[k, :3, :3] = R
+        poses[k, :3, 3] = pos
+        poses[k, 3, 3] = 1.0
+    return poses
+
+
+def make_landmarks(num: int, seed: int = 1, depth_range=(4.0, 14.0),
+                   spread=(12.0, 6.0)):
+    """Landmarks in a slab in front of the trajectory (world frame)."""
+    rng = np.random.RandomState(seed)
+    x = rng.uniform(-spread[0], spread[0], num)
+    y = rng.uniform(-spread[1] / 2, spread[1] / 2, num)
+    z = rng.uniform(depth_range[0], depth_range[1], num)
+    return np.stack([x, y, z], axis=-1).astype(np.float32)
+
+
+def make_descriptors(num: int, seed: int = 2):
+    """(num, 8) uint32 random 256-bit descriptors."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 1 << 32, (num, 8), dtype=np.uint64).astype(np.uint32)
+
+
+def corrupt_descriptors(desc: np.ndarray, bits_to_flip: int, rng) -> np.ndarray:
+    """Flip `bits_to_flip` random bits in each descriptor (observation noise)."""
+    out = desc.copy()
+    n = desc.shape[0]
+    for _ in range(bits_to_flip):
+        word = rng.randint(0, 8, n)
+        bit = rng.randint(0, 32, n).astype(np.uint32)
+        out[np.arange(n), word] ^= (np.uint32(1) << bit)
+    return out
+
+
+class FeatureLevelFrame(NamedTuple):
+    """Per-camera synthetic observations for one multi-camera frame."""
+
+    uv: np.ndarray  # (C, K, 2) pixel observations (noisy)
+    desc: np.ndarray  # (C, K, 8) observed descriptors (bit-noisy)
+    lm_id: np.ndarray  # (C, K) int32 true landmark id (for diagnostics)
+    valid: np.ndarray  # (C, K) bool
+    world_T_ref: np.ndarray  # (4, 4) ground-truth pose
+    timestamp: float
+
+
+def render_feature_frames(
+    rig,
+    poses: np.ndarray,
+    landmarks: np.ndarray,
+    descriptors: np.ndarray,
+    kps_per_cam: int = 512,
+    px_noise: float = 0.4,
+    desc_bit_noise: int = 6,
+    fps: float = 20.0,
+    seed: int = 3,
+):
+    """Generate a list of FeatureLevelFrame for each pose."""
+    rng = np.random.RandomState(seed)
+    C = rig.num_cams
+    frames = []
+    fxycxy = np.asarray(rig.fxycxy)
+    cam_T_ref = np.asarray(rig.cam_T_ref)
+    w, h = rig.image_size
+    for k, wTr in enumerate(poses):
+        uv_all = np.zeros((C, kps_per_cam, 2), np.float32)
+        d_all = np.zeros((C, kps_per_cam, 8), np.uint32)
+        id_all = np.full((C, kps_per_cam), -1, np.int32)
+        v_all = np.zeros((C, kps_per_cam), bool)
+        rTw = np.linalg.inv(wTr)
+        for c in range(C):
+            cTw = cam_T_ref[c] @ rTw
+            p = landmarks @ cTw[:3, :3].T + cTw[:3, 3]
+            z = p[:, 2]
+            uv = p[:, :2] / np.maximum(z[:, None], 1e-6) * fxycxy[c, :2] + fxycxy[c, 2:]
+            vis = (z > 0.3) & (uv[:, 0] >= 5) & (uv[:, 0] < w - 5) & \
+                  (uv[:, 1] >= 5) & (uv[:, 1] < h - 5)
+            vis_idx = np.nonzero(vis)[0]
+            rng.shuffle(vis_idx)
+            take = vis_idx[:kps_per_cam]
+            nk = len(take)
+            uv_all[c, :nk] = uv[take] + rng.randn(nk, 2) * px_noise
+            d_all[c, :nk] = corrupt_descriptors(
+                descriptors[take], desc_bit_noise, rng
+            )
+            id_all[c, :nk] = take
+            v_all[c, :nk] = True
+        frames.append(
+            FeatureLevelFrame(
+                uv=uv_all,
+                desc=d_all,
+                lm_id=id_all,
+                valid=v_all,
+                world_T_ref=wTr.astype(np.float32),
+                timestamp=k / fps,
+            )
+        )
+    return frames
+
+
+def render_blob_images(
+    rig,
+    poses: np.ndarray,
+    landmarks: np.ndarray,
+    blob_intensity: np.ndarray | None = None,
+    seed: int = 4,
+):
+    """Image-level rendering: each landmark becomes a small anti-aliased
+    square blob; background is low-amplitude noise. (F, C, H, W) float32."""
+    rng = np.random.RandomState(seed)
+    C = rig.num_cams
+    w, h = rig.image_size
+    if blob_intensity is None:
+        blob_intensity = rng.uniform(0.4, 1.0, len(landmarks)).astype(np.float32)
+    fxycxy = np.asarray(rig.fxycxy)
+    cam_T_ref = np.asarray(rig.cam_T_ref)
+    out = np.zeros((len(poses), C, h, w), np.float32)
+    base = rng.rand(h, w).astype(np.float32) * 0.02
+    for k, wTr in enumerate(poses):
+        rTw = np.linalg.inv(wTr)
+        for c in range(C):
+            cTw = cam_T_ref[c] @ rTw
+            p = landmarks @ cTw[:3, :3].T + cTw[:3, 3]
+            z = p[:, 2]
+            uv = p[:, :2] / np.maximum(z[:, None], 1e-6) * fxycxy[c, :2] + fxycxy[c, 2:]
+            img = base.copy()
+            vis = (z > 0.3) & (uv[:, 0] >= 4) & (uv[:, 0] < w - 4) & \
+                  (uv[:, 1] >= 4) & (uv[:, 1] < h - 4)
+            for i in np.nonzero(vis)[0]:
+                x, y = int(round(uv[i, 0])), int(round(uv[i, 1]))
+                s = max(1, int(round(3.0 * 6.0 / z[i])))
+                img[y - s : y + s + 1, x - s : x + s + 1] = blob_intensity[i]
+            out[k, c] = img
+    return out
+
+
+def analytic_circle_imu(
+    num_frames: int,
+    fps: float = 20.0,
+    rate_hz: float = 200.0,
+    radius: float = 4.0,
+    omega: float = 0.3,  # rad/s yaw rate
+    accel_noise: float = 0.0,
+    gyro_noise: float = 0.0,
+    accel_bias=(0.0, 0.0, 0.0),
+    gyro_bias=(0.0, 0.0, 0.0),
+    gravity: float = 9.81,
+    seed: int = 5,
+):
+    """Analytic constant-rate circular trajectory with EXACT IMU samples.
+
+    Body yaws about +y at rate omega while translating along the circle
+    p(t) = radius * (sin wt, 0, -cos wt); therefore omega_body = (0, w, 0)
+    and a_world = -radius w^2 (sin wt, 0, -cos wt) in closed form (no finite
+    differences, no boundary losses).
+
+    Returns (poses (F, 4, 4) at frame times, imu_ts (S,), gyro (S, 3),
+    accel (S, 3)). IMU timestamps are sample-interval midpoints covering
+    [0, (F-1)/fps) so integrating samples with ts in [t_i, t_j) reproduces
+    the exact state change.
+    """
+    rng = np.random.RandomState(seed)
+    g_world = np.array([0.0, 0.0, -gravity])
+
+    def roty(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+
+    def pos(t):
+        return np.array(
+            [radius * np.sin(omega * t), 0.0, -radius * np.cos(omega * t)]
+        )
+
+    poses = np.zeros((num_frames, 4, 4), np.float32)
+    for k in range(num_frames):
+        t = k / fps
+        poses[k, :3, :3] = roty(omega * t)
+        poses[k, :3, 3] = pos(t)
+        poses[k, 3, 3] = 1.0
+
+    total_t = (num_frames - 1) / fps
+    dt = 1.0 / rate_hz
+    n = int(round(total_t / dt))
+    ts = (np.arange(n) + 0.5) * dt  # midpoint sampling (exact for smooth f)
+    gyro = np.zeros((n, 3))
+    accel = np.zeros((n, 3))
+    for i, t in enumerate(ts):
+        R = roty(omega * t)
+        a_world = -radius * omega * omega * np.array(
+            [np.sin(omega * t), 0.0, -np.cos(omega * t)]
+        )
+        gyro[i] = np.array([0.0, omega, 0.0]) + np.asarray(gyro_bias) \
+            + rng.randn(3) * gyro_noise
+        accel[i] = R.T @ (a_world - g_world) + np.asarray(accel_bias) \
+            + rng.randn(3) * accel_noise
+    return poses, ts, gyro, accel
+
+
+def circle_velocity(t, radius=4.0, omega=0.3):
+    """Closed-form world velocity of analytic_circle_imu at time t."""
+    return radius * omega * np.array(
+        [np.cos(omega * t), 0.0, np.sin(omega * t)]
+    )

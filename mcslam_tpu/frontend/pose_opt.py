@@ -1,0 +1,118 @@
+"""Motion-only pose optimization: batched Levenberg-Marquardt on SE(3) with
+Huber weighting and chi-square outlier rejection rounds.
+
+Parity (WHAT): FrontEnd::OptimizePose
+(/root/reference/MCSlam/src/FrontEnd.cpp:4272-4408): GTSAM LM over
+RigResectioningFactors, run in 2 rounds with chi2(5.991)-based outlier
+removal between rounds.
+
+HOW (TPU): the full 6x6 normal equations are assembled with one einsum over
+all observations (jacfwd on the tangent), solved in closed form; the "outlier
+removal" is a soft-to-hard mask update between rounds. Runs entirely inside
+jit with static iteration counts; also vmaps over batches of pose problems
+(used by the relocalization candidate verifier).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mcslam_tpu.geometry import lie
+
+CHI2_2DOF = 5.991
+
+
+class PoseOptResult(NamedTuple):
+    world_T_ref: jax.Array  # (4, 4)
+    inliers: jax.Array  # (M,) bool
+    num_inliers: jax.Array  # int32
+    final_cost: jax.Array  # float32
+
+
+def _residuals(
+    xi: jax.Array,  # (6,) tangent around T0
+    T0: jax.Array,  # (4, 4) world_T_ref linearization point
+    X_world: jax.Array,  # (M, 3)
+    uv: jax.Array,  # (M, 2)
+    cam_T_ref: jax.Array,  # (M, 4, 4)
+    fxycxy: jax.Array,  # (M, 4)
+) -> jax.Array:
+    T = lie.se3_retract(T0, xi)
+    p_ref = lie.se3_apply(lie.se3_inverse(T), X_world)
+    p_cam = lie.se3_apply(cam_T_ref, p_ref)
+    z = jnp.maximum(p_cam[..., 2], 1e-3)
+    pred = p_cam[..., :2] / z[..., None] * fxycxy[..., :2] + fxycxy[..., 2:]
+    return pred - uv  # (M, 2)
+
+
+def optimize_pose(
+    T_init: jax.Array,
+    X_world: jax.Array,
+    uv: jax.Array,
+    cam_T_ref: jax.Array,
+    fxycxy: jax.Array,
+    mask: jax.Array,
+    sigma2: jax.Array | None = None,  # (M,) per-obs variance scale (octave)
+    iters: int = 8,
+    rounds: int = 2,
+    huber_px: float = 2.5,
+    chi2_thresh: float = CHI2_2DOF,
+    lm_lambda: float = 1e-3,
+) -> PoseOptResult:
+    """LM with `rounds` chi2 re-gating passes of `iters` iterations each."""
+    if sigma2 is None:
+        sigma2 = jnp.ones(X_world.shape[0], X_world.dtype)
+    inv_sig2 = 1.0 / sigma2
+
+    def lm_round(carry, _):
+        T, active = carry
+
+        def lm_step(carry, _):
+            T, lam = carry
+            zero = jnp.zeros(6, T.dtype)
+            r = _residuals(zero, T, X_world, uv, cam_T_ref, fxycxy)  # (M, 2)
+            J = jax.jacfwd(_residuals)(
+                zero, T, X_world, uv, cam_T_ref, fxycxy
+            )  # (M, 2, 6)
+            # robust weights: huber on the residual norm, scaled by octave
+            rn = jnp.linalg.norm(r, axis=-1)
+            w_huber = jnp.where(rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9))
+            w = w_huber * inv_sig2 * active.astype(T.dtype)  # (M,)
+            Jw = J * w[:, None, None]
+            H = jnp.einsum("mri,mrj->ij", Jw, J) + lam * jnp.eye(6, dtype=T.dtype)
+            g = jnp.einsum("mri,mr->i", Jw, r)
+            dx = -jnp.linalg.solve(H, g)
+            T_new = lie.se3_retract(T, dx)
+            # accept if cost decreased (computed on weighted residuals)
+            r_new = _residuals(zero, T_new, X_world, uv, cam_T_ref, fxycxy)
+            c_old = jnp.sum(w * jnp.sum(r * r, axis=-1))
+            c_new = jnp.sum(w * jnp.sum(r_new * r_new, axis=-1))
+            improved = c_new < c_old
+            T = jnp.where(improved, T_new, T)
+            lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+            return (T, lam), None
+
+        (T, _), _ = jax.lax.scan(lm_step, (T, jnp.asarray(lm_lambda, T.dtype)),
+                                 None, length=iters)
+        # chi2 re-gate for the next round
+        r = _residuals(jnp.zeros(6, T.dtype), T, X_world, uv, cam_T_ref, fxycxy)
+        chi2 = jnp.sum(r * r, axis=-1) * inv_sig2
+        active = mask & (chi2 < chi2_thresh)
+        return (T, active), None
+
+    (T, active), _ = jax.lax.scan(
+        lm_round, (T_init, mask), None, length=rounds
+    )
+    r = _residuals(jnp.zeros(6, T.dtype), T, X_world, uv, cam_T_ref, fxycxy)
+    chi2 = jnp.sum(r * r, axis=-1) * inv_sig2
+    inliers = mask & (chi2 < chi2_thresh)
+    cost = jnp.sum(jnp.where(inliers, chi2, 0.0))
+    return PoseOptResult(
+        world_T_ref=T,
+        inliers=inliers,
+        num_inliers=jnp.sum(inliers).astype(jnp.int32),
+        final_cost=cost,
+    )

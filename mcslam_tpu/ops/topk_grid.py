@@ -1,0 +1,61 @@
+"""Grid-balanced keypoint selection from dense score maps.
+
+Replaces (WHAT) the reference's quad-tree keypoint distribution
+(DistributeOctTree, /root/reference/MCSlam/src/ORBextractor.cpp:554): the goal
+there is spatial uniformity of the selected corners. TPU-native equivalent:
+partition the image into fixed cells, take the top-k responses per cell
+(one reshaped top_k), then take the global top-N over the per-cell survivors.
+Static output shape (N keypoints + validity mask), no recursion.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def select_keypoints(
+    score: jax.Array,
+    num_points: int,
+    cell: int = 16,
+    per_cell: int = 4,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """score: (H, W) dense NMS'd score map -> spatially balanced keypoints.
+
+    Returns (yx (N, 2) int32, resp (N,) float32, valid (N,) bool), where
+    N = num_points; invalid slots have resp 0 and yx (0, 0).
+    """
+    h, w = score.shape
+    gh, gw = -(-h // cell), -(-w // cell)
+    padded = jnp.pad(
+        score, ((0, gh * cell - h), (0, gw * cell - w)), constant_values=0.0
+    )
+    cells = padded.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3)
+    cells = cells.reshape(gh * gw, cell * cell)
+
+    k = min(per_cell, cell * cell)
+    cell_resp, cell_arg = jax.lax.top_k(cells, k)  # (G, k)
+
+    # flat pixel coordinates of every candidate
+    cy = cell_arg // cell
+    cx = cell_arg % cell
+    gy = (jnp.arange(gh * gw, dtype=jnp.int32) // gw)[:, None]
+    gx = (jnp.arange(gh * gw, dtype=jnp.int32) % gw)[:, None]
+    ys = gy * cell + cy
+    xs = gx * cell + cx
+
+    flat_resp = cell_resp.reshape(-1)
+    flat_ys = ys.reshape(-1)
+    flat_xs = xs.reshape(-1)
+
+    n = min(num_points, flat_resp.shape[0])
+    top_resp, top_arg = jax.lax.top_k(flat_resp, n)
+    yx = jnp.stack([flat_ys[top_arg], flat_xs[top_arg]], axis=-1)
+    valid = top_resp > 0.0
+    yx = jnp.where(valid[:, None], yx, 0)
+    if n < num_points:
+        pad = num_points - n
+        yx = jnp.pad(yx, ((0, pad), (0, 0)))
+        top_resp = jnp.pad(top_resp, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return yx.astype(jnp.int32), top_resp, valid

@@ -1,0 +1,62 @@
+"""Trajectory evaluation: ATE / RPE, replacing the external `evo` toolkit
+used by the reference's evaluation workflow
+(/root/reference/evaluation.md:1-27, scripts/python/compute_drift.py).
+
+ATE: Umeyama/SE(3)-align estimate to ground truth, RMSE of translation.
+RPE: relative pose error over a fixed frame delta.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mcslam_tpu.geometry import alignment, lie
+
+
+def associate(ts_est, ts_gt, max_dt=0.02):
+    """Greedy nearest-timestamp association -> (idx_est, idx_gt)."""
+    ie, ig = [], []
+    j = 0
+    for i, t in enumerate(ts_est):
+        j = int(np.argmin(np.abs(ts_gt - t)))
+        if abs(ts_gt[j] - t) <= max_dt:
+            ie.append(i)
+            ig.append(j)
+    return np.asarray(ie, int), np.asarray(ig, int)
+
+
+def ate_rmse(poses_est, poses_gt, align: bool = True, with_scale: bool = False):
+    """Absolute trajectory error RMSE (meters) after SE(3) (or Sim(3)) align."""
+    p_est = np.asarray(poses_est)[:, :3, 3]
+    p_gt = np.asarray(poses_gt)[:, :3, 3]
+    if align:
+        R, t, s = alignment.kabsch(
+            jnp.asarray(p_est, jnp.float32),
+            jnp.asarray(p_gt, jnp.float32),
+            estimate_scale=with_scale,
+        )
+        p_al = float(s) * p_est @ np.asarray(R).T + np.asarray(t)
+    else:
+        p_al = p_est
+    err = np.linalg.norm(p_al - p_gt, axis=-1)
+    return float(np.sqrt(np.mean(err**2)))
+
+
+def rpe(poses_est, poses_gt, delta: int = 1):
+    """Relative pose error: (trans_rmse [m/step], rot_rmse [rad/step])."""
+    pe = np.asarray(poses_est)
+    pg = np.asarray(poses_gt)
+    n = len(pe) - delta
+    terr, rerr = [], []
+    for i in range(n):
+        d_est = np.linalg.inv(pe[i]) @ pe[i + delta]
+        d_gt = np.linalg.inv(pg[i]) @ pg[i + delta]
+        e = np.linalg.inv(d_gt) @ d_est
+        terr.append(np.linalg.norm(e[:3, 3]))
+        w = np.asarray(lie.so3_log(jnp.asarray(e[:3, :3], jnp.float32)))
+        rerr.append(np.linalg.norm(w))
+    return float(np.sqrt(np.mean(np.square(terr)))), float(
+        np.sqrt(np.mean(np.square(rerr)))
+    )

@@ -1,0 +1,16 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX initializes.
+
+Tests exercise TPU-shaped code paths (sharding, pjit, shard_map) on a virtual
+CPU mesh so they run anywhere; the driver benches on the one real TPU chip.
+"""
+
+import os
+
+# Force CPU even if the ambient environment points JAX at a TPU platform
+# (the driver environment exports JAX_PLATFORMS=axon).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

@@ -1,0 +1,220 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcslam_tpu.ops import fast, hamming, image, match, orb, topk_grid
+
+
+# ---------- hamming ----------
+
+def test_pack_unpack_roundtrip():
+    key = jax.random.PRNGKey(0)
+    packed = jax.random.randint(key, (16, 8), 0, 1 << 30).astype(jnp.uint32)
+    bits = hamming.unpack_bits(packed)
+    repacked = hamming.pack_bits(bits)
+    np.testing.assert_array_equal(np.asarray(repacked), np.asarray(packed))
+
+
+def test_hamming_matches_numpy_popcount():
+    rng = np.random.RandomState(1)
+    a = rng.randint(0, 1 << 32, (32, 8), dtype=np.uint64).astype(np.uint32)
+    b = rng.randint(0, 1 << 32, (48, 8), dtype=np.uint64).astype(np.uint32)
+    expected = np.zeros((32, 48), np.int32)
+    for i in range(32):
+        for j in range(48):
+            x = a[i] ^ b[j]
+            expected[i, j] = sum(bin(int(v)).count("1") for v in x)
+    got = hamming.hamming_matrix(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_array_equal(np.asarray(got), expected)
+    # pairwise popcount path agrees
+    got2 = hamming.hamming_pairwise(jnp.asarray(a[:10]), jnp.asarray(b[:10]))
+    np.testing.assert_array_equal(np.asarray(got2), expected[np.arange(10), np.arange(10)])
+
+
+def test_hamming_identical_zero():
+    a = jnp.asarray(np.random.RandomState(2).randint(0, 1 << 31, (8, 8)), jnp.uint32)
+    d = hamming.hamming_matrix(a, a)
+    np.testing.assert_array_equal(np.asarray(jnp.diag(d)), 0)
+
+
+# ---------- match ----------
+
+def test_match_mutual_simple():
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 1 << 31, (20, 8)).astype(np.uint32)
+    # b is a shuffled copy of a with small perturbations
+    perm = rng.permutation(20)
+    b = base[perm].copy()
+    b[:, 0] ^= 1  # flip one bit
+    d = hamming.hamming_matrix(jnp.asarray(base), jnp.asarray(b))
+    res = match.match_mutual(d, max_dist=5, ratio=0.9)
+    assert np.asarray(res.ok).all()
+    np.testing.assert_array_equal(np.asarray(res.idx), np.argsort(perm))
+
+
+def test_match_respects_masks():
+    d = jnp.array([[1, 10], [10, 1]], jnp.int32)
+    res = match.match_mutual(d, col_mask=jnp.array([True, False]), max_dist=20, ratio=1.0)
+    assert bool(res.ok[0])
+    assert not bool(res.ok[1]) or int(res.idx[1]) == 0
+
+
+def test_topk_neighbors():
+    d = jnp.array([[3, 1, 2, 9]], jnp.int32)
+    idx, dist = match.topk_neighbors(d, 2)
+    np.testing.assert_array_equal(np.asarray(idx[0]), [1, 2])
+    np.testing.assert_array_equal(np.asarray(dist[0]), [1, 2])
+
+
+# ---------- fast ----------
+
+def _corner_image():
+    """Bright square on dark background: corners of the square are FAST corners."""
+    img = np.zeros((64, 64), np.float32)
+    img[20:44, 20:44] = 1.0
+    return jnp.asarray(img)
+
+
+def test_fast_detects_square_corners():
+    img = _corner_image()
+    score = fast.fast_corners(img, threshold=0.2)
+    ys, xs = np.nonzero(np.asarray(score))
+    assert len(ys) >= 4
+    # all detections near the 4 square corners
+    corners = np.array([[20, 20], [20, 43], [43, 20], [43, 43]])
+    for y, x in zip(ys, xs):
+        assert np.min(np.abs(corners - [y, x]).sum(axis=1)) <= 4
+
+
+def test_fast_flat_image_empty():
+    img = jnp.full((48, 48), 0.5)
+    score = fast.fast_corners(img, threshold=0.05)
+    assert float(jnp.sum(score)) == 0.0
+
+
+def test_fast_agrees_with_opencv():
+    cv2 = __import__("cv2")
+    rng = np.random.RandomState(5)
+    img8 = (rng.rand(120, 160) * 255).astype(np.uint8)
+    img8 = cv2.GaussianBlur(img8, (5, 5), 1.0)
+    det = cv2.FastFeatureDetector_create(threshold=20, nonmaxSuppression=True)
+    kps = det.detect(img8, None)
+    cv_pts = {(int(round(k.pt[1])), int(round(k.pt[0]))) for k in kps}
+    ours = fast.fast_corners(jnp.asarray(img8, jnp.float32) / 255.0, 20.0 / 255.0)
+    ys, xs = np.nonzero(np.asarray(ours))
+    our_pts = set(zip(ys.tolist(), xs.tolist()))
+    # NMS tie-breaks differ; require high mutual coverage within 1px
+    def near(p, pts):
+        y, x = p
+        return any((y + dy, x + dx) in pts for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    if cv_pts:
+        recall = sum(near(p, our_pts) for p in cv_pts) / len(cv_pts)
+        assert recall > 0.85, recall
+    if our_pts:
+        precision = sum(near(p, cv_pts) for p in our_pts) / len(our_pts)
+        assert precision > 0.85, precision
+
+
+# ---------- topk_grid ----------
+
+def test_select_keypoints_balanced():
+    score = np.zeros((64, 64), np.float32)
+    # strong cluster in one cell, weak singles elsewhere
+    score[10, 10], score[10, 11] = 5.0, 4.9
+    score[12, 12], score[13, 10] = 4.8, 4.7
+    score[11, 13], score[10, 14] = 4.6, 4.5  # 6 in one cell
+    score[40, 40] = 0.5
+    score[50, 20] = 0.4
+    yx, resp, valid = topk_grid.select_keypoints(jnp.asarray(score), 8, cell=16, per_cell=4)
+    got = {tuple(p) for p in np.asarray(yx)[np.asarray(valid)].tolist()}
+    # weak singles survive because the strong cell is capped at 4
+    assert (40, 40) in got and (50, 20) in got
+    assert sum(1 for (y, x) in got if y < 16 and x < 16) == 4
+
+
+def test_select_keypoints_padding():
+    score = np.zeros((32, 32), np.float32)
+    score[5, 5] = 1.0
+    yx, resp, valid = topk_grid.select_keypoints(jnp.asarray(score), 16)
+    assert int(np.asarray(valid).sum()) == 1
+    assert tuple(np.asarray(yx)[np.asarray(valid)][0]) == (5, 5)
+
+
+# ---------- image ----------
+
+def test_gaussian_blur_matches_opencv():
+    cv2 = __import__("cv2")
+    rng = np.random.RandomState(6)
+    img = rng.rand(40, 50).astype(np.float32)
+    # default border (REFLECT_101) matches jnp.pad mode="reflect"
+    ref = cv2.GaussianBlur(img, (7, 7), 2.0)
+    ours = image.gaussian_blur(jnp.asarray(img), 7, 2.0)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def test_pyramid_shapes():
+    img = jnp.zeros((480, 640))
+    levels = image.build_pyramid(img, 8, 1.2)
+    assert len(levels) == 8
+    assert levels[0].shape == (480, 640)
+    assert levels[1].shape == (400, 533)
+
+
+# ---------- orb ----------
+
+def _textured_image(seed=0, h=240, w=320):
+    cv2 = __import__("cv2")
+    rng = np.random.RandomState(seed)
+    img = (rng.rand(h // 8, w // 8) * 255).astype(np.uint8)
+    img = cv2.resize(img, (w, h), interpolation=cv2.INTER_NEAREST)
+    img = cv2.GaussianBlur(img, (5, 5), 1.0)
+    return img.astype(np.float32) / 255.0
+
+
+def test_extract_orb_shapes_and_validity():
+    img = jnp.asarray(_textured_image())
+    kp = orb.extract_orb(img, num_points=512, num_levels=4)
+    n = kp.xy.shape[0]
+    assert kp.desc.shape == (n, 8)
+    assert kp.valid.shape == (n,)
+    assert int(jnp.sum(kp.valid)) > 100
+    v = np.asarray(kp.valid)
+    xy = np.asarray(kp.xy)[v]
+    assert xy[:, 0].max() < 320 and xy[:, 1].max() < 240
+
+
+def test_orb_descriptor_rotation_tolerance():
+    """Descriptors of the same (rotated) patch should be close in Hamming."""
+    cv2 = __import__("cv2")
+    img = _textured_image(seed=2)
+    angle = 20.0
+    M = cv2.getRotationMatrix2D((160, 120), angle, 1.0)
+    rot = cv2.warpAffine(img, M, (320, 240), flags=cv2.INTER_LINEAR)
+    kp1 = orb.extract_orb(jnp.asarray(img), num_points=256, num_levels=1)
+    kp2 = orb.extract_orb(jnp.asarray(rot), num_points=256, num_levels=1)
+    # map kp1 into rotated frame, find those with a nearby kp2
+    ones = np.ones((kp1.xy.shape[0], 1), np.float32)
+    proj = np.concatenate([np.asarray(kp1.xy), ones], axis=1) @ M.T  # (N, 2)
+    v1, v2 = np.asarray(kp1.valid), np.asarray(kp2.valid)
+    xy2 = np.asarray(kp2.xy)
+    d = hamming.hamming_matrix(kp1.desc, kp2.desc)
+    d = np.asarray(d)
+    matched, low = 0, 0
+    for i in np.nonzero(v1)[0]:
+        dist2 = np.linalg.norm(xy2 - proj[i], axis=1)
+        dist2[~v2] = 1e9
+        j = int(np.argmin(dist2))
+        if dist2[j] < 2.0:
+            matched += 1
+            if d[i, j] < 64:
+                low += 1
+    assert matched > 20
+    assert low / matched > 0.7, (low, matched)
+
+
+def test_extract_orb_rig_batched():
+    img = jnp.asarray(_textured_image())
+    imgs = jnp.stack([img, img * 0.8 + 0.1])
+    kps = orb.extract_orb_rig(imgs, num_points=256, num_levels=2)
+    assert kps.xy.shape[0] == 2
+    assert int(jnp.sum(kps.valid[0])) > 50

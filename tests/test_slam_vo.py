@@ -1,0 +1,76 @@
+"""End-to-end visual odometry on a synthetic feature-level sequence:
+the first demo slice — multi-camera VO + window BA, ATE-checked.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mcslam_tpu.data import synthetic
+from mcslam_tpu.frontend import frame as frame_mod
+from mcslam_tpu.slam import INITIALIZED, MultiCameraSLAM, SlamConfig
+from mcslam_tpu.utils import metrics
+
+
+def _run_sequence(num_frames=12, num_cams=3, kps=320, seed=0):
+    rig = synthetic.make_synthetic_rig(
+        synthetic.SyntheticRigSpec(num_cams=num_cams, baseline=0.2)
+    )
+    poses = synthetic.smooth_trajectory(
+        num_frames, radius=5.0, step_angle=0.03, seed=seed
+    )
+    lms = synthetic.make_landmarks(900, seed=seed + 1, depth_range=(5.0, 16.0))
+    descs = synthetic.make_descriptors(900, seed=seed + 2)
+    frames = synthetic.render_feature_frames(
+        rig, poses, lms, descs, kps_per_cam=kps, px_noise=0.3,
+        desc_bit_noise=5, seed=seed + 3,
+    )
+    cfg = SlamConfig(
+        window_size=4,
+        ba_obs_capacity=8192,
+        ba_lm_capacity=1024,
+        local_map_landmarks=1024,
+        kf_translation=0.25,
+        kf_rotation=0.15,
+    )
+    slam = MultiCameraSLAM(rig, cfg, seed=seed)
+    for f in frames:
+        ff = frame_mod.build_frame_from_keypoints(
+            jnp.asarray(f.uv), jnp.asarray(f.desc), jnp.asarray(f.valid),
+            rig, max_intra=1024,
+        )
+        slam.process_frame(ff, f.timestamp)
+    return slam, poses
+
+
+def test_vo_synthetic_sequence_ate():
+    slam, poses_gt = _run_sequence()
+    assert slam.state == INITIALIZED
+    assert slam.stats["keyframes"] >= 2
+    assert slam.stats["failures"] == 0
+    ts, poses_est = slam.trajectory_arrays()
+    assert len(poses_est) == len(poses_gt)
+    ate = metrics.ate_rmse(poses_est, poses_gt)
+    assert ate < 0.05, ate
+    # the trajectory moved (not the trivial identity solution)
+    assert np.linalg.norm(poses_est[-1][:3, 3] - poses_est[0][:3, 3]) > 1.0
+    # translation drift under 1% of trajectory length (reference headline)
+    length = sum(
+        np.linalg.norm(poses_gt[i + 1][:3, 3] - poses_gt[i][:3, 3])
+        for i in range(len(poses_gt) - 1)
+    )
+    ate = metrics.ate_rmse(poses_est, poses_gt)
+    assert ate / length < 0.01, (ate, length)
+
+
+def test_vo_writes_tum(tmp_path):
+    slam, _ = _run_sequence(num_frames=4)
+    path = tmp_path / "traj.txt"
+    slam.write_trajectory(path)
+    from mcslam_tpu.utils import tum
+
+    ts, poses = tum.read_tum(path)
+    assert len(ts) == 4
+    assert poses.shape == (4, 4, 4)
+    # orthonormal rotations
+    RtR = poses[:, :3, :3] @ np.transpose(poses[:, :3, :3], (0, 2, 1))
+    np.testing.assert_allclose(RtR, np.tile(np.eye(3), (4, 1, 1)), atol=1e-4)
