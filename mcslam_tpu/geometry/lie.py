@@ -81,18 +81,23 @@ def so3_log(R: jax.Array) -> jax.Array:
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     w_skew = 0.5 * (R - jnp.swapaxes(R, -1, -2))
     w_sin = so3_vee(w_skew)  # = sin(theta) * axis
-    sin_theta = jnp.linalg.norm(w_sin, axis=-1)
+    # grad-safe sin: sqrt of a clamped square, so differentiating through
+    # so3_log at the EXACT identity stays finite (norm has no grad at 0 —
+    # this matters for pose-graph edges linearized at zero error).
+    s2 = jnp.sum(w_sin * w_sin, axis=-1)
+    small = s2 < 1e-10
+    sin_safe = jnp.sqrt(jnp.where(small, 1.0, s2))
+    sin_theta = jnp.where(small, 0.0, sin_safe)
     # atan2 is far better conditioned than arccos near theta = pi (the
     # sensitivity of arccos blows up as 1/sin(theta)).
     theta = jnp.arctan2(sin_theta, cos_theta)
-    # generic branch: scale = theta / sin(theta), Taylor near 0.
-    small = theta < 1e-4
     # below sin(theta) ~ 1e-3 the generic scale theta/sin(theta) amplifies
     # f32 error in the skew part beyond usefulness; switch to the diagonal
     # extraction well before that.
     near_pi = (sin_theta < 1e-3) & (theta > 3.0)
-    safe_sin = jnp.where(jnp.abs(sin_theta) < 1e-12, 1.0, sin_theta)
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / safe_sin)
+    # generic branch: scale = theta/sin(theta); smooth polynomial in s2 at
+    # the identity so jacobians there are exact and finite.
+    scale = jnp.where(small, 1.0 + s2 / 6.0, theta / sin_safe)
     w_generic = w_sin * scale[..., None]
     # theta near pi: R + I = 2 cos^2(t/2) I + 2 sin^2(t/2) a a^T; at t=pi the
     # diagonal of B = (R+I)/2 gives |a_i| and off-diagonals give the signs.

@@ -1,0 +1,229 @@
+"""Loop-closure detection: BoW retrieval + temporal consistency + geometric
+verification.
+
+Parity (WHAT): LoopCloser (/root/reference/MCSlam/src/LoopCloser.cpp):
+  * database add/query over frame-level BoW of intra-match descriptors
+    (callerDetectLoop :59-193)
+  * nss-normalized score filter, alpha threshold, island grouping,
+    temporal consistency window k (:117-138)
+  * geometric verification by absolute pose against the candidate KF's
+    landmarks with RANSAC (checkAbsolutePose :271-351)
+  * result carries relative pose + matched landmark ids + measurements
+    (Detection_Frame, LoopCloser.h:56-70)
+
+HOW: retrieval is one matvec against the stacked BoW matrix; islands and
+temporal bookkeeping are tiny host logic; verification reuses the batched
+RANSAC + pose-LM kernels. Default parameters mirror the reference's
+initializeLoopClosure (di_levels ignored — we use dense matching — k=2,
+alpha=0.2, dislocal window, FrontEnd.cpp:1788-1805).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mcslam_tpu.frontend import pose_opt, ransac
+from mcslam_tpu.ops import hamming, match as match_ops
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    alpha: float = 0.2  # candidate score >= alpha * nss
+    min_nss: float = 0.05
+    k_consistency: int = 2  # temporal consistency frames
+    dislocal: int = 20  # exclude this many recent KFs
+    island_gap: int = 3  # max id gap within an island
+    min_matches: int = 20
+    min_inliers: int = 12
+    ransac_px: float = 5.0
+    max_dist: int = 64
+    ratio: float = 0.85
+
+
+@dataclasses.dataclass
+class LoopDetection:
+    detected: bool
+    query_kf: int = -1
+    match_kf: int = -1
+    # relative pose: match_T_query (match-KF frame from query frame)
+    rel_pose: Optional[np.ndarray] = None
+    world_T_query: Optional[np.ndarray] = None
+    lm_ids: Optional[np.ndarray] = None  # matched old landmark ids
+    query_slots: Optional[np.ndarray] = None  # intra slots in the query frame
+    n_inliers: int = 0
+
+
+class LoopCloser:
+    """Host driver; owns the BoW database and consistency state."""
+
+    def __init__(self, vocab, rig, config: LoopConfig = None, seed: int = 0):
+        self.vocab = vocab
+        self.rig = rig
+        self.cfg = config or LoopConfig()
+        self.bows: list[np.ndarray] = []  # per-KF dense BoW
+        self.kf_ids: list[int] = []
+        self._last_bow: Optional[np.ndarray] = None
+        self._consistent_groups: list[tuple[set, int]] = []  # (island ids, count)
+        self._key = jax.random.PRNGKey(seed)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # -- database ----------------------------------------------------------
+
+    def compute_bow(self, desc, valid) -> np.ndarray:
+        return np.asarray(self.vocab.transform(desc, valid))
+
+    def add_keyframe(self, kf_id: int, bow: np.ndarray):
+        self.bows.append(bow)
+        self.kf_ids.append(kf_id)
+
+    def save_database(self, path):
+        np.savez_compressed(
+            path, bows=np.stack(self.bows) if self.bows else
+            np.zeros((0, self.vocab.num_words), np.float32),
+            kf_ids=np.asarray(self.kf_ids, np.int32),
+        )
+
+    def load_database(self, path):
+        z = np.load(path)
+        self.bows = [b for b in z["bows"]]
+        self.kf_ids = [int(i) for i in z["kf_ids"]]
+
+    # -- detection ---------------------------------------------------------
+
+    def detect(self, query_kf, frame_desc, frame_valid, keyframes, lm_map):
+        """Full detection for a new keyframe.
+
+        query_kf: the Keyframe being inserted (already has pose estimate).
+        keyframes: list of all Keyframe records (indexable by position).
+        lm_map: LandmarkMap for candidate landmark 3D.
+        Adds the query to the database; returns LoopDetection.
+        """
+        cfg = self.cfg
+        bow = self.compute_bow(frame_desc, frame_valid)
+        prev_bow = self._last_bow
+        self._last_bow = bow
+
+        n_db = len(self.bows)
+        detection = LoopDetection(detected=False, query_kf=query_kf.kf_id)
+        usable = n_db - cfg.dislocal
+        if usable > 0 and prev_bow is not None:
+            nss = float(bow @ prev_bow)
+            if nss >= cfg.min_nss:
+                scores = np.stack(self.bows[:usable]) @ bow
+                thresh = cfg.alpha * nss
+                cand = np.nonzero(scores >= thresh)[0]
+                if len(cand):
+                    best = self._best_island(cand, scores)
+                    if best is not None and self._temporally_consistent(best):
+                        island_best = int(best[np.argmax(scores[best])])
+                        detection = self._verify(
+                            query_kf, keyframes[island_best], lm_map
+                        )
+        self.add_keyframe(query_kf.kf_id, bow)
+        return detection
+
+    def _best_island(self, cand: np.ndarray, scores: np.ndarray):
+        """Group candidate ids into islands of nearby ids; return the island
+        (id array) with the best summed score."""
+        cfg = self.cfg
+        islands, cur = [], [cand[0]]
+        for c in cand[1:]:
+            if c - cur[-1] <= cfg.island_gap:
+                cur.append(c)
+            else:
+                islands.append(np.asarray(cur))
+                cur = [c]
+        islands.append(np.asarray(cur))
+        sums = [scores[i].sum() for i in islands]
+        return islands[int(np.argmax(sums))]
+
+    def _temporally_consistent(self, island: np.ndarray) -> bool:
+        """Require cfg.k_consistency consecutive detections whose islands
+        overlap (reference getConsistentEntries semantics)."""
+        cfg = self.cfg
+        ids = set(int(i) for i in island)
+        matched = False
+        new_groups = []
+        for group, count in self._consistent_groups:
+            near = any(
+                abs(i - j) <= cfg.island_gap for i in ids for j in group
+            )
+            if near:
+                new_groups.append((ids, count + 1))
+                if count + 1 >= cfg.k_consistency:
+                    matched = True
+            else:
+                pass  # group dies
+        new_groups.append((ids, 1))
+        self._consistent_groups = new_groups
+        return matched or cfg.k_consistency <= 1
+
+    def _verify(self, query_kf, old_kf, lm_map) -> LoopDetection:
+        """Descriptor match query<->old intra features, then robust absolute
+        pose of the query rig against the old KF's landmarks."""
+        cfg = self.cfg
+        d = hamming.hamming_matrix(
+            jnp.asarray(query_kf.im_desc), jnp.asarray(old_kf.im_desc)
+        )
+        res = match_ops.match_mutual(
+            d,
+            row_mask=jnp.asarray(query_kf.im_valid),
+            col_mask=jnp.asarray(old_kf.im_valid & (old_kf.lm_id >= 0)),
+            max_dist=cfg.max_dist,
+            ratio=cfg.ratio,
+        )
+        ok = np.asarray(res.ok)
+        idx = np.asarray(res.idx)
+        lm = np.where(ok, old_kf.lm_id[idx], -1)
+        lm = np.where((lm >= 0) & lm_map.valid[np.maximum(lm, 0)], lm, -1)
+        n = int((lm >= 0).sum())
+        if n < cfg.min_matches:
+            return LoopDetection(False, query_kf.kf_id, old_kf.kf_id)
+
+        M = len(ok)
+        X_world = np.zeros((M, 3), np.float32)
+        sel = lm >= 0
+        X_world[sel] = lm_map.pos[lm[sel]]
+        anchor = query_kf.im_anchor_cam
+        cam_T_ref = np.asarray(self.rig.cam_T_ref)[anchor]
+        fxy = np.asarray(self.rig.fxycxy)[anchor]
+        rr = ransac.ransac_pnp(
+            self._next_key(), jnp.asarray(X_world),
+            jnp.asarray(query_kf.im_uv),
+            jnp.asarray(cam_T_ref), jnp.asarray(fxy), jnp.asarray(sel),
+            num_hyp=256, px_thresh=cfg.ransac_px,
+            min_inliers=cfg.min_inliers,
+        )
+        if not bool(rr.ok):
+            return LoopDetection(False, query_kf.kf_id, old_kf.kf_id)
+        ref = pose_opt.optimize_pose(
+            rr.world_T_ref, jnp.asarray(X_world), jnp.asarray(query_kf.im_uv),
+            jnp.asarray(cam_T_ref), jnp.asarray(fxy),
+            jnp.asarray(sel) & rr.inliers,
+            sigma2=jnp.asarray(query_kf.im_sigma2),
+        )
+        n_inl = int(ref.num_inliers)
+        if n_inl < cfg.min_inliers:
+            return LoopDetection(False, query_kf.kf_id, old_kf.kf_id)
+        world_T_query = np.asarray(ref.world_T_ref)
+        inl = np.asarray(ref.inliers)
+        rel = np.linalg.inv(old_kf.world_T_ref) @ world_T_query
+        return LoopDetection(
+            detected=True,
+            query_kf=query_kf.kf_id,
+            match_kf=old_kf.kf_id,
+            rel_pose=rel,
+            world_T_query=world_T_query,
+            lm_ids=lm[inl],
+            query_slots=np.nonzero(inl)[0],
+            n_inliers=n_inl,
+        )

@@ -186,7 +186,8 @@ def _triangulate_pairs(wTc_rays, uv_rays, f_rays, mask_rays, sigma_rays):
 
 
 class MultiCameraSLAM:
-    def __init__(self, rig, config: SlamConfig = None, seed: int = 0):
+    def __init__(self, rig, config: SlamConfig = None, seed: int = 0,
+                 vocab=None, loop_config=None):
         self.rig = rig
         self.cfg = config or SlamConfig()
         self.map = LandmarkMap()
@@ -198,7 +199,12 @@ class MultiCameraSLAM:
         self.trajectory: list[tuple[float, np.ndarray]] = []
         self.kf_counter = 0
         self._key = jax.random.PRNGKey(seed)
-        self.stats = {"frames": 0, "keyframes": 0, "failures": 0}
+        self.stats = {"frames": 0, "keyframes": 0, "failures": 0, "loops": 0}
+        self.looper = None
+        if vocab is not None:
+            from mcslam_tpu.loop.detector import LoopCloser
+
+            self.looper = LoopCloser(vocab, rig, loop_config, seed=seed + 1)
 
     # -- helpers ----------------------------------------------------------
 
@@ -393,8 +399,81 @@ class MultiCameraSLAM:
         self.kf_counter += 1
         self.stats["keyframes"] += 1
 
+        # loop closure (reference: insertKeyFrame -> callerDetectLoop,
+        # FrontEnd.cpp:1849)
+        if self.looper is not None:
+            det = self.looper.detect(
+                kf, jnp.asarray(kf.im_desc), jnp.asarray(kf.im_valid),
+                self.keyframes, self.map,
+            )
+            if det.detected:
+                self._close_loop(kf, det)
+
         # window BA
         self._run_window_ba()
+
+    # -- loop closing ------------------------------------------------------
+
+    def _close_loop(self, kf: Keyframe, det):
+        """Merge re-observed landmarks, run SE(3) pose-graph optimization
+        over the whole keyframe trajectory, re-anchor landmarks to their
+        first-observing keyframe (the reference achieves the same global
+        correction through ISAM2 + smart-factor re-triangulation)."""
+        from mcslam_tpu.backend import pgo
+
+        self.stats["loops"] += 1
+        # 1. merge landmark identities: the query slots re-observe OLD lms
+        for slot, old_lm in zip(det.query_slots, det.lm_ids):
+            cur_lm = kf.lm_id[slot]
+            if cur_lm >= 0 and cur_lm != old_lm:
+                # the freshly minted landmark duplicates an old one
+                self.map.delete([cur_lm])
+            kf.lm_id[slot] = old_lm
+
+        # 2. pose graph: odometry edges + the loop edge
+        N = len(self.keyframes)
+        poses_old = np.stack([k.world_T_ref for k in self.keyframes])
+        E = (N - 1) + 1
+        ei = np.arange(N - 1, dtype=np.int32)
+        ej = ei + 1
+        meas = np.einsum(
+            "nij,njk->nik", np.linalg.inv(poses_old[:-1]), poses_old[1:]
+        )
+        match_idx = next(
+            i for i, k in enumerate(self.keyframes) if k.kf_id == det.match_kf
+        )
+        query_idx = N - 1
+        edge_i = np.concatenate([ei, [match_idx]]).astype(np.int32)
+        edge_j = np.concatenate([ej, [query_idx]]).astype(np.int32)
+        edge_meas = np.concatenate([meas, det.rel_pose[None]], axis=0)
+        edge_w = np.concatenate([np.ones(N - 1), [float(det.n_inliers)]])
+        graph = pgo.PoseGraph(
+            poses=jnp.asarray(poses_old, jnp.float32),
+            edge_i=jnp.asarray(edge_i),
+            edge_j=jnp.asarray(edge_j),
+            edge_meas=jnp.asarray(edge_meas, jnp.float32),
+            edge_weight=jnp.asarray(edge_w, jnp.float32),
+            edge_valid=jnp.ones(E, bool),
+            anchor=jnp.asarray(0, jnp.int32),
+        )
+        poses_new = np.asarray(pgo.pgo_solve(graph, iters=8))
+
+        # 3. re-anchor landmarks with their first-observing keyframe
+        valid_ids = np.nonzero(self.map.valid)[0]
+        first = self.map.first_kf[valid_ids]
+        # kf_id -> index (vision KFs are appended 1:1)
+        id2idx = {k.kf_id: i for i, k in enumerate(self.keyframes)}
+        fidx = np.array([id2idx.get(int(f), 0) for f in first])
+        T_corr = np.einsum(
+            "nij,njk->nik", poses_new[fidx], np.linalg.inv(poses_old[fidx])
+        )
+        p = self.map.pos[valid_ids]
+        self.map.pos[valid_ids] = (
+            np.einsum("nij,nj->ni", T_corr[:, :3, :3], p) + T_corr[:, :3, 3]
+        )
+        for i, k in enumerate(self.keyframes):
+            k.world_T_ref = poses_new[i]
+        self.cur_pose = poses_new[-1].copy()
 
     # -- window bundle adjustment ----------------------------------------
 
