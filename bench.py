@@ -106,19 +106,23 @@ def main():
     jax.block_until_ready(res.poses)
 
     # ---- timing ----
+    # NOTE: jax.block_until_ready is unreliable on tunneled TPU backends
+    # (resolves before device completion); materializing a scalar to host is
+    # the only trustworthy sync. Alternate two inputs to defeat any caching.
     def timeit(fn, n=20):
+        _ = np.asarray(fn(0))  # warm + drain queue
         t0 = time.perf_counter()
         for i in range(n):
             out = fn(i)
-        jax.block_until_ready(out)
+        _ = np.asarray(out)  # drain: measures pipelined throughput
         return (time.perf_counter() - t0) / n
 
-    t_a = timeit(lambda i: stage_a(imgs[i % 2]).im_desc)
+    t_a = timeit(lambda i: stage_a(imgs[i % 2]).im_desc.sum())
     t_b = timeit(
         lambda i: stage_b(key, ff1 if i % 2 else ff0, ff0 if i % 2 else ff1,
-                          Xw_prev)[0]
+                          Xw_prev)[0].sum()
     )
-    t_c = timeit(lambda i: solve(problem).poses, n=10)
+    t_c = timeit(lambda i: solve(problem).poses.sum(), n=10)
 
     kf_interval = 4  # BA runs on keyframes only (~every 4th frame)
     per_frame = t_a + t_b + t_c / kf_interval

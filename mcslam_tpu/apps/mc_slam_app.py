@@ -1,0 +1,134 @@
+"""CLI application: the full SLAM pipeline driver.
+
+Parity (WHAT): MCSlamapp (/root/reference/MCApps/src/mc_slam_app.cpp) —
+flags --config_file / --log_file / --traj_file (mc_slam_app.cpp:43-48),
+reader selection from settings (:75-99), rig construction (:103-104),
+frontend/backend wiring (:107-127), the per-frame process loop (:722-798),
+and the end-of-run artifact dump (trajectory, map JSON, loop DB, graph logs;
+:139-156).
+
+Usage:
+  python -m mcslam_tpu.apps.mc_slam_app --config_file cfg [--traj_file out]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def build_reader(settings):
+    from mcslam_tpu.data import readers
+
+    fr = settings.frames_range
+    if settings.raw.get("video_streams"):
+        paths = [p for p in settings.raw["video_streams"].split(",") if p]
+        return readers.VideoReader(paths, shifts=settings.shifts)
+    return readers.ImageFolderReader(
+        settings.images_path or settings.data_path, frame_range=fr
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="mcslam_tpu SLAM app")
+    ap.add_argument("--config_file", required=True)
+    ap.add_argument("--traj_file", default=None)
+    ap.add_argument("--log_file", default=None)
+    ap.add_argument("--max_frames", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from mcslam_tpu.data import calib, config
+    from mcslam_tpu.frontend.frame import build_frame
+    from mcslam_tpu.slam import MultiCameraSLAM
+    from mcslam_tpu.utils import mapio
+
+    settings = config.parse_cfg(args.config_file)
+    frontend = config.load_frontend_params(settings.frontend_params_file)
+    backend = config.load_backend_params(settings.backend_params_file)
+    slam_cfg, extract_cfg = config.slam_config_from_params(frontend, backend)
+
+    if settings.kalibr:
+        rig, imu_params, gps_params = calib.load_kalibr(settings.calib_file_path)
+    else:
+        rig = calib.load_plain_vo_yaml(settings.calib_file_path)
+        imu_params = gps_params = None
+
+    vocab = None
+    if settings.raw.get("vocabulary"):
+        from mcslam_tpu.loop.vocab import Vocabulary
+
+        try:
+            vocab = Vocabulary.load(settings.raw["vocabulary"])
+        except Exception as e:  # noqa: BLE001 - report and continue VO-only
+            print(f"[mc_slam_app] vocabulary load failed: {e}", file=sys.stderr)
+
+    slam = MultiCameraSLAM(rig, slam_cfg, vocab=vocab)
+    reader = build_reader(settings)
+
+    log = None
+    if args.log_file or settings.raw.get("log_file"):
+        log = mapio.GraphLogWriter(args.log_file or settings.raw["log_file"])
+
+    imu_stream = gps_stream = None
+    if settings.use_imu and settings.raw.get("imu_csv"):
+        from mcslam_tpu.data.readers import ImuStream
+
+        imu_stream = ImuStream.from_csv(settings.raw["imu_csv"])
+    if settings.use_gps and settings.raw.get("gps_csv"):
+        from mcslam_tpu.data.readers import GpsStream
+
+        gps_stream = GpsStream.from_csv(settings.raw["gps_csv"])
+
+    n = 0
+    t_start = time.time()
+    while True:
+        nxt = reader.get_next()
+        if nxt is None or (args.max_frames and n >= args.max_frames):
+            break
+        imgs, ts = nxt
+        ff = build_frame(jnp.asarray(imgs), rig, **extract_cfg)
+        imu_slice = imu_stream.until(ts) if imu_stream else None
+        gps_slice = gps_stream.until(ts) if gps_stream else None
+        info = slam.process_frame(ff, ts, imu=imu_slice, gps=gps_slice) \
+            if (imu_slice or gps_slice) else slam.process_frame(ff, ts)
+        n += 1
+        if n % 20 == 0:
+            fps = n / (time.time() - t_start)
+            print(
+                f"[mc_slam_app] frame {n} state={slam.state} "
+                f"kfs={slam.stats['keyframes']} loops={slam.stats['loops']} "
+                f"{fps:.1f} fps",
+                file=sys.stderr,
+            )
+
+    traj_path = args.traj_file or settings.raw.get("traj_file", "trajectory.txt")
+    slam.write_trajectory(traj_path)
+    if settings.raw.get("map_path"):
+        mapio.save_map_json(settings.raw["map_path"], slam.keyframes, slam.map)
+    if settings.raw.get("database_path") and slam.looper is not None:
+        slam.looper.save_database(settings.raw["database_path"])
+    if log is not None:
+        for kf in slam.keyframes:
+            log.pose(kf.kf_id, kf.world_T_ref)
+            for m in np.nonzero(kf.lm_id >= 0)[0]:
+                log.edge(kf.kf_id, int(kf.im_anchor_cam[m]),
+                         int(kf.lm_id[m]), float(kf.im_uv[m, 0]),
+                         float(kf.im_uv[m, 1]))
+        for lid in np.nonzero(slam.map.valid)[0]:
+            log.landmark(int(lid), slam.map.pos[lid])
+        log.close()
+    print(
+        f"[mc_slam_app] done: {n} frames, {slam.stats['keyframes']} keyframes,"
+        f" trajectory -> {traj_path}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

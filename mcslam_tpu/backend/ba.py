@@ -31,7 +31,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from mcslam_tpu.geometry import lie
+from mcslam_tpu.geometry import lie, linalg3
 
 
 class BAObservations(NamedTuple):
@@ -130,35 +130,47 @@ def _residuals_and_jacobians(problem: BAProblem, huber_px: float):
 
 
 def _assemble(problem: BAProblem, r, Jp, Jl, w):
-    """Weighted normal equations with landmark Schur elimination prepared."""
+    """Weighted normal equations with landmark Schur elimination prepared.
+
+    All segment reductions are expressed as one-hot matmuls (MXU) rather
+    than scatter-adds: TPU scatters lower to sorts and dominate the LM
+    iteration; a (dims, O) x (O, K or L) matmul does the same reduction at
+    full MXU throughput.
+    """
     K = problem.poses.shape[0]
     L = problem.landmarks.shape[0]
     obs = problem.obs
+    O = obs.kf.shape[0]
     Jpw = Jp * w[:, None, None]
+    Jlw = Jl * w[:, None, None]
+
+    oh_k = (obs.kf[:, None] == jnp.arange(K)[None, :]).astype(r.dtype)  # (O, K)
+    oh_l = (obs.lm[:, None] == jnp.arange(L)[None, :]).astype(r.dtype)  # (O, L)
 
     # pose-side block-diagonal + dense prior
-    Hpp_blocks = jnp.einsum("ori,orj->oij", Jpw, Jp)  # (O, 6, 6)
-    Hpp = jnp.zeros((K, 6, 6), r.dtype).at[obs.kf].add(Hpp_blocks)
+    Hpp_blocks = jnp.einsum("ori,orj->oij", Jpw, Jp).reshape(O, 36)
+    Hpp = jnp.einsum("ox,ok->kx", Hpp_blocks, oh_k).reshape(K, 6, 6)
     Hpp_dense = jax.scipy.linalg.block_diag(*[Hpp[k] for k in range(K)])
     Hpp_dense = Hpp_dense + problem.prior_H
 
-    gp = jnp.zeros((K, 6), r.dtype).at[obs.kf].add(
-        jnp.einsum("ori,or->oi", Jpw, r)
-    )
-    gp = gp.reshape(K * 6) + problem.prior_b
+    gp_blocks = jnp.einsum("ori,or->oi", Jpw, r)  # (O, 6)
+    gp = jnp.einsum("oi,ok->ki", gp_blocks, oh_k).reshape(K * 6)
+    gp = gp + problem.prior_b
 
     # landmark blocks
-    Hll = jnp.zeros((L, 3, 3), r.dtype).at[obs.lm].add(
-        jnp.einsum("ori,orj->oij", Jl * w[:, None, None], Jl)
-    )
-    gl = jnp.zeros((L, 3), r.dtype).at[obs.lm].add(
-        jnp.einsum("ori,or->oi", Jl * w[:, None, None], r)
-    )
+    Hll = jnp.einsum(
+        "ox,ol->lx", jnp.einsum("ori,orj->oij", Jlw, Jl).reshape(O, 9), oh_l
+    ).reshape(L, 3, 3)
+    gl = jnp.einsum("oi,ol->li", jnp.einsum("ori,or->oi", Jlw, r), oh_l)
 
-    # cross term W: (K, 6, L, 3)
-    Wc = jnp.zeros((K, 6, L, 3), r.dtype).at[obs.kf, :, obs.lm, :].add(
-        jnp.einsum("ori,orj->oij", Jpw, Jl)
-    )
+    # cross term W: (K, 6, L, 3) — per-keyframe masked matmul over landmarks
+    T = jnp.einsum("ori,orj->oij", Jpw, Jl).reshape(O, 18)  # (O, 6*3)
+    Wc_list = []
+    for k in range(K):
+        Tk = T * oh_k[:, k : k + 1]
+        Wk = jnp.einsum("ox,ol->lx", Tk, oh_l)  # (L, 18)
+        Wc_list.append(Wk.reshape(L, 6, 3).transpose(1, 0, 2))
+    Wc = jnp.stack(Wc_list)  # (K, 6, L, 3)
     return Hpp_dense, gp, Hll, gl, Wc
 
 
@@ -170,7 +182,7 @@ def _schur_solve(Hpp, gp, Hll, gl, Wc, lam, lm_valid):
     # damp landmark blocks; empty/invalid blocks become identity (delta = 0
     # since their gradient is also 0)
     Hll_d = Hll + (lam + 1e-6) * eye3[None]
-    Hll_inv = jnp.linalg.inv(Hll_d)  # batched 3x3
+    Hll_inv = linalg3.inv3(Hll_d)  # closed-form batched 3x3 (TPU-friendly)
     Wm = Wc.reshape(K6, L, 3)
     WHinv = jnp.einsum("plj,ljk->plk", Wm, Hll_inv)  # (K6, L, 3)
     S = (

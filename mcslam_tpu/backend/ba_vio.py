@@ -1,0 +1,432 @@
+"""Visual-inertial(-GPS) sliding-window bundle adjustment.
+
+Extends the vision-only Schur LM of ba.py to the full reference backend
+state (WHAT: Backend::SmartFactor_backend + addIMUFactor + addGPSFactor,
+/root/reference/MCSlam/src/Backend.cpp:2007-2082,2743-2791,2628-2675):
+
+  per-keyframe state: [pose(6), vel(3), bias(6)]  (D = 15)
+  plus one global 6-dof GPS alignment state E_T_V (the estimable
+  world-to-ENU transform of newGPSFactor, newGPSFactor.h:10-43), appended
+  as an extra column block in the dense pose-side system.
+
+Vision observations touch only the 6 pose dofs of one keyframe and one
+landmark (eliminated via Schur); IMU preintegration factors couple
+consecutive keyframes' full 15-dof states (jacfwd on the 15+15 tangent —
+K-1 factors, negligible); GPS factors couple one pose with E_T_V. The
+resulting dense (K*15+6)^2 system is tiny and solves on-device.
+
+The reference's "hold the first optimization until >= 3 GPS factors" rule
+(Backend.cpp:3070-3087) lives in the driver, not here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mcslam_tpu.backend import ba as ba_mod
+from mcslam_tpu.backend import imu as imu_mod
+from mcslam_tpu.geometry import lie
+
+D = 15  # per-keyframe state dims
+
+
+class ImuFactors(NamedTuple):
+    """Padded table of preintegrated IMU factors between window keyframes."""
+
+    i: jax.Array  # (F,) int32 source keyframe (window index)
+    j: jax.Array  # (F,) int32 target keyframe
+    dR: jax.Array  # (F, 3, 3)
+    dv: jax.Array  # (F, 3)
+    dp: jax.Array  # (F, 3)
+    dt: jax.Array  # (F,)
+    dR_dbg: jax.Array  # (F, 3, 3)
+    dv_dbg: jax.Array  # (F, 3, 3)
+    dv_dba: jax.Array  # (F, 3, 3)
+    dp_dbg: jax.Array  # (F, 3, 3)
+    dp_dba: jax.Array  # (F, 3, 3)
+    bias_hat: jax.Array  # (F, 6)
+    sqrt_info: jax.Array  # (F, 15, 15) upper-triangular whitening
+    valid: jax.Array  # (F,) bool
+
+
+class GpsFactors(NamedTuple):
+    """GPS position factors: enu = E_T_V * (p_body + R_body t_bg)."""
+
+    kf: jax.Array  # (G,) int32 window keyframe index
+    enu: jax.Array  # (G, 3) measured ENU position
+    t_bg: jax.Array  # (3,) body->GPS lever arm
+    sigma: jax.Array  # (G,) measurement sigma [m]
+    valid: jax.Array  # (G,) bool
+
+
+class VioProblem(NamedTuple):
+    poses: jax.Array  # (K, 4, 4) world_T_body
+    vels: jax.Array  # (K, 3)
+    biases: jax.Array  # (K, 6)
+    landmarks: jax.Array  # (L, 3)
+    lm_valid: jax.Array  # (L,)
+    obs: ba_mod.BAObservations  # uv observations; cam_T_ref includes Tbc
+    cam_T_body: jax.Array  # (C, 4, 4) camera-from-body extrinsics
+    fxycxy: jax.Array  # (C, 4)
+    imu: ImuFactors | None
+    gps: GpsFactors | None
+    E_T_V: jax.Array  # (4, 4) ENU-from-VIO-world alignment state
+    prior_H: jax.Array  # (K*D+6, K*D+6)
+    prior_b: jax.Array  # (K*D+6,)
+    kf_valid: jax.Array  # (K,)
+    g_norm: float = 9.81
+
+
+class VioResult(NamedTuple):
+    poses: jax.Array
+    vels: jax.Array
+    biases: jax.Array
+    landmarks: jax.Array
+    E_T_V: jax.Array
+    obs_inliers: jax.Array
+    cost: jax.Array
+
+
+def _imu_residual_whitened(fi: ImuFactors, idx, state_i, state_j, g_norm):
+    """15-dim whitened residual of one IMU factor at the given states."""
+    pre = imu_mod.Preintegrated(
+        dR=fi.dR[idx], dv=fi.dv[idx], dp=fi.dp[idx], dt=fi.dt[idx],
+        dR_dbg=fi.dR_dbg[idx], dv_dbg=fi.dv_dbg[idx], dv_dba=fi.dv_dba[idx],
+        dp_dbg=fi.dp_dbg[idx], dp_dba=fi.dp_dba[idx],
+        cov=jnp.eye(9), bias_hat=fi.bias_hat[idx],
+        n_samples=jnp.asarray(1, jnp.int32),
+    )
+    r = imu_mod.residual(
+        state_i, state_j, pre, imu_mod.ImuParams(g_norm=g_norm)
+    )
+    return fi.sqrt_info[idx] @ r
+
+
+def _gps_residual(pose_i, E_T_V, enu, t_bg):
+    p_gps_world = lie.se3_apply(pose_i, t_bg)
+    pred = lie.se3_apply(E_T_V, p_gps_world)
+    return pred - enu
+
+
+def _retract_state(pose, vel, bias, xi):
+    return (
+        lie.se3_retract(pose, xi[:6]),
+        vel + xi[6:9],
+        bias + xi[9:15],
+    )
+
+
+def _assemble_vio(problem: VioProblem, huber_px: float):
+    """Full dense pose-side system (K*D+6) + landmark blocks for Schur."""
+    K = problem.poses.shape[0]
+    L = problem.landmarks.shape[0]
+    N = K * D + 6  # +6 for E_T_V
+    obs = problem.obs
+
+    # ---- vision block (reuse analytic jacobians from ba.py) ----
+    vis_problem = ba_mod.BAProblem(
+        poses=problem.poses,
+        landmarks=problem.landmarks,
+        lm_valid=problem.lm_valid,
+        obs=obs,
+        cam_T_ref=problem.cam_T_body,
+        fxycxy=problem.fxycxy,
+        prior_H=jnp.zeros((K * 6, K * 6)),
+        prior_b=jnp.zeros(K * 6),
+        kf_valid=problem.kf_valid,
+    )
+    r, Jp, Jl, w = ba_mod._residuals_and_jacobians(vis_problem, huber_px)
+    Jpw = Jp * w[:, None, None]
+
+    H = jnp.zeros((N, N), jnp.float32)
+    g = jnp.zeros(N, jnp.float32)
+
+    # scatter vision pose blocks into the dense system at offsets kf*D
+    Hpp_blocks = jnp.einsum("ori,orj->oij", Jpw, Jp)  # (O, 6, 6)
+    gp_blocks = jnp.einsum("ori,or->oi", Jpw, r)  # (O, 6)
+    # index helper: rows kf*D .. kf*D+6
+    row0 = obs.kf * D
+    ii = row0[:, None, None] + jnp.arange(6)[None, :, None]
+    jj = row0[:, None, None] + jnp.arange(6)[None, None, :]
+    H = H.at[ii, jj].add(Hpp_blocks)
+    g = g.at[row0[:, None] + jnp.arange(6)[None, :]].add(gp_blocks)
+
+    # landmark blocks
+    Jlw = Jl * w[:, None, None]
+    Hll = jnp.zeros((L, 3, 3)).at[obs.lm].add(
+        jnp.einsum("ori,orj->oij", Jlw, Jl))
+    gl = jnp.zeros((L, 3)).at[obs.lm].add(jnp.einsum("ori,or->oi", Jlw, r))
+    Wc = jnp.zeros((N, L, 3))
+    WcB = jnp.einsum("ori,orj->oij", Jpw, Jl)  # (O, 6, 3)
+    Wc = Wc.at[row0[:, None] + jnp.arange(6)[None, :], obs.lm[:, None]].add(WcB)
+
+    # ---- IMU factors ----
+    if problem.imu is not None:
+        fi = problem.imu
+        F = fi.i.shape[0]
+
+        def one_factor(idx):
+            i, j = fi.i[idx], fi.j[idx]
+
+            def resfn(xi_i, xi_j):
+                pi, vi, bi = _retract_state(
+                    problem.poses[i], problem.vels[i], problem.biases[i], xi_i
+                )
+                pj, vj, bj = _retract_state(
+                    problem.poses[j], problem.vels[j], problem.biases[j], xi_j
+                )
+                return _imu_residual_whitened(
+                    fi, idx,
+                    imu_mod.ImuState(pi, vi, bi),
+                    imu_mod.ImuState(pj, vj, bj),
+                    problem.g_norm,
+                )
+
+            z = jnp.zeros(15)
+            r15 = resfn(z, z)
+            Ji = jax.jacfwd(resfn, argnums=0)(z, z)
+            Jj = jax.jacfwd(resfn, argnums=1)(z, z)
+            return r15, Ji, Jj
+
+        r15, Ji, Jj = jax.vmap(one_factor)(jnp.arange(problem.imu.i.shape[0]))
+        wv = fi.valid.astype(jnp.float32)
+        Jiw = Ji * wv[:, None, None]
+        Jjw = Jj * wv[:, None, None]
+        ri = fi.i * D
+        rj = fi.j * D
+        di = ri[:, None, None] + jnp.arange(D)[None, :, None]
+        dj = rj[:, None, None] + jnp.arange(D)[None, :, None]
+        H = H.at[di, ri[:, None, None] + jnp.arange(D)[None, None, :]].add(
+            jnp.einsum("fri,frj->fij", Jiw, Ji))
+        H = H.at[dj, rj[:, None, None] + jnp.arange(D)[None, None, :]].add(
+            jnp.einsum("fri,frj->fij", Jjw, Jj))
+        H = H.at[di, rj[:, None, None] + jnp.arange(D)[None, None, :]].add(
+            jnp.einsum("fri,frj->fij", Jiw, Jj))
+        H = H.at[dj, ri[:, None, None] + jnp.arange(D)[None, None, :]].add(
+            jnp.einsum("fri,frj->fij", Jjw, Ji))
+        g = g.at[ri[:, None] + jnp.arange(D)[None, :]].add(
+            jnp.einsum("fri,fr->fi", Jiw, r15))
+        g = g.at[rj[:, None] + jnp.arange(D)[None, :]].add(
+            jnp.einsum("fri,fr->fi", Jjw, r15))
+
+    # ---- GPS factors ----
+    if problem.gps is not None:
+        gf = problem.gps
+        ecol = K * D  # E_T_V block offset
+
+        def one_gps(idx):
+            k = gf.kf[idx]
+
+            def resfn(xi_p, xi_e):
+                pose = lie.se3_retract(problem.poses[k], xi_p)
+                E = lie.se3_retract(problem.E_T_V, xi_e)
+                return _gps_residual(pose, E, gf.enu[idx], gf.t_bg)
+
+            z = jnp.zeros(6)
+            r3 = resfn(z, z)
+            Jp6 = jax.jacfwd(resfn, argnums=0)(z, z)
+            Je6 = jax.jacfwd(resfn, argnums=1)(z, z)
+            return r3, Jp6, Je6
+
+        r3, Jp6, Je6 = jax.vmap(one_gps)(jnp.arange(gf.kf.shape[0]))
+        wg = gf.valid.astype(jnp.float32) / jnp.maximum(gf.sigma, 1e-3) ** 2
+        Jpw6 = Jp6 * wg[:, None, None]
+        Jew6 = Je6 * wg[:, None, None]
+        rk = gf.kf * D
+        pk = rk[:, None, None] + jnp.arange(6)[None, :, None]
+        H = H.at[pk, rk[:, None, None] + jnp.arange(6)[None, None, :]].add(
+            jnp.einsum("gri,grj->gij", Jpw6, Jp6))
+        ecols = ecol + jnp.arange(6)
+        H = H.at[pk, ecols[None, None, :]].add(
+            jnp.einsum("gri,grj->gij", Jpw6, Je6))
+        H = H.at[ecols[None, :, None] + jnp.zeros_like(pk),
+                 rk[:, None, None] + jnp.arange(6)[None, None, :]].add(
+            jnp.einsum("gri,grj->gij", Jew6, Jp6))
+        H = H.at[ecols[:, None], ecols[None, :]].add(
+            jnp.sum(jnp.einsum("gri,grj->gij", Jew6, Je6), axis=0))
+        g = g.at[rk[:, None] + jnp.arange(6)[None, :]].add(
+            jnp.einsum("gri,gr->gi", Jpw6, r3))
+        g = g.at[ecols].add(jnp.sum(jnp.einsum("gri,gr->gi", Jew6, r3), axis=0))
+
+    H = H + problem.prior_H
+    g = g + problem.prior_b
+    return H, g, Hll, gl, Wc, (r, w)
+
+
+def _vio_cost(problem: VioProblem, huber_px: float):
+    H, g, Hll, gl, Wc, (r, w) = None, None, None, None, None, (None, None)
+    # cheaper: recompute residuals only
+    vis_problem = ba_mod.BAProblem(
+        poses=problem.poses, landmarks=problem.landmarks,
+        lm_valid=problem.lm_valid, obs=problem.obs,
+        cam_T_ref=problem.cam_T_body, fxycxy=problem.fxycxy,
+        prior_H=jnp.zeros((problem.poses.shape[0] * 6,) * 2),
+        prior_b=jnp.zeros(problem.poses.shape[0] * 6),
+        kf_valid=problem.kf_valid,
+    )
+    rv, _, _, wv = ba_mod._residuals_and_jacobians(vis_problem, huber_px)
+    cost = jnp.sum(wv * jnp.sum(rv * rv, axis=-1))
+    if problem.imu is not None:
+        fi = problem.imu
+
+        def one(idx):
+            si = imu_mod.ImuState(
+                problem.poses[fi.i[idx]], problem.vels[fi.i[idx]],
+                problem.biases[fi.i[idx]],
+            )
+            sj = imu_mod.ImuState(
+                problem.poses[fi.j[idx]], problem.vels[fi.j[idx]],
+                problem.biases[fi.j[idx]],
+            )
+            r = _imu_residual_whitened(fi, idx, si, sj, problem.g_norm)
+            return jnp.sum(r * r) * fi.valid[idx]
+
+        cost = cost + jnp.sum(jax.vmap(one)(jnp.arange(fi.i.shape[0])))
+    if problem.gps is not None:
+        gf = problem.gps
+
+        def oneg(idx):
+            r = _gps_residual(
+                problem.poses[gf.kf[idx]], problem.E_T_V, gf.enu[idx], gf.t_bg
+            )
+            wg = gf.valid[idx] / jnp.maximum(gf.sigma[idx], 1e-3) ** 2
+            return jnp.sum(r * r) * wg
+
+        cost = cost + jnp.sum(jax.vmap(oneg)(jnp.arange(gf.kf.shape[0])))
+    return cost
+
+
+def vio_solve(
+    problem: VioProblem,
+    iters: int = 10,
+    huber_px: float = 2.5,
+    init_lambda: float = 1e-4,
+    chi2_thresh: float = 5.991,
+    gate_rounds: int = 2,
+) -> VioResult:
+    K = problem.poses.shape[0]
+    L = problem.landmarks.shape[0]
+    N = K * D + 6
+
+    def lm_pass(state, obs_valid, n_iters):
+        poses, vels, biases, lms, ETV = state
+        prob0 = problem._replace(obs=problem.obs._replace(valid=obs_valid))
+
+        def step(carry, _):
+            poses, vels, biases, lms, ETV, lam = carry
+            p = prob0._replace(
+                poses=poses, vels=vels, biases=biases, landmarks=lms,
+                E_T_V=ETV,
+            )
+            H, g, Hll, gl, Wc, _ = _assemble_vio(p, huber_px)
+            from mcslam_tpu.geometry import linalg3
+
+            eye3 = jnp.eye(3)
+            Hll_inv = linalg3.inv3(Hll + (lam + 1e-6) * eye3[None])
+            WHinv = jnp.einsum("plj,ljk->plk", Wc, Hll_inv)
+            S = H + lam * jnp.eye(N) - jnp.einsum("plk,qlk->pq", WHinv, Wc)
+            rhs = g - jnp.einsum("plk,lk->p", WHinv, gl)
+            dx = -jnp.linalg.solve(S, rhs)
+            dl = -jnp.einsum("ljk,lk->lj", Hll_inv,
+                             gl + jnp.einsum("plj,p->lj", Wc, dx))
+            dl = dl * problem.lm_valid[:, None]
+            dstate = dx[: K * D].reshape(K, D)
+            new_poses = lie.se3_retract(poses, dstate[:, :6])
+            new_vels = vels + dstate[:, 6:9]
+            new_biases = biases + dstate[:, 9:15]
+            new_ETV = lie.se3_retract(ETV, dx[K * D:])
+            new_lms = lms + dl
+            c_old = _vio_cost(p, huber_px)
+            c_new = _vio_cost(
+                prob0._replace(poses=new_poses, vels=new_vels,
+                               biases=new_biases, landmarks=new_lms,
+                               E_T_V=new_ETV),
+                huber_px,
+            )
+            improved = c_new < c_old
+            sel = lambda a, b: jnp.where(improved, a, b)
+            return (
+                sel(new_poses, poses), sel(new_vels, vels),
+                sel(new_biases, biases), sel(new_lms, lms),
+                sel(new_ETV, ETV),
+                jnp.where(improved, lam * 0.3, lam * 5.0),
+            ), c_new
+
+        (poses, vels, biases, lms, ETV, _), costs = jax.lax.scan(
+            step, (poses, vels, biases, lms, ETV,
+                   jnp.asarray(init_lambda, jnp.float32)),
+            None, length=n_iters,
+        )
+        return (poses, vels, biases, lms, ETV), costs[-1]
+
+    state = (problem.poses, problem.vels, problem.biases, problem.landmarks,
+             problem.E_T_V)
+    obs_valid = problem.obs.valid
+    cost = jnp.asarray(0.0)
+    for _ in range(gate_rounds):
+        state, cost = lm_pass(state, obs_valid, iters)
+        p = problem._replace(
+            poses=state[0], vels=state[1], biases=state[2],
+            landmarks=state[3], E_T_V=state[4],
+            obs=problem.obs._replace(valid=obs_valid),
+        )
+        vis_problem = ba_mod.BAProblem(
+            poses=state[0], landmarks=state[3], lm_valid=problem.lm_valid,
+            obs=problem.obs, cam_T_ref=problem.cam_T_body,
+            fxycxy=problem.fxycxy,
+            prior_H=jnp.zeros((K * 6, K * 6)), prior_b=jnp.zeros(K * 6),
+            kf_valid=problem.kf_valid,
+        )
+        rv, _, _, _ = ba_mod._residuals_and_jacobians(vis_problem, huber_px)
+        chi2 = jnp.sum(rv * rv, axis=-1) / jnp.maximum(problem.obs.sigma2, 1e-6)
+        obs_valid = problem.obs.valid & (chi2 < chi2_thresh)
+
+    return VioResult(
+        poses=state[0], vels=state[1], biases=state[2], landmarks=state[3],
+        E_T_V=state[4], obs_inliers=obs_valid, cost=cost,
+    )
+
+
+def make_imu_factors(preints: list, pairs: list, capacity: int,
+                     params: imu_mod.ImuParams = imu_mod.ImuParams()) -> ImuFactors:
+    """Stack host-side Preintegrated objects into a padded factor table."""
+    import numpy as np
+
+    F = capacity
+    z33 = np.zeros((F, 3, 3), np.float32)
+    out = dict(
+        i=np.zeros(F, np.int32), j=np.zeros(F, np.int32),
+        dR=np.tile(np.eye(3, dtype=np.float32), (F, 1, 1)),
+        dv=np.zeros((F, 3), np.float32), dp=np.zeros((F, 3), np.float32),
+        dt=np.ones(F, np.float32) * 1e-3,
+        dR_dbg=z33.copy(), dv_dbg=z33.copy(), dv_dba=z33.copy(),
+        dp_dbg=z33.copy(), dp_dba=z33.copy(),
+        bias_hat=np.zeros((F, 6), np.float32),
+        sqrt_info=np.tile(np.eye(15, dtype=np.float32), (F, 1, 1)),
+        valid=np.zeros(F, bool),
+    )
+    for n, (pre, (i, j)) in enumerate(zip(preints, pairs)):
+        if n >= F:
+            break
+        info = np.asarray(imu_mod.information(pre, params))
+        # sqrt via cholesky of info (upper)
+        sq = np.linalg.cholesky(
+            info + 1e-8 * np.eye(15)
+        ).T.astype(np.float32)
+        out["i"][n], out["j"][n] = i, j
+        out["dR"][n] = np.asarray(pre.dR)
+        out["dv"][n] = np.asarray(pre.dv)
+        out["dp"][n] = np.asarray(pre.dp)
+        out["dt"][n] = float(pre.dt)
+        out["dR_dbg"][n] = np.asarray(pre.dR_dbg)
+        out["dv_dbg"][n] = np.asarray(pre.dv_dbg)
+        out["dv_dba"][n] = np.asarray(pre.dv_dba)
+        out["dp_dbg"][n] = np.asarray(pre.dp_dbg)
+        out["dp_dba"][n] = np.asarray(pre.dp_dba)
+        out["bias_hat"][n] = np.asarray(pre.bias_hat)
+        out["sqrt_info"][n] = sq
+        out["valid"][n] = True
+    return ImuFactors(**{k: jnp.asarray(v) for k, v in out.items()})

@@ -197,30 +197,57 @@ def render_blob_images(
     return out
 
 
+def _circle_profile(t, omega, t0, ramp):
+    """Piecewise yaw profile: stationary until t0, constant angular accel
+    ramp of duration `ramp`, then constant rate omega. Returns
+    (theta, dtheta, ddtheta) — all exact."""
+    t = np.asarray(t, np.float64)
+    t1 = t - t0
+    if ramp <= 1e-8:  # no ramp: constant rate from t0 on
+        theta = np.where(t1 < 0.0, 0.0, omega * t1)
+        dtheta = np.where(t1 < 0.0, 0.0, omega)
+        return theta, dtheta, np.zeros_like(theta)
+    theta = np.where(
+        t1 <= 0.0, 0.0,
+        np.where(
+            t1 < ramp,
+            omega * t1 * t1 / (2.0 * ramp),
+            omega * (t1 - ramp / 2.0),
+        ),
+    )
+    dtheta = np.where(
+        t1 <= 0.0, 0.0, np.where(t1 < ramp, omega * t1 / ramp, omega)
+    )
+    ddtheta = np.where((t1 > 0.0) & (t1 < ramp), omega / ramp, 0.0)
+    return theta, dtheta, ddtheta
+
+
 def analytic_circle_imu(
     num_frames: int,
     fps: float = 20.0,
     rate_hz: float = 200.0,
     radius: float = 4.0,
-    omega: float = 0.3,  # rad/s yaw rate
+    omega: float = 0.3,  # rad/s yaw rate (after ramp)
     accel_noise: float = 0.0,
     gyro_noise: float = 0.0,
     accel_bias=(0.0, 0.0, 0.0),
     gyro_bias=(0.0, 0.0, 0.0),
     gravity: float = 9.81,
+    stationary_s: float = 0.0,  # stationary prefix (gravity/bias init window)
+    ramp_s: float = 0.0,  # constant-angular-accel spin-up duration
     seed: int = 5,
 ):
-    """Analytic constant-rate circular trajectory with EXACT IMU samples.
+    """Analytic circular trajectory with EXACT IMU samples.
 
-    Body yaws about +y at rate omega while translating along the circle
-    p(t) = radius * (sin wt, 0, -cos wt); therefore omega_body = (0, w, 0)
-    and a_world = -radius w^2 (sin wt, 0, -cos wt) in closed form (no finite
-    differences, no boundary losses).
+    Body yaws about +y with the piecewise profile theta(t) (stationary ->
+    ramp -> constant rate) while translating along
+    p = radius * (sin theta, 0, -cos theta). Velocity and acceleration are
+    closed-form derivatives of the profile, so preintegration assumptions
+    hold exactly (no finite differences). A stationary prefix matches the
+    reference's IMU initialization assumption (collect ~200 still samples).
 
     Returns (poses (F, 4, 4) at frame times, imu_ts (S,), gyro (S, 3),
-    accel (S, 3)). IMU timestamps are sample-interval midpoints covering
-    [0, (F-1)/fps) so integrating samples with ts in [t_i, t_j) reproduces
-    the exact state change.
+    accel (S, 3)); IMU timestamps are interval midpoints.
     """
     rng = np.random.RandomState(seed)
     g_world = np.array([0.0, 0.0, -gravity])
@@ -229,38 +256,41 @@ def analytic_circle_imu(
         c, s = np.cos(a), np.sin(a)
         return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
 
-    def pos(t):
-        return np.array(
-            [radius * np.sin(omega * t), 0.0, -radius * np.cos(omega * t)]
-        )
+    t0 = stationary_s
+
+    def state(t):
+        th, dth, ddth = _circle_profile(t, omega, t0, max(ramp_s, 1e-9))
+        s, c = np.sin(th), np.cos(th)
+        p = radius * np.array([s, 0.0, -c])
+        dp_dth = radius * np.array([c, 0.0, s])
+        d2p_dth2 = radius * np.array([-s, 0.0, c])
+        v = dp_dth * dth
+        a = d2p_dth2 * dth * dth + dp_dth * ddth
+        return roty(th), p, v, a, dth
 
     poses = np.zeros((num_frames, 4, 4), np.float32)
     for k in range(num_frames):
-        t = k / fps
-        poses[k, :3, :3] = roty(omega * t)
-        poses[k, :3, 3] = pos(t)
+        R, p, _, _, _ = state(k / fps)
+        poses[k, :3, :3] = R
+        poses[k, :3, 3] = p
         poses[k, 3, 3] = 1.0
 
     total_t = (num_frames - 1) / fps
     dt = 1.0 / rate_hz
     n = int(round(total_t / dt))
-    ts = (np.arange(n) + 0.5) * dt  # midpoint sampling (exact for smooth f)
+    ts = (np.arange(n) + 0.5) * dt
     gyro = np.zeros((n, 3))
     accel = np.zeros((n, 3))
     for i, t in enumerate(ts):
-        R = roty(omega * t)
-        a_world = -radius * omega * omega * np.array(
-            [np.sin(omega * t), 0.0, -np.cos(omega * t)]
-        )
-        gyro[i] = np.array([0.0, omega, 0.0]) + np.asarray(gyro_bias) \
+        R, _, _, a_world, dth = state(t)
+        gyro[i] = np.array([0.0, dth, 0.0]) + np.asarray(gyro_bias) \
             + rng.randn(3) * gyro_noise
         accel[i] = R.T @ (a_world - g_world) + np.asarray(accel_bias) \
             + rng.randn(3) * accel_noise
     return poses, ts, gyro, accel
 
 
-def circle_velocity(t, radius=4.0, omega=0.3):
+def circle_velocity(t, radius=4.0, omega=0.3, stationary_s=0.0, ramp_s=0.0):
     """Closed-form world velocity of analytic_circle_imu at time t."""
-    return radius * omega * np.array(
-        [np.cos(omega * t), 0.0, np.sin(omega * t)]
-    )
+    th, dth, _ = _circle_profile(t, omega, stationary_s, max(ramp_s, 1e-9))
+    return radius * dth * np.array([np.cos(th), 0.0, np.sin(th)])

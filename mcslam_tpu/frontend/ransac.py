@@ -81,7 +81,8 @@ def ransac_kabsch(
     idx = _sample_idx(key, num_hyp, 3, X_rig.shape[0], mask.astype(jnp.float32))
     src = X_rig[idx]  # (K, 3, 3)
     dst = X_world[idx]
-    R, t, _ = alignment.kabsch(src, dst)
+    # Horn quaternion solver: SVD-free (batched SVD is scalar-bound on TPU)
+    R, t = alignment.kabsch_quat(src, dst)
     hyp = lie.se3_matrix(R, t)  # (K, 4, 4) world_T_ref
     counts, inl = _score_reprojection(
         hyp, X_world, uv, cam_T_ref, fxycxy, mask, px_thresh

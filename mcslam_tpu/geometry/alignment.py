@@ -56,6 +56,56 @@ def umeyama(src: jax.Array, dst: jax.Array, weights=None):
     return kabsch(src, dst, weights, estimate_scale=True)
 
 
+def kabsch_quat(
+    src: jax.Array,
+    dst: jax.Array,
+    weights: jax.Array | None = None,
+    iters: int = 48,
+) -> tuple[jax.Array, jax.Array]:
+    """Horn's quaternion absolute-orientation, batched, SVD-free.
+
+    The optimal rotation is the dominant eigenvector of the symmetric 4x4
+    Davenport K-matrix; power iteration on (K + shift*I) is pure VPU
+    arithmetic, so thousands of RANSAC hypotheses solve without the
+    scalar-sequential batched SVD path. Returns (R (..., 3, 3), t (..., 3)).
+    """
+    if weights is None:
+        weights = jnp.ones(src.shape[:-1], dtype=src.dtype)
+    w = weights[..., None]
+    wsum = jnp.maximum(jnp.sum(w, axis=-2), 1e-12)
+    mu_s = jnp.sum(src * w, axis=-2) / wsum
+    mu_d = jnp.sum(dst * w, axis=-2) / wsum
+    xs = src - mu_s[..., None, :]
+    xd = dst - mu_d[..., None, :]
+    # correlation B = src^T W dst -> Davenport/Horn N matrix whose dominant
+    # eigenvector is the quaternion rotating src into dst
+    B = jnp.einsum("...mi,...mj->...ij", xs * w, xd)
+    tr = B[..., 0, 0] + B[..., 1, 1] + B[..., 2, 2]
+    z = jnp.stack(
+        [
+            B[..., 1, 2] - B[..., 2, 1],
+            B[..., 2, 0] - B[..., 0, 2],
+            B[..., 0, 1] - B[..., 1, 0],
+        ],
+        axis=-1,
+    )
+    S = B + jnp.swapaxes(B, -1, -2)
+    eye = jnp.eye(3, dtype=B.dtype)
+    K = jnp.zeros(B.shape[:-2] + (4, 4), B.dtype)
+    K = K.at[..., 0, 0].set(tr)
+    K = K.at[..., 0, 1:].set(z)
+    K = K.at[..., 1:, 0].set(z)
+    K = K.at[..., 1:, 1:].set(S - tr[..., None, None] * eye)
+    q = _dominant_eigvec4(K)
+    # q = (w, x, y, z) here; convert to rotation taking src -> dst
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    from mcslam_tpu.geometry import lie as _lie
+
+    R = _lie.rot_from_quat(jnp.stack([qx, qy, qz, qw], axis=-1))
+    t = mu_d - jnp.einsum("...ij,...j->...i", R, mu_s)
+    return R, t
+
+
 def gravity_align_rotation(acc_mean: jax.Array, g_world=None) -> jax.Array:
     """Rotation taking the measured mean accelerometer direction to +g world.
 
@@ -86,6 +136,66 @@ def gravity_align_rotation(acc_mean: jax.Array, g_world=None) -> jax.Array:
     ax = _hat(axis)
     flip = eye + 2.0 * ax @ ax
     return jnp.where((c < -1.0 + 1e-6)[..., None, None], flip, generic)
+
+
+def _dominant_eigvec4(K: jax.Array) -> jax.Array:
+    """Dominant eigenvector of a symmetric 4x4 (batched), closed form.
+
+    Characteristic polynomial via Faddeev-LeVerrier, lambda_max by Newton
+    from the Frobenius-norm upper bound (quadratic convergence; power
+    iteration stalls when the eigengap is small, e.g. minimal 3-point
+    Kabsch sets), eigenvector from the adjugate of (K - lambda I). All
+    branch-free elementwise math — no LAPACK-style factorization.
+    """
+    eye = jnp.eye(4, dtype=K.dtype)
+    tr = lambda M: jnp.trace(M, axis1=-2, axis2=-1)
+    M1 = K
+    a3 = -tr(M1)
+    M2 = K @ (M1 + a3[..., None, None] * eye)
+    a2 = -tr(M2) / 2.0
+    M3 = K @ (M2 + a2[..., None, None] * eye)
+    a1 = -tr(M3) / 3.0
+    M4 = K @ (M3 + a1[..., None, None] * eye)
+    a0 = -tr(M4) / 4.0
+
+    lam = jnp.sqrt(jnp.sum(K * K, axis=(-1, -2))) + 1e-9  # upper bound
+
+    def newton(_, lam):
+        p = (((lam + a3) * lam + a2) * lam + a1) * lam + a0
+        dp = ((4.0 * lam + 3.0 * a3) * lam + 2.0 * a2) * lam + a1
+        return lam - p / jnp.where(jnp.abs(dp) < 1e-12, 1e-12, dp)
+
+    lam = jax.lax.fori_loop(0, 12, newton, lam)
+
+    A = K - lam[..., None, None] * eye
+    # adjugate of 4x4 via cofactors (each a 3x3 determinant)
+    idx = jnp.arange(4)
+
+    def minor_det(r, c):
+        rows = jnp.delete(idx, r, assume_unique_indices=True)
+        cols = jnp.delete(idx, c, assume_unique_indices=True)
+        M = A[..., rows[:, None], cols[None, :]]
+        from mcslam_tpu.geometry import linalg3
+
+        return linalg3.det3(M)
+
+    cof = jnp.stack(
+        [
+            jnp.stack(
+                [((-1.0) ** (r + c)) * minor_det(r, c) for c in range(4)],
+                axis=-1,
+            )
+            for r in range(4)
+        ],
+        axis=-2,
+    )
+    adj = jnp.swapaxes(cof, -1, -2)  # (..., 4, 4); columns span null(A)
+    norms = jnp.sum(adj * adj, axis=-2)  # (..., 4) column norms
+    best = jnp.argmax(norms, axis=-1)
+    q = jnp.take_along_axis(adj, best[..., None, None].repeat(4, -2), axis=-1)[
+        ..., 0
+    ]
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
 
 
 def _hat(w):

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from mcslam_tpu.geometry import lie
+from mcslam_tpu.geometry import lie, linalg3
 
 
 def triangulate_rays(
@@ -42,9 +42,9 @@ def triangulate_rays(
     # regularize to keep solve defined for empty/degenerate sets
     n_valid = jnp.sum(mask, axis=-1)
     A_reg = A + 1e-6 * eye
-    X = jnp.linalg.solve(A_reg, b[..., None])[..., 0]
+    X = linalg3.solve3(A_reg, b)
     # conditioning check: smallest eigenvalue of A proportional to parallax
-    det = jnp.linalg.det(A_reg)
+    det = linalg3.det3(A_reg)
     ok = (n_valid >= 2) & (det > 1e-9) & jnp.all(jnp.isfinite(X), axis=-1)
     return X, ok
 
@@ -109,8 +109,7 @@ def refine_points_gn(
         J = J * m[..., None, None]
         H = jnp.einsum("...rai,...raj->...ij", J, J) + damping * eye3
         g = jnp.einsum("...rai,...ra->...i", J, r)
-        dX = jnp.linalg.solve(H, g[..., None])[..., 0]
-        return X - dX
+        return X - linalg3.solve3(H, g)
 
     return jax.lax.fori_loop(0, iters, step, X0)
 

@@ -65,6 +65,8 @@ class SlamConfig:
     ba_lm_capacity: int = 2048
     # failure handling
     max_track_failures: int = 2  # reference num_trials_to_track
+    # inertial
+    imu_init_samples: int = 200  # reference collects >= 200 before alignment
 
 
 class Keyframe:
@@ -187,7 +189,8 @@ def _triangulate_pairs(wTc_rays, uv_rays, f_rays, mask_rays, sigma_rays):
 
 class MultiCameraSLAM:
     def __init__(self, rig, config: SlamConfig = None, seed: int = 0,
-                 vocab=None, loop_config=None):
+                 vocab=None, loop_config=None, imu_params=None,
+                 gps_lever_arm=None):
         self.rig = rig
         self.cfg = config or SlamConfig()
         self.map = LandmarkMap()
@@ -205,6 +208,30 @@ class MultiCameraSLAM:
             from mcslam_tpu.loop.detector import LoopCloser
 
             self.looper = LoopCloser(vocab, rig, loop_config, seed=seed + 1)
+
+        # ---- inertial state (reference FrontEnd imu_* members) ----
+        self.use_imu = imu_params is not None
+        self.imu_params = imu_params
+        self.imu_initialized = not self.use_imu
+        self._imu_buf = []  # (ts, gyro, accel) pending samples
+        self._imu_init_buf = []  # stationary samples for gravity init
+        self.bias = np.zeros(6, np.float32)
+        self.kf_vel: dict[int, np.ndarray] = {}  # kf_id -> velocity
+        self.kf_bias: dict[int, np.ndarray] = {}
+        self.kf_time: dict[int, float] = {}
+        self._kf_preints: dict[int, object] = {}  # kf_id -> preint from prev KF
+
+        # ---- GPS state (reference gps_initialize_kabsch path) ----
+        self.use_gps = gps_lever_arm is not None
+        self.gps_lever_arm = (
+            np.zeros(3, np.float32) if gps_lever_arm is None
+            else np.asarray(gps_lever_arm, np.float32)
+        )
+        self.enu_converter = None
+        self.gps_initialized = False
+        self.E_T_V = np.eye(4, dtype=np.float32)  # ENU <- VIO world
+        self._gps_buf = []  # (t, enu) pending fixes
+        self.kf_gps: dict[int, np.ndarray] = {}  # kf_id -> attached ENU fix
 
     # -- helpers ----------------------------------------------------------
 
@@ -244,6 +271,10 @@ class MultiCameraSLAM:
         self.kf_counter += 1
         self.state = INITIALIZED
         self.stats["keyframes"] += 1
+        if self.use_imu:
+            self.kf_time[kf.kf_id] = timestamp
+            self.kf_vel[kf.kf_id] = np.zeros(3, np.float32)
+            self.kf_bias[kf.kf_id] = self.bias.copy()
         return True
 
     def _estimate_pose(self, frame: FrameFeatures, kf: Keyframe):
@@ -399,6 +430,29 @@ class MultiCameraSLAM:
         self.kf_counter += 1
         self.stats["keyframes"] += 1
 
+        # inertial bookkeeping: preintegrate the span since the previous KF
+        if self.use_imu and self.imu_initialized:
+            self.kf_time[kf.kf_id] = timestamp
+            prev_kfs = [k for k in self.keyframes[:-1]]
+            if prev_kfs:
+                t_prev = prev_kfs[-1].timestamp
+                pre = self._preintegrate_span(t_prev, timestamp)
+                if pre is not None:
+                    self._kf_preints[kf.kf_id] = (prev_kfs[-1].kf_id, pre)
+                # velocity init: finite difference of keyframe positions
+                dt = max(timestamp - t_prev, 1e-3)
+                v = (pose[:3, 3] - prev_kfs[-1].world_T_ref[:3, 3]) / dt
+                self.kf_vel[kf.kf_id] = v.astype(np.float32)
+            else:
+                self.kf_vel[kf.kf_id] = np.zeros(3, np.float32)
+            self.kf_bias[kf.kf_id] = self.bias.copy()
+            # drop consumed IMU samples
+            self._imu_buf = [s for s in self._imu_buf if s[0] > timestamp - 0.2]
+
+        if self.use_gps:
+            self._attach_gps_to_kf(kf)
+            self._try_gps_init()
+
         # loop closure (reference: insertKeyFrame -> callerDetectLoop,
         # FrontEnd.cpp:1849)
         if self.looper is not None:
@@ -536,6 +590,11 @@ class MultiCameraSLAM:
         lm_valid = np.zeros(L, bool)
         lm_valid[: len(lm_ids)] = True
 
+        if self.use_imu and self.imu_initialized:
+            self._run_window_ba_vio(window, obs, poses, kf_valid, lms,
+                                    lm_valid, lm_ids)
+            return
+
         prior_H = np.zeros((K * 6, K * 6), np.float32)
         prior_H[:6, :6] = np.eye(6) * 1e6  # gauge: clamp oldest window pose
         problem = ba.BAProblem(
@@ -558,14 +617,256 @@ class MultiCameraSLAM:
         self.map.update_positions(lm_ids, new_lms)
         self.cur_pose = window[-1].world_T_ref.copy()
 
+    def _run_window_ba_vio(self, window, obs, poses, kf_valid, lms, lm_valid,
+                           lm_ids):
+        """Visual-inertial(-GPS) window BA via ba_vio.vio_solve.
+
+        State frame conversion: SLAM stores world_T_ref(cam0); the inertial
+        state is world_T_body = world_T_ref @ inv(body_T_cam0)
+        (reference Twb = Twc * Tbc^-1, Backend.cpp:1841).
+        """
+        from mcslam_tpu.backend import ba_vio
+
+        cfg = self.cfg
+        K = cfg.window_size
+        body_T_cam0 = np.asarray(self.rig.body_T_cam)[0]  # cam0 -> body
+        inv_btc0 = np.linalg.inv(body_T_cam0)
+
+        poses_body = poses.copy()
+        vels = np.zeros((K, 3), np.float32)
+        biases = np.zeros((K, 6), np.float32)
+        for wk, kf in enumerate(window):
+            poses_body[wk] = kf.world_T_ref @ inv_btc0
+            vels[wk] = self.kf_vel.get(kf.kf_id, np.zeros(3))
+            biases[wk] = self.kf_bias.get(kf.kf_id, self.bias)
+
+        # cam_T_body extrinsics for vision residuals
+        cam_T_body = np.asarray(
+            [np.linalg.inv(np.asarray(self.rig.body_T_cam)[c])
+             for c in range(self.rig.num_cams)], np.float32,
+        )
+
+        # IMU factors between consecutive window keyframes
+        idx_of = {kf.kf_id: wk for wk, kf in enumerate(window)}
+        preints, pairs = [], []
+        for kf in window[1:]:
+            entry = self._kf_preints.get(kf.kf_id)
+            if entry is None:
+                continue
+            prev_id, pre = entry
+            if prev_id in idx_of:
+                preints.append(pre)
+                pairs.append((idx_of[prev_id], idx_of[kf.kf_id]))
+        imu_factors = None
+        if preints:
+            imu_factors = ba_vio.make_imu_factors(
+                preints, pairs, capacity=K - 1, params=self.imu_params
+            )
+
+        # GPS factors (hold until >= 3 attached fixes, reference
+        # Backend.cpp:3070-3087)
+        gps_factors = None
+        if self.use_gps and self.gps_initialized and len(self.kf_gps) >= 3:
+            g_kf, g_enu = [], []
+            for kf in window:
+                if kf.kf_id in self.kf_gps:
+                    g_kf.append(idx_of[kf.kf_id])
+                    g_enu.append(self.kf_gps[kf.kf_id])
+            if g_kf:
+                G = K
+                kfa = np.zeros(G, np.int32)
+                enua = np.zeros((G, 3), np.float32)
+                va = np.zeros(G, bool)
+                kfa[: len(g_kf)] = g_kf
+                enua[: len(g_kf)] = g_enu
+                va[: len(g_kf)] = True
+                gps_factors = ba_vio.GpsFactors(
+                    kf=jnp.asarray(kfa), enu=jnp.asarray(enua),
+                    t_bg=jnp.asarray(self.gps_lever_arm),
+                    sigma=jnp.full(G, 0.5, jnp.float32),
+                    valid=jnp.asarray(va),
+                )
+
+        N = K * ba_vio.D + 6
+        prior_H = np.zeros((N, N), np.float32)
+        prior_H[:6, :6] = np.eye(6) * 1e6  # gauge on oldest pose
+        prior_H[6:9, 6:9] = np.eye(3) * 1.0  # weak vel prior (oldest)
+        # bias is weakly observable inside a short window; anchor it at the
+        # random-walk scale so it can only drift slowly (the reference gets
+        # the same effect from ISAM2's accumulated history)
+        prior_H[9:15, 9:15] = np.eye(6) * 1e5
+        if gps_factors is None:
+            # E_T_V unobserved: clamp it
+            prior_H[K * ba_vio.D:, K * ba_vio.D:] = np.eye(6) * 1e8
+        else:
+            # weak prior keeps E_T_V rotation near its kabsch init
+            prior_H[K * ba_vio.D:, K * ba_vio.D:] = np.eye(6) * 1.0
+
+        problem = ba_vio.VioProblem(
+            poses=jnp.asarray(poses_body),
+            vels=jnp.asarray(vels),
+            biases=jnp.asarray(biases),
+            landmarks=jnp.asarray(lms),
+            lm_valid=jnp.asarray(lm_valid),
+            obs=obs,
+            cam_T_body=jnp.asarray(cam_T_body),
+            fxycxy=self.rig.fxycxy,
+            imu=imu_factors,
+            gps=gps_factors,
+            E_T_V=jnp.asarray(self.E_T_V),
+            prior_H=jnp.asarray(prior_H),
+            prior_b=jnp.zeros(N, jnp.float32),
+            kf_valid=jnp.asarray(kf_valid),
+            g_norm=self.imu_params.g_norm,
+        )
+        result = ba_vio.vio_solve(problem, iters=cfg.ba_iters)
+
+        new_poses_body = np.asarray(result.poses)
+        new_vels = np.asarray(result.vels)
+        new_biases = np.asarray(result.biases)
+        for wk, kf in enumerate(window):
+            kf.world_T_ref = (new_poses_body[wk] @ body_T_cam0).astype(
+                np.float32
+            )
+            self.kf_vel[kf.kf_id] = new_vels[wk]
+            self.kf_bias[kf.kf_id] = new_biases[wk]
+        self.bias = new_biases[len(window) - 1]
+        if gps_factors is not None:
+            self.E_T_V = np.asarray(result.E_T_V)
+        new_lms = np.asarray(result.landmarks)[: len(lm_ids)]
+        self.map.update_positions(lm_ids, new_lms)
+        self.cur_pose = window[-1].world_T_ref.copy()
+
+    # -- sensor ingestion ---------------------------------------------------
+
+    def _ingest_imu(self, imu):
+        """imu = (ts (S,), gyro (S,3), accel (S,3)) message slice."""
+        ts, gyro, accel = imu
+        for k in range(len(ts)):
+            self._imu_buf.append((float(ts[k]), gyro[k], accel[k]))
+        if not self.imu_initialized:
+            self._imu_init_buf.extend(
+                (gyro[k], accel[k]) for k in range(len(ts))
+            )
+            # reference collects >= 200 samples before gravity alignment
+            if len(self._imu_init_buf) >= self.cfg.imu_init_samples:
+                from mcslam_tpu.backend import imu as imu_mod
+
+                g = np.stack([s[0] for s in self._imu_init_buf])
+                a = np.stack([s[1] for s in self._imu_init_buf])
+                R_wb, bias = imu_mod.init_gravity_aligned(
+                    jnp.asarray(a, jnp.float32), jnp.asarray(g, jnp.float32),
+                    jnp.ones(len(a), bool), self.imu_params,
+                )
+                self.bias = np.asarray(bias)
+                # world frame = gravity-aligned body frame at init
+                pose = np.eye(4, dtype=np.float32)
+                pose[:3, :3] = np.asarray(R_wb)
+                self.cur_pose = pose
+                self.imu_initialized = True
+                self._imu_buf = [
+                    s for s in self._imu_buf if s[0] >= 0
+                ]  # keep history
+
+    def _preintegrate_span(self, t0, t1):
+        """Preintegrate buffered IMU samples with t0 < ts <= t1."""
+        from mcslam_tpu.backend import imu as imu_mod
+
+        sel = [(t, g, a) for (t, g, a) in self._imu_buf if t0 < t <= t1]
+        if len(sel) < 3:  # reference imu_message_empty gate
+            return None
+        ts = np.array([s[0] for s in sel])
+        dts = np.diff(ts, prepend=t0)
+        dts = np.clip(dts, 1e-4, 0.1).astype(np.float32)
+        gyro = np.stack([s[1] for s in sel]).astype(np.float32)
+        accel = np.stack([s[2] for s in sel]).astype(np.float32)
+        return imu_mod.preintegrate(
+            jnp.asarray(dts), jnp.asarray(gyro), jnp.asarray(accel),
+            jnp.ones(len(sel), bool), jnp.asarray(self.bias),
+            self.imu_params,
+        )
+
+    def _ingest_gps(self, gps):
+        """gps = (ts (G,), lla (G,3)) geodetic fixes."""
+        from mcslam_tpu.geometry.geodesy import EnuConverter
+
+        ts, lla = gps
+        for k in range(len(ts)):
+            if self.enu_converter is None:
+                self.enu_converter = EnuConverter(*lla[k])
+            enu = self.enu_converter.to_enu(*lla[k])
+            self._gps_buf.append((float(ts[k]), enu))
+
+    def _try_gps_init(self):
+        """Umeyama-align buffered fixes to interpolated VIO positions
+        (reference gps_initialize_kabsch, >= 15 fix buffer)."""
+        if self.gps_initialized or len(self._gps_buf) < 15:
+            return
+        if len(self.keyframes) < 3:
+            return
+        kf_ts = np.array([k.timestamp for k in self.keyframes])
+        kf_pos = np.stack([k.world_T_ref[:3, 3] for k in self.keyframes])
+        pts_v, pts_e = [], []
+        for t, enu in self._gps_buf:
+            if t < kf_ts[0] or t > kf_ts[-1]:
+                continue
+            j = int(np.searchsorted(kf_ts, t))
+            j = min(max(j, 1), len(kf_ts) - 1)
+            a = (t - kf_ts[j - 1]) / max(kf_ts[j] - kf_ts[j - 1], 1e-6)
+            pts_v.append((1 - a) * kf_pos[j - 1] + a * kf_pos[j])
+            pts_e.append(enu)
+        if len(pts_v) < 8:
+            return
+        from mcslam_tpu.geometry import alignment
+
+        R, t, _ = alignment.kabsch(
+            jnp.asarray(np.stack(pts_v), jnp.float32),
+            jnp.asarray(np.stack(pts_e), jnp.float32),
+        )
+        self.E_T_V = np.eye(4, dtype=np.float32)
+        self.E_T_V[:3, :3] = np.asarray(R)
+        self.E_T_V[:3, 3] = np.asarray(t)
+        self.gps_initialized = True
+
+    def _attach_gps_to_kf(self, kf):
+        """Attach the closest buffered fix within the validity window
+        (reference validGPSmessage: in-window, moved >= 0.5 m)."""
+        if not self._gps_buf:
+            return
+        best, best_dt = None, 0.5
+        for t, enu in self._gps_buf:
+            dt = abs(t - kf.timestamp)
+            if dt < best_dt:
+                best, best_dt = enu, dt
+        if best is not None:
+            prev = [v for v in self.kf_gps.values()]
+            if prev and np.linalg.norm(best - prev[-1]) < 0.5:
+                return
+            self.kf_gps[kf.kf_id] = best
+        self._gps_buf = [
+            (t, e) for (t, e) in self._gps_buf if t > kf.timestamp - 1.0
+        ]
+
     # -- main entry -------------------------------------------------------
 
-    def process_frame(self, frame: FrameFeatures, timestamp: float) -> dict:
+    def process_frame(self, frame: FrameFeatures, timestamp: float,
+                      imu=None, gps=None) -> dict:
         """One SLAM step on an already-built FrameFeatures. Returns a stats
-        dict for this frame."""
+        dict for this frame. Optional imu=(ts, gyro, accel) and
+        gps=(ts, lla) message slices since the previous frame."""
         cfg = self.cfg
         self.stats["frames"] += 1
         info = {"keyframe": False, "tracked": 0, "state": self.state}
+
+        if imu is not None and self.use_imu:
+            self._ingest_imu(imu)
+            if not self.imu_initialized:
+                # VIO gate: wait for gravity alignment (reference
+                # process_frames :336-341)
+                self._record_pose(timestamp)
+                return info
+        if gps is not None and self.use_gps:
+            self._ingest_gps(gps)
 
         if self.state != INITIALIZED:
             ok = self._initialize(frame, timestamp)
