@@ -129,7 +129,17 @@ def _residuals_and_jacobians(problem: BAProblem, huber_px: float):
     return r, Jp, Jl, w
 
 
-def _assemble(problem: BAProblem, r, Jp, Jl, w):
+def _make_onehots(problem: BAProblem):
+    """Index-only segment-reduction matrices; constant across LM iterations."""
+    K = problem.poses.shape[0]
+    L = problem.landmarks.shape[0]
+    obs = problem.obs
+    oh_k = (obs.kf[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)
+    oh_l = (obs.lm[:, None] == jnp.arange(L)[None, :]).astype(jnp.float32)
+    return oh_k, oh_l
+
+
+def _assemble(problem: BAProblem, r, Jp, Jl, w, onehots=None):
     """Weighted normal equations with landmark Schur elimination prepared.
 
     All segment reductions are expressed as one-hot matmuls (MXU) rather
@@ -144,8 +154,9 @@ def _assemble(problem: BAProblem, r, Jp, Jl, w):
     Jpw = Jp * w[:, None, None]
     Jlw = Jl * w[:, None, None]
 
-    oh_k = (obs.kf[:, None] == jnp.arange(K)[None, :]).astype(r.dtype)  # (O, K)
-    oh_l = (obs.lm[:, None] == jnp.arange(L)[None, :]).astype(r.dtype)  # (O, L)
+    if onehots is None:
+        onehots = _make_onehots(problem)
+    oh_k, oh_l = onehots  # (O, K), (O, L)
 
     # pose-side block-diagonal + dense prior
     Hpp_blocks = jnp.einsum("ori,orj->oij", Jpw, Jp).reshape(O, 36)
@@ -216,6 +227,8 @@ def ba_solve(
     Backend window cleanup)."""
     K = problem.poses.shape[0]
 
+    onehots = _make_onehots(problem)
+
     def lm_pass(poses, lms, obs_valid, n_iters):
         prob = problem._replace(obs=problem.obs._replace(valid=obs_valid))
 
@@ -223,7 +236,7 @@ def ba_solve(
             poses, lms, lam = carry
             p = prob._replace(poses=poses, landmarks=lms)
             r, Jp, Jl, w = _residuals_and_jacobians(p, huber_px)
-            Hpp, gp, Hll, gl, Wc = _assemble(p, r, Jp, Jl, w)
+            Hpp, gp, Hll, gl, Wc = _assemble(p, r, Jp, Jl, w, onehots)
             dp, dl = _schur_solve(Hpp, gp, Hll, gl, Wc, lam, problem.lm_valid)
             new_poses = lie.se3_retract(poses, dp.reshape(K, 6))
             new_lms = lms + dl

@@ -48,6 +48,35 @@ def _residuals(
     return pred - uv  # (M, 2)
 
 
+def _residuals_jac(T, X_world, uv, cam_T_ref, fxycxy):
+    """Residual and ANALYTIC Jacobian wrt the right-retraction tangent
+    (same derivation as ba._residuals_and_jacobians: q = T^-1 X,
+    dq/domega = hat(q), dq/dv = -I). Avoids jacfwd inside the LM scan."""
+    rTw = lie.se3_inverse(T)
+    q = lie.se3_apply(rTw, X_world)  # (M, 3)
+    p = lie.se3_apply(cam_T_ref, q)
+    z = jnp.maximum(p[..., 2], 1e-3)
+    inv_z = 1.0 / z
+    pred = p[..., :2] * inv_z[..., None] * fxycxy[..., :2] + fxycxy[..., 2:]
+    r = pred - uv
+    fx, fy = fxycxy[..., 0], fxycxy[..., 1]
+    zero = jnp.zeros_like(fx)
+    Jproj = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zero, -fx * p[..., 0] * inv_z * inv_z],
+                      axis=-1),
+            jnp.stack([zero, fy * inv_z, -fy * p[..., 1] * inv_z * inv_z],
+                      axis=-1),
+        ],
+        axis=-2,
+    )  # (M, 2, 3)
+    A = jnp.einsum("mab,mbc->mac", Jproj, cam_T_ref[..., :3, :3])
+    J = jnp.concatenate(
+        [jnp.einsum("mab,mbc->mac", A, lie.so3_hat(q)), -A], axis=-1
+    )  # (M, 2, 6)
+    return r, J
+
+
 def optimize_pose(
     T_init: jax.Array,
     X_world: jax.Array,
@@ -72,11 +101,7 @@ def optimize_pose(
 
         def lm_step(carry, _):
             T, lam = carry
-            zero = jnp.zeros(6, T.dtype)
-            r = _residuals(zero, T, X_world, uv, cam_T_ref, fxycxy)  # (M, 2)
-            J = jax.jacfwd(_residuals)(
-                zero, T, X_world, uv, cam_T_ref, fxycxy
-            )  # (M, 2, 6)
+            r, J = _residuals_jac(T, X_world, uv, cam_T_ref, fxycxy)
             # robust weights: huber on the residual norm, scaled by octave
             rn = jnp.linalg.norm(r, axis=-1)
             w_huber = jnp.where(rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9))
@@ -87,7 +112,9 @@ def optimize_pose(
             dx = -jnp.linalg.solve(H, g)
             T_new = lie.se3_retract(T, dx)
             # accept if cost decreased (computed on weighted residuals)
-            r_new = _residuals(zero, T_new, X_world, uv, cam_T_ref, fxycxy)
+            r_new = _residuals(
+                jnp.zeros(6, T.dtype), T_new, X_world, uv, cam_T_ref, fxycxy
+            )
             c_old = jnp.sum(w * jnp.sum(r * r, axis=-1))
             c_new = jnp.sum(w * jnp.sum(r_new * r_new, axis=-1))
             improved = c_new < c_old

@@ -248,14 +248,15 @@ class MultiCameraSLAM:
     # -- pipeline stages --------------------------------------------------
 
     def _initialize(self, frame: FrameFeatures, timestamp: float) -> bool:
-        """Rig bootstrap: the multi-camera rig gives metric 3D directly
-        (reference initialization, FrontEnd.cpp:2481, via intra-match
-        triangulation). Mono input cannot bootstrap this way; essential-
-        matrix init is handled by the mono pipeline variant."""
+        """Bootstrap: multi-camera rigs triangulate intra-matches directly
+        (reference initialization, FrontEnd.cpp:2481); monocular input uses
+        two-view essential-matrix initialization with median-depth scale
+        normalization (reference initialization_mono, FrontEnd.cpp:2980 and
+        the ==1-camera essential path at :2585-2628)."""
         has_depth = np.asarray(frame.im_has_depth)
         n3d = int(has_depth.sum())
         if n3d < 30:
-            return False
+            return self._initialize_mono(frame, timestamp)
         pose = self.cur_pose  # identity or reinit seed
         kf = Keyframe(self.kf_counter, timestamp, pose, frame)
         sel = np.nonzero(has_depth)[0]
@@ -275,6 +276,106 @@ class MultiCameraSLAM:
             self.kf_time[kf.kf_id] = timestamp
             self.kf_vel[kf.kf_id] = np.zeros(3, np.float32)
             self.kf_bias[kf.kf_id] = self.bias.copy()
+        return True
+
+    def _initialize_mono(self, frame: FrameFeatures, timestamp: float) -> bool:
+        """Two-view monocular bootstrap: essential-matrix RANSAC between a
+        stored pending frame and the current one, two-view triangulation of
+        inliers, median-depth scale normalization (mono scale is arbitrary;
+        reference fixes it the same way, FrontEnd.cpp:2783-2790)."""
+        pending = getattr(self, "_mono_pending", None)
+        if pending is None:
+            self._mono_pending = (frame, timestamp, self.cur_pose.copy())
+            return False
+        pf, pts_t, p_pose = pending
+
+        dist = _match_descriptors(
+            frame.im_desc, frame.im_valid, pf.im_desc, pf.im_valid
+        )
+        res = _mutual_match(
+            dist, frame.im_valid, pf.im_valid,
+            self.cfg.inter_max_dist, self.cfg.inter_ratio,
+        )
+        ok = np.asarray(res.ok)
+        idx = np.asarray(res.idx)
+        if ok.sum() < 80:
+            # lost the anchor frame: restart from the current one
+            self._mono_pending = (frame, timestamp, self.cur_pose.copy())
+            return False
+        f0 = np.asarray(self.rig.fxycxy)[0]
+        uv1 = np.asarray(frame.im_uv_ref)
+        uv0 = np.asarray(pf.im_uv_ref)[idx]
+        # baseline gate: wait until parallax is sufficient for a stable seed
+        # map (reference baseline gate, FrontEnd.cpp:2633); KEEP the anchor
+        # so the baseline keeps growing
+        med_disp = float(np.median(np.linalg.norm((uv1 - uv0)[ok], axis=-1)))
+        if med_disp < 25.0:
+            return False
+        xn1 = (uv1 - f0[2:]) / f0[:2]
+        xn0 = (uv0 - f0[2:]) / f0[:2]
+        er = ransac.ransac_essential(
+            self._next_key(), jnp.asarray(xn0, jnp.float32),
+            jnp.asarray(xn1, jnp.float32), jnp.asarray(ok),
+            thresh_n=2.0 / float(f0[0]), min_inliers=50,
+        )
+        if not bool(er.ok):
+            self._mono_pending = (frame, timestamp, self.cur_pose.copy())
+            return False
+        # cur_T_prev with unit translation; world frame anchored at prev
+        rel = np.asarray(er.rel_T)  # cam1_T_cam0
+        pose0 = p_pose
+        pose1 = pose0 @ np.linalg.inv(rel)
+        inl = np.asarray(er.inliers) & ok
+        # two-view triangulation of the inliers
+        M = len(ok)
+        wTc = np.stack(
+            [np.broadcast_to(pose0, (M, 4, 4)),
+             np.broadcast_to(pose1, (M, 4, 4))], axis=1,
+        ).astype(np.float32)
+        uv2 = np.stack([uv0, uv1], axis=1).astype(np.float32)
+        fx2 = np.broadcast_to(f0, (M, 2, 4)).astype(np.float32)
+        mask2 = np.broadcast_to(inl[:, None], (M, 2))
+        from mcslam_tpu.geometry import triangulation as tri_mod
+
+        X, tri_ok = _triangulate_pairs(
+            jnp.asarray(wTc), jnp.asarray(uv2), jnp.asarray(fx2),
+            jnp.asarray(mask2), jnp.ones((M, 2), jnp.float32),
+        )
+        X = np.asarray(X)
+        good = np.asarray(tri_ok) & inl
+        if good.sum() < 50:
+            self._mono_pending = (frame, timestamp, self.cur_pose.copy())
+            return False
+        # scale: median depth (in the prev camera) -> 4.0 units
+        depths = (np.linalg.inv(pose0) @ np.concatenate(
+            [X, np.ones((M, 1), np.float32)], axis=1
+        ).T).T[:, 2]
+        med = np.median(depths[good])
+        scale = 4.0 / max(med, 1e-6)
+        X = X * scale
+        pose1[:3, 3] = pose0[:3, 3] + (pose1[:3, 3] - pose0[:3, 3]) * scale
+
+        kf0 = Keyframe(self.kf_counter, pts_t, pose0, pf)
+        self.kf_counter += 1
+        kf1 = Keyframe(self.kf_counter, timestamp, pose1, frame)
+        self.kf_counter += 1
+        sel = np.nonzero(good)[0]
+        desc = np.asarray(frame.im_desc)[sel]
+        vd = X[sel] - pose1[:3, 3]
+        vd /= np.maximum(np.linalg.norm(vd, axis=-1, keepdims=True), 1e-9)
+        ids = self.map.insert(X[sel], desc, vd, kf1.kf_id)
+        kf1.lm_id[sel] = ids
+        kf0.lm_id[idx[sel]] = ids
+        self.keyframes.extend([kf0, kf1])
+        self.state = INITIALIZED
+        self.stats["keyframes"] += 2
+        self.cur_pose = pose1.astype(np.float32)
+        self._mono_pending = None
+        if self.use_imu:
+            for kf, t in ((kf0, pts_t), (kf1, timestamp)):
+                self.kf_time[kf.kf_id] = t
+                self.kf_vel[kf.kf_id] = np.zeros(3, np.float32)
+                self.kf_bias[kf.kf_id] = self.bias.copy()
         return True
 
     def _estimate_pose(self, frame: FrameFeatures, kf: Keyframe):
@@ -404,7 +505,7 @@ class MultiCameraSLAM:
         return moved or weak
 
     def _insert_keyframe(self, frame: FrameFeatures, timestamp, pose,
-                         lm_match, inliers):
+                         lm_match, inliers, inter=None):
         cfg = self.cfg
         kf = Keyframe(self.kf_counter, timestamp, pose, frame)
         # attach tracked landmarks
@@ -425,6 +526,50 @@ class MultiCameraSLAM:
             vd /= np.maximum(np.linalg.norm(vd, axis=-1, keepdims=True), 1e-9)
             ids = self.map.insert(X_world, desc, vd, kf.kf_id)
             kf.lm_id[np.nonzero(new_sel)[0]] = ids
+
+        # two-view landmarks from inter-frame matches without rig depth
+        # (reference TriangulateNewLandmarks / mapping, FrontEnd.cpp:6465 —
+        # essential for the monocular pipeline where no intra depth exists)
+        if inter is not None:
+            m_ok, m_idx, prev_kf = inter
+            cand = (
+                m_ok & (kf.lm_id < 0) & ~has_depth
+                & np.asarray(frame.im_valid)
+            )
+            cand &= prev_kf.lm_id[m_idx] < 0  # new in both frames
+            n_new = int(cand.sum())
+            if n_new >= 5:
+                M = len(cand)
+                uv1 = np.asarray(frame.im_uv_ref)
+                uv0 = prev_kf.im_uv[m_idx]
+                a1 = np.asarray(frame.im_anchor_cam)
+                a0 = prev_kf.im_anchor_cam[m_idx]
+                ref_T_cam = np.asarray(
+                    np.linalg.inv(np.asarray(self.rig.cam_T_ref))
+                )
+                wTc1 = pose @ ref_T_cam[a1]
+                wTc0 = prev_kf.world_T_ref @ ref_T_cam[a0]
+                wTc = np.stack([wTc0, wTc1], axis=1).astype(np.float32)
+                uv2 = np.stack([uv0, uv1], axis=1).astype(np.float32)
+                fmat = np.asarray(self.rig.fxycxy)
+                fx2 = np.stack([fmat[a0], fmat[a1]], axis=1).astype(np.float32)
+                mask2 = np.broadcast_to(cand[:, None], (M, 2))
+                X, tri_ok = _triangulate_pairs(
+                    jnp.asarray(wTc), jnp.asarray(uv2), jnp.asarray(fx2),
+                    jnp.asarray(mask2), jnp.ones((M, 2), jnp.float32),
+                )
+                X = np.asarray(X)
+                good = np.asarray(tri_ok) & cand
+                if good.sum() > 0:
+                    gsel = np.nonzero(good)[0]
+                    desc = np.asarray(frame.im_desc)[gsel]
+                    vd = X[gsel] - pose[:3, 3]
+                    vd /= np.maximum(
+                        np.linalg.norm(vd, axis=-1, keepdims=True), 1e-9
+                    )
+                    ids = self.map.insert(X[gsel], desc, vd, kf.kf_id)
+                    kf.lm_id[gsel] = ids
+                    prev_kf.lm_id[m_idx[gsel]] = ids
 
         self.keyframes.append(kf)
         self.kf_counter += 1
@@ -896,7 +1041,10 @@ class MultiCameraSLAM:
 
         prev_tracked = int((kf_prev.lm_id >= 0).sum())
         if self._need_keyframe(pose, n_tracked, prev_tracked):
-            self._insert_keyframe(frame, timestamp, pose, lm_match, inliers)
+            self._insert_keyframe(
+                frame, timestamp, pose, lm_match, inliers,
+                inter=(m_ok, m_idx, kf_prev),
+            )
             info["keyframe"] = True
 
         self._record_pose(timestamp)

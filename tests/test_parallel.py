@@ -1,0 +1,121 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mcslam_tpu.backend import ba
+from mcslam_tpu.geometry import lie
+from mcslam_tpu.parallel import sharded_ba
+
+
+def _toy_problem(n_devices, K=4, L=64, C=2, obs_per_dev=64, seed=0):
+    rng = np.random.RandomState(seed)
+    O = obs_per_dev * n_devices
+    # ground truth scene
+    lms_gt = (rng.uniform(-3, 3, (L, 3)) + [0, 0, 8]).astype(np.float32)
+    poses_gt = np.stack([
+        np.asarray(lie.se3_exp(jnp.asarray(
+            np.concatenate([rng.randn(3) * 0.02, rng.randn(3) * 0.1]),
+            jnp.float32)))
+        for _ in range(K)
+    ])
+    fxycxy = np.tile(np.array([[400.0, 400.0, 320.0, 240.0]], np.float32),
+                     (C, 1))
+    cam_T_ref = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    cam_T_ref[1, 0, 3] = -0.2
+    kf = rng.randint(0, K, O).astype(np.int32)
+    cam = rng.randint(0, C, O).astype(np.int32)
+    lm = rng.randint(0, L, O).astype(np.int32)
+    uv = np.zeros((O, 2), np.float32)
+    for o in range(O):
+        cTw = cam_T_ref[cam[o]] @ np.linalg.inv(poses_gt[kf[o]])
+        p = cTw[:3, :3] @ lms_gt[lm[o]] + cTw[:3, 3]
+        uv[o] = p[:2] / p[2] * fxycxy[cam[o], :2] + fxycxy[cam[o], 2:]
+    uv += rng.randn(O, 2).astype(np.float32) * 0.3
+    obs = ba.BAObservations(
+        kf=jnp.asarray(kf), cam=jnp.asarray(cam), lm=jnp.asarray(lm),
+        uv=jnp.asarray(uv), sigma2=jnp.ones(O, jnp.float32),
+        valid=jnp.ones(O, bool),
+    )
+    # perturbed initial state
+    poses0 = np.stack([
+        np.asarray(lie.se3_retract(jnp.asarray(poses_gt[k]),
+                                   jnp.asarray(rng.randn(6) * (0.02 if k else 0),
+                                               jnp.float32)))
+        for k in range(K)
+    ])
+    lms0 = lms_gt + rng.randn(L, 3).astype(np.float32) * 0.05
+    return poses_gt, lms_gt, poses0, lms0, obs, cam_T_ref, fxycxy
+
+
+def test_sharded_lm_step_matches_single_device():
+    n = 4
+    mesh = sharded_ba.make_mesh(n)
+    poses_gt, lms_gt, poses0, lms0, obs, cam_T_ref, fxycxy = _toy_problem(n)
+    K, L = poses0.shape[0], lms0.shape[0]
+    prior_H = np.zeros((K * 6, K * 6), np.float32)
+    prior_H[:6, :6] = np.eye(6) * 1e6
+    obs_sharded = sharded_ba.shard_observations(mesh, obs)
+
+    new_poses, new_lms = sharded_ba.sharded_lm_step(
+        mesh, jnp.asarray(poses0), jnp.asarray(lms0), jnp.ones(L, bool),
+        jnp.ones(K, bool), obs_sharded, jnp.asarray(cam_T_ref),
+        jnp.asarray(fxycxy), jnp.asarray(prior_H),
+        jnp.zeros(K * 6, jnp.float32), lam=1e-4,
+    )
+
+    # single-device reference step: same math through ba internals
+    problem = ba.BAProblem(
+        poses=jnp.asarray(poses0), landmarks=jnp.asarray(lms0),
+        lm_valid=jnp.ones(L, bool), obs=obs,
+        cam_T_ref=jnp.asarray(cam_T_ref), fxycxy=jnp.asarray(fxycxy),
+        prior_H=jnp.asarray(prior_H), prior_b=jnp.zeros(K * 6, jnp.float32),
+        kf_valid=jnp.ones(K, bool),
+    )
+    r, Jp, Jl, w = ba._residuals_and_jacobians(problem, 2.5)
+    Hpp, gp, Hll, gl, Wc = ba._assemble(problem, r, Jp, Jl, w)
+    dp, dl = ba._schur_solve(Hpp, gp, Hll, gl, Wc, jnp.asarray(1e-4),
+                             jnp.ones(L, bool))
+    ref_poses = lie.se3_retract(jnp.asarray(poses0), dp.reshape(K, 6))
+    ref_lms = jnp.asarray(lms0) + dl
+
+    np.testing.assert_allclose(
+        np.asarray(new_poses), np.asarray(ref_poses), atol=2e-4
+    )
+    # landmarks with few observations have near-singular 3x3 blocks where
+    # f32 reduction-order differences (psum vs single einsum) amplify; the
+    # relative agreement is what matters
+    np.testing.assert_allclose(
+        np.asarray(new_lms), np.asarray(ref_lms), rtol=2e-2, atol=5e-3
+    )
+    # and the step actually reduced the error vs ground truth
+    err0 = np.linalg.norm(poses0[1:, :3, 3] - poses_gt[1:, :3, 3])
+    err1 = np.linalg.norm(
+        np.asarray(new_poses)[1:, :3, 3] - poses_gt[1:, :3, 3]
+    )
+    assert err1 < err0
+
+
+def test_graft_dryrun_multichip():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert all(np.all(np.isfinite(np.asarray(o))) for o in out[:1])
