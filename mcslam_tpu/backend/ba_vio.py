@@ -88,6 +88,11 @@ class VioResult(NamedTuple):
     E_T_V: jax.Array
     obs_inliers: jax.Array
     cost: jax.Array
+    # pose-side marginal information at the solution (landmarks eliminated):
+    # the fixed-lag marginalization prior source (reference
+    # BatchFixedLagSmoother::marginalize / CalculateMarginalFactors,
+    # OurFixedLagSmoother.h:109-168)
+    marginal_H: jax.Array  # (K*D+6, K*D+6)
 
 
 def _imu_residual_whitened(fi: ImuFactors, idx, state_i, state_j, g_norm):
@@ -384,9 +389,21 @@ def vio_solve(
         chi2 = jnp.sum(rv * rv, axis=-1) / jnp.maximum(problem.obs.sigma2, 1e-6)
         obs_valid = problem.obs.valid & (chi2 < chi2_thresh)
 
+    # marginal information of the pose-side states at the solution
+    final = problem._replace(
+        poses=state[0], vels=state[1], biases=state[2], landmarks=state[3],
+        E_T_V=state[4], obs=problem.obs._replace(valid=obs_valid),
+    )
+    H, g, Hll, gl, Wc, _ = _assemble_vio(final, huber_px)
+    from mcslam_tpu.geometry import linalg3
+
+    Hll_inv = linalg3.inv3(Hll + 1e-6 * jnp.eye(3)[None])
+    WHinv = jnp.einsum("plj,ljk->plk", Wc, Hll_inv)
+    S = H - jnp.einsum("plk,qlk->pq", WHinv, Wc)
+
     return VioResult(
         poses=state[0], vels=state[1], biases=state[2], landmarks=state[3],
-        E_T_V=state[4], obs_inliers=obs_valid, cost=cost,
+        E_T_V=state[4], obs_inliers=obs_valid, cost=cost, marginal_H=S,
     )
 
 

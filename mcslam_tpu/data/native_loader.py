@@ -1,0 +1,140 @@
+"""ctypes bindings for the native C++ image loader (native/loader.cpp).
+
+The native runtime half of the data pipeline: decode threads + bounded
+in-order prefetch ring, mirroring the reference's C++ reader/producer
+threads (RosbagParser producer + per-camera capture threads). Falls back to
+the pure-Python readers when the shared library is missing; `build()`
+compiles it with g++ if a toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).parent.parent / "native" / "libmcloader.so"
+_SRC_DIR = Path(__file__).parent.parent.parent / "native"
+
+
+def build(force: bool = False) -> bool:
+    """Compile the native loader if needed. Returns availability."""
+    if _LIB_PATH.exists() and not force:
+        return True
+    if not (_SRC_DIR / "loader.cpp").exists():
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", str(_SRC_DIR)], check=True, capture_output=True
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+    return _LIB_PATH.exists()
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and not build():
+        raise OSError("native loader unavailable (libmcloader.so missing)")
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.loader_create.restype = ctypes.c_void_p
+    lib.loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.loader_next.restype = ctypes.c_long
+    lib.loader_next.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_float)]
+    lib.loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.probe_image.restype = ctypes.c_int
+    lib.probe_image.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except OSError:
+        return False
+
+
+def probe_image(path) -> tuple[int, int]:
+    lib = _load()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.probe_image(str(path).encode(), ctypes.byref(w), ctypes.byref(h)):
+        raise IOError(f"cannot decode {path}")
+    return w.value, h.value
+
+
+class NativePrefetchReader:
+    """Reader with the DatasetReaderBase contract backed by the C++ decode
+    ring. `rows` is a list of (timestamp, [paths per camera])."""
+
+    def __init__(self, rows, depth: int = 4, threads: int = 2):
+        if not rows:
+            raise ValueError("empty dataset")
+        self.rows = rows
+        self.n_cams = len(rows[0][1])
+        w, h = probe_image(rows[0][1][0])
+        self.width, self.height = w, h
+        lib = _load()
+        flat = []
+        for _, group in rows:
+            flat.extend(str(p).encode() for p in group)
+        arr = (ctypes.c_char_p * len(flat))(*flat)
+        self._keepalive = (arr, flat)
+        self._h = lib.loader_create(
+            arr, len(rows), self.n_cams, w, h, depth, threads
+        )
+        self._lib = lib
+        self._buf = np.empty((self.n_cams, h, w), np.float32)
+        self._done = False
+
+    def __len__(self):
+        return len(self.rows)
+
+    def get_next(self):
+        if self._done:
+            return None
+        idx = self._lib.loader_next(
+            self._h, self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+        if idx < 0:
+            self._done = True
+            if idx == -2:
+                raise IOError("native decode failure")
+            return None
+        return self._buf.copy(), float(self.rows[idx][0])
+
+    def close(self):
+        if self._h:
+            self._lib.loader_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 - interpreter shutdown
+            pass
+
+
+def folder_reader(root, cam_dirs=None, depth: int = 4, threads: int = 2):
+    """Build a NativePrefetchReader from an image-folder dataset (same
+    layout rules as readers.ImageFolderReader)."""
+    from mcslam_tpu.data.readers import ImageFolderReader
+
+    idx = ImageFolderReader(root, cam_dirs)
+    return NativePrefetchReader(idx.rows, depth=depth, threads=threads)

@@ -60,7 +60,7 @@ class SlamConfig:
     max_z: float = 60.0
     # window BA
     window_size: int = 6
-    ba_iters: int = 8
+    ba_iters: int = 5  # per gate round (x2 rounds); warm-started windows
     ba_obs_capacity: int = 16384
     ba_lm_capacity: int = 2048
     # failure handling
@@ -833,13 +833,21 @@ class MultiCameraSLAM:
                 )
 
         N = K * ba_vio.D + 6
+        D = ba_vio.D
         prior_H = np.zeros((N, N), np.float32)
         prior_H[:6, :6] = np.eye(6) * 1e6  # gauge on oldest pose
-        prior_H[6:9, 6:9] = np.eye(3) * 1.0  # weak vel prior (oldest)
-        # bias is weakly observable inside a short window; anchor it at the
-        # random-walk scale so it can only drift slowly (the reference gets
-        # the same effect from ISAM2's accumulated history)
-        prior_H[9:15, 9:15] = np.eye(6) * 1e5
+        # marginalization prior: the previous window's marginal information
+        # of the state that is now oldest (fixed-lag semantics; stabilizes
+        # velocity/bias which are weakly observable within one window)
+        marg = getattr(self, "_marg_prior", None)
+        if marg is not None and window[0].kf_id == marg[0]:
+            prior_H[6:D, 6:D] += marg[1][6:, 6:]  # vel+bias block
+        else:
+            prior_H[6:9, 6:9] = np.eye(3) * 1.0
+            # bias is weakly observable inside a short window; anchor it at
+            # the random-walk scale so it can only drift slowly (the
+            # reference gets this from ISAM2's accumulated history)
+            prior_H[9:15, 9:15] = np.eye(6) * 1e5
         if gps_factors is None:
             # E_T_V unobserved: clamp it
             prior_H[K * ba_vio.D:, K * ba_vio.D:] = np.eye(6) * 1e8
@@ -881,6 +889,16 @@ class MultiCameraSLAM:
         new_lms = np.asarray(result.landmarks)[: len(lm_ids)]
         self.map.update_positions(lm_ids, new_lms)
         self.cur_pose = window[-1].world_T_ref.copy()
+
+        # stash the marginal information of the state that becomes oldest
+        # when the window slides next keyframe (fixed-lag marginalization)
+        if len(window) >= 2:
+            margH = np.asarray(result.marginal_H)
+            b0 = 1 * ba_vio.D  # second-oldest state block
+            blk = margH[b0 : b0 + ba_vio.D, b0 : b0 + ba_vio.D]
+            # cap the prior so stale linearizations cannot over-constrain
+            blk = np.clip(blk, -1e6, 1e6)
+            self._marg_prior = (window[1].kf_id, blk)
 
     # -- sensor ingestion ---------------------------------------------------
 
