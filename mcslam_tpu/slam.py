@@ -123,6 +123,57 @@ def _pose_from_3d3d(key, X_rig, X_world, uv, cam_T_ref, fxycxy, mask,
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_hyp", "px", "max_dist", "ratio"),
+)
+def _track_step(
+    key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
+    cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos, map_valid,
+    cam_T_ref_all, fxycxy_all, num_hyp: int, px: float, max_dist: int,
+    ratio: float,
+):
+    """Whole inter-frame tracking step on device: match -> landmark lookup
+    (device map mirror) -> robust pose (3D-3D or 2D-3D picked by lax.cond)
+    -> motion-only LM. One host fetch for everything downstream."""
+    d = hamming.hamming_matrix(cur_desc, prev_desc)
+    res = match_ops.match_mutual(
+        d, row_mask=cur_valid, col_mask=prev_valid, max_dist=max_dist,
+        ratio=ratio,
+    )
+    lm = jnp.where(res.ok, prev_lm_id[res.idx], -1)
+    safe = jnp.maximum(lm, 0)
+    with_lm = (lm >= 0) & map_valid[safe]
+    lm = jnp.where(with_lm, lm, -1)
+    X_world = map_pos[safe]
+    cTr = cam_T_ref_all[cur_anchor]
+    f = fxycxy_all[cur_anchor]
+    mask3d = with_lm & cur_has_depth
+    use3d = jnp.sum(mask3d) >= 20
+
+    def kab(_):
+        return ransac.ransac_kabsch(
+            key, cur_p3d, X_world, cur_uv, cTr, f, mask3d,
+            num_hyp=num_hyp, px_thresh=px,
+        )
+
+    def pnp(_):
+        return ransac.ransac_pnp(
+            key, X_world, cur_uv, cTr, f, with_lm,
+            num_hyp=max(num_hyp // 2, 64), px_thresh=px,
+        )
+
+    rr = jax.lax.cond(use3d, kab, pnp, None)
+    ref = pose_opt.optimize_pose(
+        rr.world_T_ref, X_world, cur_uv, cTr, f, with_lm & rr.inliers,
+        sigma2=cur_sigma2,
+    )
+    return (
+        ref.world_T_ref, ref.num_inliers, res.ok, res.idx, lm,
+        jnp.sum(res.ok), with_lm.sum(), rr.ok,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("num_hyp", "px"))
 def _pose_from_2d3d(key, X_world, uv, cam_T_ref, fxycxy, mask,
                     num_hyp: int, px: float):
@@ -137,6 +188,33 @@ def _refine_pose(T_init, X_world, uv, cam_T_ref, fxycxy, mask, sigma2):
     return pose_opt.optimize_pose(
         T_init, X_world, uv, cam_T_ref, fxycxy, mask, sigma2=sigma2
     )
+
+
+@functools.partial(jax.jit, static_argnames=("image_wh", "radius", "max_dist"))
+def _local_map_step(
+    T_wr, cand_ids, cand_valid, map_pos, map_desc, im_desc, im_uv, im_anchor,
+    im_valid, im_sigma2, cam_T_ref, fxycxy, image_wh, radius: float,
+    max_dist: int,
+):
+    """Local-map tracking fully on device: gather candidate landmarks from
+    the HBM mirror, projection-gated matching, pose refine. Returns
+    (pose, lm_match ids (M,), inliers (M,)) for one host fetch."""
+    lm_pos = map_pos[cand_ids]
+    lm_desc = map_desc[cand_ids]
+    res = _project_and_match_local(
+        T_wr, lm_pos, lm_desc, cand_valid, im_desc, im_uv, im_anchor,
+        im_valid, cam_T_ref, fxycxy, image_wh, radius, max_dist,
+    )
+    lm = jnp.where(res.ok, cand_ids[res.idx], -1)
+    sel = lm >= 0
+    X_world = map_pos[jnp.maximum(lm, 0)]
+    cTr = cam_T_ref[im_anchor]
+    f = fxycxy[im_anchor]
+    ref = pose_opt.optimize_pose(
+        T_wr, X_world, im_uv, cTr, f, sel, sigma2=im_sigma2
+    )
+    lm_out = jnp.where(ref.inliers, lm, -1)
+    return ref.world_T_ref, lm_out, ref.inliers
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "max_dist"))
@@ -194,6 +272,9 @@ class MultiCameraSLAM:
         self.rig = rig
         self.cfg = config or SlamConfig()
         self.map = LandmarkMap()
+        from mcslam_tpu.mapping.device_map import DeviceMap
+
+        self.dmap = DeviceMap(self.map.capacity)  # HBM-resident mirror
         self.keyframes: list[Keyframe] = []
         self.state = NOT_INITIALIZED
         self.track_failures = 0
@@ -242,6 +323,22 @@ class MultiCameraSLAM:
     def _prev_kf(self) -> Optional[Keyframe]:
         return self.keyframes[-1] if self.keyframes else None
 
+    # host map + device mirror kept in lockstep
+    def _map_insert(self, pos, desc, normal, kf_id):
+        ids = self.map.insert(pos, desc, normal, kf_id)
+        self.dmap.upsert(ids, pos=pos, desc=desc, valid=True)
+        return ids
+
+    def _map_update_positions(self, ids, new_pos):
+        ok = self.map.update_positions(ids, new_pos)
+        ids = np.asarray(ids)
+        if ok.any():
+            self.dmap.upsert(ids[ok], pos=new_pos[ok])
+
+    def _map_delete(self, ids):
+        self.map.delete(ids)
+        self.dmap.remove(np.asarray(ids, np.int32))
+
     def _record_pose(self, timestamp):
         self.trajectory.append((timestamp, self.cur_pose.copy()))
 
@@ -266,7 +363,7 @@ class MultiCameraSLAM:
         # viewing normal: from rig center to point
         vd = X_world - pose[:3, 3]
         vd /= np.maximum(np.linalg.norm(vd, axis=-1, keepdims=True), 1e-9)
-        ids = self.map.insert(X_world, desc, vd, kf.kf_id)
+        ids = self._map_insert(X_world, desc, vd, kf.kf_id)
         kf.lm_id[sel] = ids
         self.keyframes.append(kf)
         self.kf_counter += 1
@@ -363,7 +460,7 @@ class MultiCameraSLAM:
         desc = np.asarray(frame.im_desc)[sel]
         vd = X[sel] - pose1[:3, 3]
         vd /= np.maximum(np.linalg.norm(vd, axis=-1, keepdims=True), 1e-9)
-        ids = self.map.insert(X[sel], desc, vd, kf1.kf_id)
+        ids = self._map_insert(X[sel], desc, vd, kf1.kf_id)
         kf1.lm_id[sel] = ids
         kf0.lm_id[idx[sel]] = ids
         self.keyframes.extend([kf0, kf1])
@@ -380,62 +477,34 @@ class MultiCameraSLAM:
 
     def _estimate_pose(self, frame: FrameFeatures, kf: Keyframe):
         """Inter-frame matching + robust pose vs the previous keyframe's
-        landmarks. Returns (ok, pose, match_result, lm_of_match)."""
+        landmarks, as ONE device dispatch chain with a single host fetch
+        (each host round trip costs tens of ms through a tunneled TPU).
+        Returns (ok, pose, match_result, lm_of_match)."""
         cfg = self.cfg
-        dist = _match_descriptors(
-            frame.im_desc, frame.im_valid,
-            jnp.asarray(kf.im_desc), jnp.asarray(kf.im_valid),
+        pose_d, n_inl_d, ok_d, idx_d, lm_d, n_match_d, n_lm_d, rr_ok_d = (
+            _track_step(
+                self._next_key(), frame.im_desc, frame.im_valid,
+                frame.im_uv_ref, frame.im_anchor_cam, frame.im_sigma2,
+                frame.im_point3d, frame.im_has_depth,
+                jnp.asarray(kf.im_desc), jnp.asarray(kf.im_valid),
+                jnp.asarray(kf.lm_id), self.dmap.pos, self.dmap.valid,
+                self.rig.cam_T_ref, self.rig.fxycxy,
+                cfg.ransac_hyps, cfg.ransac_px, cfg.inter_max_dist,
+                cfg.inter_ratio,
+            )
         )
-        res = _mutual_match(
-            dist, frame.im_valid, jnp.asarray(kf.im_valid),
-            cfg.inter_max_dist, cfg.inter_ratio,
-        )
-        ok = np.asarray(res.ok)
-        idx = np.asarray(res.idx)
-        n_matches = int(ok.sum())
+        # single synchronization point
+        n_matches = int(n_match_d)
+        ok = np.asarray(ok_d)
+        idx = np.asarray(idx_d)
+        lm_of_match = np.asarray(lm_d)
         if n_matches < cfg.min_inter_matches:
-            return False, None, (ok, idx), None
-
-        # correspondences with existing landmarks
-        lm_of_match = np.where(ok, kf.lm_id[idx], -1)
-        with_lm = lm_of_match >= 0
-        if with_lm.sum() < cfg.min_pose_inliers:
             return False, None, (ok, idx), lm_of_match
-
-        M = len(ok)
-        X_world = np.zeros((M, 3), np.float32)
-        X_world[with_lm] = self.map.pos[lm_of_match[with_lm]]
-        mask = jnp.asarray(with_lm)
-        anchor = np.asarray(frame.im_anchor_cam)
-        cam_T_ref = np.asarray(self.rig.cam_T_ref)[anchor]
-        fxy = np.asarray(self.rig.fxycxy)[anchor]
-        uv = frame.im_uv_ref
-
-        # hypothesis source: 3D-3D when current frame has rig depth, else PnP
-        has3d = np.asarray(frame.im_has_depth) & with_lm
-        if has3d.sum() >= 20:
-            rr = _pose_from_3d3d(
-                self._next_key(), frame.im_point3d, jnp.asarray(X_world),
-                uv, jnp.asarray(cam_T_ref), jnp.asarray(fxy),
-                jnp.asarray(has3d), cfg.ransac_hyps, cfg.ransac_px,
-            )
-        else:
-            rr = _pose_from_2d3d(
-                self._next_key(), jnp.asarray(X_world), uv,
-                jnp.asarray(cam_T_ref), jnp.asarray(fxy), mask,
-                cfg.ransac_hyps, cfg.ransac_px,
-            )
-        if not bool(rr.ok):
+        if int(n_lm_d) < cfg.min_pose_inliers or not bool(rr_ok_d):
             return False, None, (ok, idx), lm_of_match
-
-        ref = _refine_pose(
-            rr.world_T_ref, jnp.asarray(X_world), uv,
-            jnp.asarray(cam_T_ref), jnp.asarray(fxy),
-            mask & rr.inliers, frame.im_sigma2,
-        )
-        if int(ref.num_inliers) < cfg.min_pose_inliers:
+        if int(n_inl_d) < cfg.min_pose_inliers:
             return False, None, (ok, idx), lm_of_match
-        return True, np.asarray(ref.world_T_ref), (ok, idx), lm_of_match
+        return True, np.asarray(pose_d), (ok, idx), lm_of_match
 
     def _local_map_candidates(self):
         """Landmark ids seen by recent keyframes (covisible set)."""
@@ -450,43 +519,26 @@ class MultiCameraSLAM:
 
     def _track_local_map(self, frame: FrameFeatures, pose):
         """Project covisible landmarks, match, refine pose. Returns
-        (pose, lm_match (M,) int32, inlier_mask (M,))."""
+        (pose, lm_match (M,) int32, inlier_mask (M,)). Candidate landmark
+        data is gathered from the device map mirror (only the id list — a
+        few KB — is uploaded), and the whole step fetches once."""
         cfg = self.cfg
         cand = self._local_map_candidates()
         L = cfg.local_map_landmarks
-        lm_pos = np.zeros((L, 3), np.float32)
-        lm_desc = np.zeros((L, 8), np.uint32)
-        lm_valid = np.zeros(L, bool)
         n = len(cand)
-        lm_pos[:n] = self.map.pos[cand]
-        lm_desc[:n] = self.map.desc[cand]
-        lm_valid[:n] = True
-
-        res = _project_and_match_local(
-            jnp.asarray(pose), jnp.asarray(lm_pos), jnp.asarray(lm_desc),
-            jnp.asarray(lm_valid), frame.im_desc, frame.im_uv_ref,
-            frame.im_anchor_cam, frame.im_valid,
-            self.rig.cam_T_ref, self.rig.fxycxy,
-            self.rig.image_size, cfg.local_map_radius_px, cfg.local_map_max_dist,
+        cand_pad = np.zeros(L, np.int32)
+        cand_pad[:n] = cand
+        pose_d, lm_d, inl_d = _local_map_step(
+            jnp.asarray(pose), jnp.asarray(cand_pad),
+            jnp.asarray(np.arange(L) < n),
+            self.dmap.pos, self.dmap.desc,
+            frame.im_desc, frame.im_uv_ref, frame.im_anchor_cam,
+            frame.im_valid, frame.im_sigma2,
+            self.rig.cam_T_ref, self.rig.fxycxy, self.rig.image_size,
+            cfg.local_map_radius_px, cfg.local_map_max_dist,
         )
-        ok = np.asarray(res.ok)
-        idx = np.asarray(res.idx)
-        M = len(ok)
-        lm_match = np.where(ok & (idx < n), cand[np.minimum(idx, n - 1)], -1)
-
-        X_world = np.zeros((M, 3), np.float32)
-        sel = lm_match >= 0
-        X_world[sel] = self.map.pos[lm_match[sel]]
-        anchor = np.asarray(frame.im_anchor_cam)
-        cam_T_ref = np.asarray(self.rig.cam_T_ref)[anchor]
-        fxy = np.asarray(self.rig.fxycxy)[anchor]
-        ref = _refine_pose(
-            jnp.asarray(pose), jnp.asarray(X_world), frame.im_uv_ref,
-            jnp.asarray(cam_T_ref), jnp.asarray(fxy), jnp.asarray(sel),
-            frame.im_sigma2,
-        )
-        inl = np.asarray(ref.inliers)
-        return np.asarray(ref.world_T_ref), np.where(inl, lm_match, -1), inl
+        inl = np.asarray(inl_d)
+        return np.asarray(pose_d), np.asarray(lm_d), inl
 
     def _need_keyframe(self, pose, n_tracked, n_tracked_prev) -> bool:
         kf = self._prev_kf()
@@ -524,7 +576,7 @@ class MultiCameraSLAM:
             desc = np.asarray(frame.im_desc)[new_sel]
             vd = X_world - pose[:3, 3]
             vd /= np.maximum(np.linalg.norm(vd, axis=-1, keepdims=True), 1e-9)
-            ids = self.map.insert(X_world, desc, vd, kf.kf_id)
+            ids = self._map_insert(X_world, desc, vd, kf.kf_id)
             kf.lm_id[np.nonzero(new_sel)[0]] = ids
 
         # two-view landmarks from inter-frame matches without rig depth
@@ -567,7 +619,7 @@ class MultiCameraSLAM:
                     vd /= np.maximum(
                         np.linalg.norm(vd, axis=-1, keepdims=True), 1e-9
                     )
-                    ids = self.map.insert(X[gsel], desc, vd, kf.kf_id)
+                    ids = self._map_insert(X[gsel], desc, vd, kf.kf_id)
                     kf.lm_id[gsel] = ids
                     prev_kf.lm_id[m_idx[gsel]] = ids
 
@@ -626,7 +678,7 @@ class MultiCameraSLAM:
             cur_lm = kf.lm_id[slot]
             if cur_lm >= 0 and cur_lm != old_lm:
                 # the freshly minted landmark duplicates an old one
-                self.map.delete([cur_lm])
+                self._map_delete([cur_lm])
             kf.lm_id[slot] = old_lm
 
         # 2. pose graph: odometry edges + the loop edge
@@ -670,6 +722,7 @@ class MultiCameraSLAM:
         self.map.pos[valid_ids] = (
             np.einsum("nij,nj->ni", T_corr[:, :3, :3], p) + T_corr[:, :3, 3]
         )
+        self.dmap.upsert(valid_ids, pos=self.map.pos[valid_ids])
         for i, k in enumerate(self.keyframes):
             k.world_T_ref = poses_new[i]
         self.cur_pose = poses_new[-1].copy()
@@ -759,7 +812,7 @@ class MultiCameraSLAM:
         for wk, kf in enumerate(window):
             kf.world_T_ref = new_poses[wk]
         new_lms = np.asarray(result.landmarks)[: len(lm_ids)]
-        self.map.update_positions(lm_ids, new_lms)
+        self._map_update_positions(lm_ids, new_lms)
         self.cur_pose = window[-1].world_T_ref.copy()
 
     def _run_window_ba_vio(self, window, obs, poses, kf_valid, lms, lm_valid,
@@ -887,7 +940,7 @@ class MultiCameraSLAM:
         if gps_factors is not None:
             self.E_T_V = np.asarray(result.E_T_V)
         new_lms = np.asarray(result.landmarks)[: len(lm_ids)]
-        self.map.update_positions(lm_ids, new_lms)
+        self._map_update_positions(lm_ids, new_lms)
         self.cur_pose = window[-1].world_T_ref.copy()
 
         # stash the marginal information of the state that becomes oldest

@@ -1,0 +1,87 @@
+"""End-to-end CLI app test: dataset on disk -> cfg -> mc_slam_app -> TUM."""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+from mcslam_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("ds")
+    rig = synthetic.make_synthetic_rig(
+        synthetic.SyntheticRigSpec(num_cams=2, baseline=0.2,
+                                   image_size=(320, 240), focal=260.0)
+    )
+    poses = synthetic.smooth_trajectory(6, radius=5.0, step_angle=0.03)
+    lms = synthetic.make_landmarks(600, seed=1, depth_range=(4.0, 12.0),
+                                   spread=(10.0, 6.0))
+    imgs = synthetic.render_blob_images(rig, poses, lms, seed=2)
+    for c in range(2):
+        d = root / f"cam{c}" / "data"
+        d.mkdir(parents=True)
+        for k in range(len(poses)):
+            ts_ns = int(k / 20.0 * 1e9) + 10**18  # EuRoC-style 19 digits
+            cv2.imwrite(
+                str(d / f"{ts_ns}.png"),
+                (np.asarray(imgs[k, c]) * 255).astype(np.uint8),
+            )
+    calib = root / "camchain.yaml"
+    calib.write_text(textwrap.dedent("""
+        cam0:
+          intrinsics: [260.0, 260.0, 160.0, 120.0]
+          distortion_coeffs: [0.0, 0.0, 0.0, 0.0]
+          distortion_model: radtan
+          resolution: [320, 240]
+        cam1:
+          intrinsics: [260.0, 260.0, 160.0, 120.0]
+          distortion_coeffs: [0.0, 0.0, 0.0, 0.0]
+          distortion_model: radtan
+          resolution: [320, 240]
+          T_cn_cnm1:
+            - [1.0, 0.0, 0.0, -0.2]
+            - [0.0, 1.0, 0.0, 0.0]
+            - [0.0, 0.0, 1.0, 0.0]
+            - [0.0, 0.0, 0.0, 1.0]
+    """))
+    fe = root / "frontend.yaml"
+    fe.write_text(textwrap.dedent("""
+        ORBextractor.nFeatures: 512
+        ORBextractor.nLevels: 3
+        KFBaselineThresholdTranslation: 0.2
+        KFBaselineThresholdRotation: 0.1
+    """))
+    cfg = root / "app.cfg"
+    cfg.write_text(textwrap.dedent(f"""
+        data_path={root}
+        images_path={root}
+        calib_file_path=camchain.yaml
+        frontend_params_file=frontend.yaml
+        kalibr=true
+        num_cams=2
+        traj_file=traj.txt
+        map_path=map.json
+    """))
+    return root, poses
+
+
+def test_app_runs_end_to_end(dataset):
+    root, poses = dataset
+    from mcslam_tpu.apps import mc_slam_app
+
+    rc = mc_slam_app.main([
+        "--config_file", str(root / "app.cfg"),
+        "--traj_file", str(root / "traj.txt"),
+    ])
+    assert rc == 0
+    from mcslam_tpu.utils import metrics, tum
+
+    ts, est = tum.read_tum(root / "traj.txt")
+    assert len(ts) == 6
+    ate = metrics.ate_rmse(est, poses)
+    assert ate < 0.2, ate
+    assert (root / "map.json").exists()

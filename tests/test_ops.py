@@ -115,6 +115,18 @@ def test_fast_agrees_with_opencv():
         assert precision > 0.85, precision
 
 
+def test_fast_pallas_matches_xla():
+    """The fused Pallas kernel (interpret mode on CPU) must reproduce the
+    XLA reference exactly."""
+    from mcslam_tpu.ops.fast_pallas import fast_corners_pallas
+
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.rand(2, 120, 160).astype(np.float32))
+    ref = np.asarray(fast.fast_corners(img, 0.05))
+    got = np.asarray(fast_corners_pallas(img, 0.05, tile_h=40, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
 # ---------- topk_grid ----------
 
 def test_select_keypoints_balanced():
