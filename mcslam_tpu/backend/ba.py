@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -229,6 +231,9 @@ def _total_cost(problem: BAProblem, huber_px: float):
     return jnp.sum(w * jnp.sum(r * r, axis=-1))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("iters", "gate_rounds")
+)
 def ba_solve(
     problem: BAProblem,
     iters: int = 10,

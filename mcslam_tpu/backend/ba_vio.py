@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -304,6 +306,9 @@ def _vio_cost(problem: VioProblem, huber_px: float):
     return cost
 
 
+@functools.partial(
+    jax.jit, static_argnames=("iters", "gate_rounds")
+)
 def vio_solve(
     problem: VioProblem,
     iters: int = 10,

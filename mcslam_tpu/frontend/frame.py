@@ -84,6 +84,10 @@ def undistort_keypoints(xy: jax.Array, valid: jax.Array, rig) -> jax.Array:
 )
 def _extract_stage(imgs, rig, num_points, num_levels, fast_threshold,
                    min_threshold):
+    # accept uint8 frames: hosts should ship uint8 and convert on device
+    # (4x less host->device bandwidth; PCIe or tunnel, it's never free)
+    if imgs.dtype == jnp.uint8:
+        imgs = imgs.astype(jnp.float32) * (1.0 / 255.0)
     kps = orb.extract_orb_rig(
         imgs,
         num_points=num_points,

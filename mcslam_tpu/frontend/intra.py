@@ -94,31 +94,45 @@ def intra_match(
     )
     parent = flat_self
 
-    for i in range(C - 1):
-        for j in range(i + 1, C):
-            d = hamming.hamming_from_planes(planes[i], planes[j])
-            gate = sampson_gate(xn[i], xn[j], pair_essential(rig, i, j), thr_n)
+    # all camera pairs processed by ONE vmapped matcher (an unrolled pair
+    # loop multiplied trace/compile time ~P-fold; remote TPU compiles are
+    # minutes, so this matters more than usual)
+    pair_i = [i for i in range(C - 1) for _ in range(i + 1, C)]
+    pair_j = [j for i in range(C - 1) for j in range(i + 1, C)]
+    P = len(pair_i)
+    if P:
+        Ii = jnp.asarray(pair_i, jnp.int32)
+        Jj = jnp.asarray(pair_j, jnp.int32)
+        E_all = jnp.stack(
+            [pair_essential(rig, i, j) for i, j in zip(pair_i, pair_j)]
+        )
+
+        def match_pair(pi, pj, E):
+            d = hamming.hamming_from_planes(planes[pi], planes[pj])
+            gate = sampson_gate(xn[pi], xn[pj], E, thr_n)
             res = match.match_mutual(
-                d,
-                row_mask=valid[i],
-                col_mask=valid[j],
-                max_dist=max_dist,
-                ratio=ratio,
-                pair_mask=gate,
+                d, row_mask=valid[pi], col_mask=valid[pj],
+                max_dist=max_dist, ratio=ratio, pair_mask=gate,
             )
-            # res: for each feature in cam i, matched idx in cam j.
-            # point the cam-j feature at the cam-i feature (lower camera wins:
-            # only overwrite if current parent is self or in a higher camera).
-            tgt = res.idx  # (N,) cam-j indices
-            src_flat = flat_self[i]  # (N,)
-            cur_parent_cam = parent[j] // N
-            upd_rows = jnp.where(res.ok, tgt, N)  # N = dummy row
-            # build candidate parent per cam-j feature via scatter
+            # candidate parent for each cam-pj feature: the flat index of
+            # its matched cam-pi feature
+            tgt = jnp.where(res.ok, res.idx, N)  # N = dummy slot
             cand = jnp.full((N + 1,), jnp.int32(C * N), jnp.int32)
-            cand = cand.at[upd_rows].min(src_flat)
-            cand = cand[:N]
-            take = (cand < C * N) & ((cand // N) < cur_parent_cam)
-            parent = parent.at[j].set(jnp.where(take, cand, parent[j]))
+            cand = cand.at[tgt].min(flat_self[pi])
+            return cand[:N]  # (N,)
+
+        cands = jax.vmap(match_pair)(Ii, Jj, E_all)  # (P, N)
+        # combine per target camera: min flat index over all incoming pairs
+        # == "lowest camera wins" of the reference's sequential merge
+        for j in range(1, C):
+            sel = [p for p in range(P) if pair_j[p] == j]
+            if not sel:
+                continue
+            best = cands[sel[0]]
+            for p in sel[1:]:
+                best = jnp.minimum(best, cands[p])
+            take = best < flat_self[j]  # found a lower-camera parent
+            parent = parent.at[j].set(jnp.where(take, best, parent[j]))
 
     # pointer jumping: resolve chains to their root (<= C hops, log2 steps)
     flat_parent = parent.reshape(C * N)

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -77,6 +79,9 @@ def _residuals_jac(T, X_world, uv, cam_T_ref, fxycxy):
     return r, J
 
 
+@functools.partial(
+    jax.jit, static_argnames=("iters", "rounds")
+)
 def optimize_pose(
     T_init: jax.Array,
     X_world: jax.Array,

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -64,6 +66,9 @@ def _score_reprojection(
     return jnp.sum(inl, axis=-1), inl
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_hyp",)
+)
 def ransac_kabsch(
     key,
     X_rig: jax.Array,  # (M, 3) points in current rig/ref frame
@@ -130,6 +135,9 @@ def _dlt_pnp(Xw: jax.Array, xn: jax.Array) -> jax.Array:
     return lie.se3_matrix(R, t)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_hyp", "sample_size")
+)
 def ransac_pnp(
     key,
     X_world: jax.Array,  # (M, 3)
@@ -253,6 +261,9 @@ def _decompose_E(E: jax.Array, xn0: jax.Array, xn1: jax.Array, mask) -> jax.Arra
     return cands[jnp.argmax(scores)]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_hyp",)
+)
 def ransac_essential(
     key,
     xn0: jax.Array,  # (M, 2) normalized coords, frame 0

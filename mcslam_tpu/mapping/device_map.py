@@ -16,6 +16,32 @@ import jax
 import jax.numpy as jnp
 
 
+def _bucket(n: int) -> int:
+    """Round update sizes to power-of-two buckets: every distinct shape of
+    an eager scatter op compiles a fresh executable (seconds each on a
+    remote-compile TPU), so update shapes must come from a tiny fixed set."""
+    b = 16
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_ids(ids: np.ndarray, values: np.ndarray | None):
+    n = len(ids)
+    b = _bucket(n)
+    if b == n:
+        return ids, values
+    # pad with repeats of the first element: duplicate .set writes of the
+    # same value are idempotent
+    pad_ids = np.concatenate([ids, np.repeat(ids[:1], b - n)])
+    pad_vals = None
+    if values is not None:
+        pad_vals = np.concatenate(
+            [values, np.repeat(values[:1], b - n, axis=0)]
+        )
+    return pad_ids, pad_vals
+
+
 class DeviceMap:
     def __init__(self, capacity: int = 65536):
         self.capacity = capacity
@@ -24,14 +50,22 @@ class DeviceMap:
         self.valid = jnp.zeros(capacity, bool)
 
     def upsert(self, ids, pos=None, desc=None, valid=None):
-        ids = jnp.asarray(np.asarray(ids, np.int32))
+        ids = np.asarray(ids, np.int32)
+        if len(ids) == 0:
+            return
         if pos is not None:
-            self.pos = self.pos.at[ids].set(jnp.asarray(pos, jnp.float32))
+            i, v = _pad_ids(ids, np.asarray(pos, np.float32))
+            self.pos = self.pos.at[jnp.asarray(i)].set(jnp.asarray(v))
         if desc is not None:
-            self.desc = self.desc.at[ids].set(jnp.asarray(desc, jnp.uint32))
+            i, v = _pad_ids(ids, np.asarray(desc, np.uint32))
+            self.desc = self.desc.at[jnp.asarray(i)].set(jnp.asarray(v))
         if valid is not None:
-            self.valid = self.valid.at[ids].set(bool(valid))
+            i, _ = _pad_ids(ids, None)
+            self.valid = self.valid.at[jnp.asarray(i)].set(bool(valid))
 
     def remove(self, ids):
-        ids = jnp.asarray(np.asarray(ids, np.int32))
-        self.valid = self.valid.at[ids].set(False)
+        ids = np.asarray(ids, np.int32)
+        if len(ids) == 0:
+            return
+        i, _ = _pad_ids(ids, None)
+        self.valid = self.valid.at[jnp.asarray(i)].set(False)

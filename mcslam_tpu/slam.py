@@ -69,6 +69,36 @@ class SlamConfig:
     imu_init_samples: int = 200  # reference collects >= 200 before alignment
 
 
+@jax.jit
+def _pack_kf(frame: FrameFeatures):
+    """Pack every array a Keyframe needs into ONE f32 buffer: keyframe
+    construction otherwise costs ~10 separate device->host round trips."""
+    C = frame.kp_xy_ud.shape[0]
+    M = frame.im_ray_idx.shape[0]
+    safe = jnp.maximum(frame.im_ray_idx, 0)
+    cam = jnp.arange(C, dtype=jnp.int32)[None, :]
+    ray_uv = frame.kp_xy_ud[cam, safe]  # (M, C, 2)
+    ray_sig = frame.kp_sigma2[cam, safe]  # (M, C)
+    # descriptors travel as two exact u16-in-f32 halves (bitcasting u32 to
+    # f32 risks NaN canonicalization corrupting bits in transit)
+    desc_lo = (frame.im_desc & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    desc_hi = (frame.im_desc >> 16).astype(jnp.float32)
+    parts = [
+        desc_lo.reshape(-1),
+        desc_hi.reshape(-1),
+        frame.im_uv_ref.reshape(-1),
+        frame.im_anchor_cam.astype(jnp.float32),
+        frame.im_valid.astype(jnp.float32),
+        frame.im_sigma2,
+        frame.im_point3d.reshape(-1),
+        frame.im_has_depth.astype(jnp.float32),
+        frame.im_ray_idx.astype(jnp.float32).reshape(-1),
+        ray_uv.reshape(-1),
+        ray_sig.reshape(-1),
+    ]
+    return jnp.concatenate(parts)
+
+
 class Keyframe:
     """Host-side keyframe record (small numpy arrays + landmark id table)."""
 
@@ -76,24 +106,52 @@ class Keyframe:
         self.kf_id = kf_id
         self.timestamp = timestamp
         self.world_T_ref = np.asarray(world_T_ref)
-        self.im_desc = np.asarray(frame.im_desc)
-        self.im_uv = np.asarray(frame.im_uv_ref)
-        self.im_anchor_cam = np.asarray(frame.im_anchor_cam)
-        self.im_valid = np.asarray(frame.im_valid)
-        self.im_sigma2 = np.asarray(frame.im_sigma2)
-        self.im_point3d = np.asarray(frame.im_point3d)
-        self.im_has_depth = np.asarray(frame.im_has_depth)
-        self.im_ray_idx = np.asarray(frame.im_ray_idx)
-        # per-ray undistorted uv: (M, C, 2)
         C = frame.kp_xy_ud.shape[0]
-        M = self.im_ray_idx.shape[0]
-        safe = np.maximum(self.im_ray_idx, 0)
-        xy_ud = np.asarray(frame.kp_xy_ud)
-        self.ray_uv = xy_ud[np.arange(C)[None, :], safe]  # (M, C, 2)
-        sig = np.asarray(frame.kp_sigma2)
-        self.ray_sigma2 = sig[np.arange(C)[None, :], safe]
+        M = frame.im_ray_idx.shape[0]
+        v = np.asarray(_pack_kf(frame))  # one fetch
+        o = 0
+
+        def take(n, shape=None, dtype=None):
+            nonlocal o
+            out = v[o : o + n]
+            o += n
+            if shape is not None:
+                out = out.reshape(shape)
+            if dtype is not None:
+                out = out.astype(dtype)
+            return out
+
+        lo = take(M * 8, (M, 8)).astype(np.uint32)
+        hi = take(M * 8, (M, 8)).astype(np.uint32)
+        self.im_desc = (hi << 16) | lo
+        self.im_uv = take(M * 2, (M, 2))
+        self.im_anchor_cam = take(M, dtype=np.int32)
+        self.im_valid = take(M) > 0.5
+        self.im_sigma2 = take(M)
+        self.im_point3d = take(M * 3, (M, 3))
+        self.im_has_depth = take(M) > 0.5
+        self.im_ray_idx = take(M * C, (M, C), np.int32)
+        self.ray_uv = take(M * C * 2, (M, C, 2))
+        self.ray_sigma2 = take(M * C, (M, C))
         self.ray_valid = self.im_ray_idx >= 0
         self.lm_id = np.full(M, -1, np.int32)
+        # device-resident copies for the tracking kernels (descriptors are
+        # already on device in the frame; re-uploading every frame costs a
+        # tunnel round trip each)
+        self.d_desc = frame.im_desc
+        self.d_valid = frame.im_valid
+        self._d_lm_id = None
+
+    def d_lm_id(self):
+        if self._d_lm_id is None:
+            import jax.numpy as _jnp
+
+            self._d_lm_id = _jnp.asarray(self.lm_id)
+        return self._d_lm_id
+
+    def lm_dirty(self):
+        """Call after mutating lm_id so the device copy refreshes lazily."""
+        self._d_lm_id = None
 
 
 # --------------------------------------------------------------------------
@@ -111,15 +169,6 @@ def _match_descriptors(desc_a, valid_a, desc_b, valid_b):
 def _mutual_match(dist, valid_a, valid_b, max_dist: int, ratio: float):
     return match_ops.match_mutual(
         dist, row_mask=valid_a, col_mask=valid_b, max_dist=max_dist, ratio=ratio
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("num_hyp", "px"))
-def _pose_from_3d3d(key, X_rig, X_world, uv, cam_T_ref, fxycxy, mask,
-                    num_hyp: int, px: float):
-    return ransac.ransac_kabsch(
-        key, X_rig, X_world, uv, cam_T_ref, fxycxy, mask,
-        num_hyp=num_hyp, px_thresh=px,
     )
 
 
@@ -168,26 +217,22 @@ def _track_step(
         rr.world_T_ref, X_world, cur_uv, cTr, f, with_lm & rr.inliers,
         sigma2=cur_sigma2,
     )
-    return (
-        ref.world_T_ref, ref.num_inliers, res.ok, res.idx, lm,
-        jnp.sum(res.ok), with_lm.sum(), rr.ok,
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("num_hyp", "px"))
-def _pose_from_2d3d(key, X_world, uv, cam_T_ref, fxycxy, mask,
-                    num_hyp: int, px: float):
-    return ransac.ransac_pnp(
-        key, X_world, uv, cam_T_ref, fxycxy, mask,
-        num_hyp=num_hyp, px_thresh=px,
-    )
-
-
-@jax.jit
-def _refine_pose(T_init, X_world, uv, cam_T_ref, fxycxy, mask, sigma2):
-    return pose_opt.optimize_pose(
-        T_init, X_world, uv, cam_T_ref, fxycxy, mask, sigma2=sigma2
-    )
+    # pack EVERYTHING into one f32 vector: the host<->device tunnel charges
+    # a full round trip per fetched buffer, so one buffer = one RTT
+    M = lm.shape[0]
+    packed = jnp.concatenate([
+        ref.world_T_ref.reshape(16),
+        jnp.stack([
+            ref.num_inliers.astype(jnp.float32),
+            jnp.sum(res.ok).astype(jnp.float32),
+            with_lm.sum().astype(jnp.float32),
+            rr.ok.astype(jnp.float32),
+        ]),
+        res.ok.astype(jnp.float32),
+        res.idx.astype(jnp.float32),
+        lm.astype(jnp.float32),
+    ])
+    return packed
 
 
 @functools.partial(jax.jit, static_argnames=("image_wh", "radius", "max_dist"))
@@ -214,7 +259,12 @@ def _local_map_step(
         T_wr, X_world, im_uv, cTr, f, sel, sigma2=im_sigma2
     )
     lm_out = jnp.where(ref.inliers, lm, -1)
-    return ref.world_T_ref, lm_out, ref.inliers
+    # single packed buffer -> single tunnel round trip
+    return jnp.concatenate([
+        ref.world_T_ref.reshape(16),
+        lm_out.astype(jnp.float32),
+        ref.inliers.astype(jnp.float32),
+    ])
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "max_dist"))
@@ -284,6 +334,10 @@ class MultiCameraSLAM:
         self.kf_counter = 0
         self._key = jax.random.PRNGKey(seed)
         self.stats = {"frames": 0, "keyframes": 0, "failures": 0, "loops": 0}
+        from mcslam_tpu.utils.profiling import StageTimers
+
+        # per-stage span timers (reference logs chrono spans per stage)
+        self.timers = StageTimers()
         self.looper = None
         if vocab is not None:
             from mcslam_tpu.loop.detector import LoopCloser
@@ -317,7 +371,14 @@ class MultiCameraSLAM:
     # -- helpers ----------------------------------------------------------
 
     def _next_key(self):
-        self._key, k = jax.random.split(self._key)
+        # batch key generation: one split per 1024 frames instead of an
+        # eager device op per frame
+        if not hasattr(self, "_key_pool") or self._key_cursor >= 1024:
+            self._key, sub = jax.random.split(self._key)
+            self._key_pool = jax.random.split(sub, 1024)
+            self._key_cursor = 0
+        k = self._key_pool[self._key_cursor]
+        self._key_cursor += 1
         return k
 
     def _prev_kf(self) -> Optional[Keyframe]:
@@ -365,6 +426,7 @@ class MultiCameraSLAM:
         vd /= np.maximum(np.linalg.norm(vd, axis=-1, keepdims=True), 1e-9)
         ids = self._map_insert(X_world, desc, vd, kf.kf_id)
         kf.lm_id[sel] = ids
+        kf.lm_dirty()
         self.keyframes.append(kf)
         self.kf_counter += 1
         self.state = INITIALIZED
@@ -463,11 +525,16 @@ class MultiCameraSLAM:
         ids = self._map_insert(X[sel], desc, vd, kf1.kf_id)
         kf1.lm_id[sel] = ids
         kf0.lm_id[idx[sel]] = ids
+        kf0.lm_dirty(); kf1.lm_dirty()
         self.keyframes.extend([kf0, kf1])
         self.state = INITIALIZED
         self.stats["keyframes"] += 2
         self.cur_pose = pose1.astype(np.float32)
         self._mono_pending = None
+        # polish the seed map immediately: a bad RANSAC draw otherwise
+        # poisons everything downstream (two-view BA over the init pair)
+        self._run_window_ba()
+        self.cur_pose = kf1.world_T_ref.copy()
         if self.use_imu:
             for kf, t in ((kf0, pts_t), (kf1, timestamp)):
                 self.kf_time[kf.kf_id] = t
@@ -481,30 +548,33 @@ class MultiCameraSLAM:
         (each host round trip costs tens of ms through a tunneled TPU).
         Returns (ok, pose, match_result, lm_of_match)."""
         cfg = self.cfg
-        pose_d, n_inl_d, ok_d, idx_d, lm_d, n_match_d, n_lm_d, rr_ok_d = (
-            _track_step(
+        with self.timers.span("track.dispatch"):
+            packed = _track_step(
                 self._next_key(), frame.im_desc, frame.im_valid,
                 frame.im_uv_ref, frame.im_anchor_cam, frame.im_sigma2,
                 frame.im_point3d, frame.im_has_depth,
-                jnp.asarray(kf.im_desc), jnp.asarray(kf.im_valid),
-                jnp.asarray(kf.lm_id), self.dmap.pos, self.dmap.valid,
+                kf.d_desc, kf.d_valid,
+                kf.d_lm_id(), self.dmap.pos, self.dmap.valid,
                 self.rig.cam_T_ref, self.rig.fxycxy,
                 cfg.ransac_hyps, cfg.ransac_px, cfg.inter_max_dist,
                 cfg.inter_ratio,
             )
-        )
-        # single synchronization point
-        n_matches = int(n_match_d)
-        ok = np.asarray(ok_d)
-        idx = np.asarray(idx_d)
-        lm_of_match = np.asarray(lm_d)
-        if n_matches < cfg.min_inter_matches:
+        # single synchronization point (one packed buffer = one round trip)
+        with self.timers.span("track.fetch"):
+            v = np.asarray(packed)
+        pose = v[:16].reshape(4, 4)
+        n_inl, n_matches, n_lm, rr_ok = v[16:20]
+        M = (len(v) - 20) // 3
+        ok = v[20 : 20 + M] > 0.5
+        idx = v[20 + M : 20 + 2 * M].astype(np.int32)
+        lm_of_match = v[20 + 2 * M :].astype(np.int32)
+        if int(n_matches) < cfg.min_inter_matches:
             return False, None, (ok, idx), lm_of_match
-        if int(n_lm_d) < cfg.min_pose_inliers or not bool(rr_ok_d):
+        if int(n_lm) < cfg.min_pose_inliers or rr_ok < 0.5:
             return False, None, (ok, idx), lm_of_match
-        if int(n_inl_d) < cfg.min_pose_inliers:
+        if int(n_inl) < cfg.min_pose_inliers:
             return False, None, (ok, idx), lm_of_match
-        return True, np.asarray(pose_d), (ok, idx), lm_of_match
+        return True, pose.astype(np.float32), (ok, idx), lm_of_match
 
     def _local_map_candidates(self):
         """Landmark ids seen by recent keyframes (covisible set)."""
@@ -528,7 +598,7 @@ class MultiCameraSLAM:
         n = len(cand)
         cand_pad = np.zeros(L, np.int32)
         cand_pad[:n] = cand
-        pose_d, lm_d, inl_d = _local_map_step(
+        packed = _local_map_step(
             jnp.asarray(pose), jnp.asarray(cand_pad),
             jnp.asarray(np.arange(L) < n),
             self.dmap.pos, self.dmap.desc,
@@ -537,8 +607,12 @@ class MultiCameraSLAM:
             self.rig.cam_T_ref, self.rig.fxycxy, self.rig.image_size,
             cfg.local_map_radius_px, cfg.local_map_max_dist,
         )
-        inl = np.asarray(inl_d)
-        return np.asarray(pose_d), np.asarray(lm_d), inl
+        v = np.asarray(packed)
+        new_pose = v[:16].reshape(4, 4).astype(np.float32)
+        M = (len(v) - 16) // 2
+        lm_match = v[16 : 16 + M].astype(np.int32)
+        inl = v[16 + M :] > 0.5
+        return new_pose, lm_match, inl
 
     def _need_keyframe(self, pose, n_tracked, n_tracked_prev) -> bool:
         kf = self._prev_kf()
@@ -563,6 +637,7 @@ class MultiCameraSLAM:
         # attach tracked landmarks
         sel = (lm_match >= 0) & inliers
         kf.lm_id[sel] = lm_match[sel]
+        kf.lm_dirty()
         vd = self.map.pos[lm_match[sel]] - pose[:3, 3]
         vd /= np.maximum(np.linalg.norm(vd, axis=-1, keepdims=True), 1e-9)
         self.map.add_observation(lm_match[sel], kf.kf_id, vd)
@@ -578,6 +653,7 @@ class MultiCameraSLAM:
             vd /= np.maximum(np.linalg.norm(vd, axis=-1, keepdims=True), 1e-9)
             ids = self._map_insert(X_world, desc, vd, kf.kf_id)
             kf.lm_id[np.nonzero(new_sel)[0]] = ids
+            kf.lm_dirty()
 
         # two-view landmarks from inter-frame matches without rig depth
         # (reference TriangulateNewLandmarks / mapping, FrontEnd.cpp:6465 —
@@ -622,6 +698,7 @@ class MultiCameraSLAM:
                     ids = self._map_insert(X[gsel], desc, vd, kf.kf_id)
                     kf.lm_id[gsel] = ids
                     prev_kf.lm_id[m_idx[gsel]] = ids
+                    kf.lm_dirty(); prev_kf.lm_dirty()
 
         self.keyframes.append(kf)
         self.kf_counter += 1
@@ -661,7 +738,8 @@ class MultiCameraSLAM:
                 self._close_loop(kf, det)
 
         # window BA
-        self._run_window_ba()
+        with self.timers.span("window_ba"):
+            self._run_window_ba()
 
     # -- loop closing ------------------------------------------------------
 
@@ -680,6 +758,7 @@ class MultiCameraSLAM:
                 # the freshly minted landmark duplicates an old one
                 self._map_delete([cur_lm])
             kf.lm_id[slot] = old_lm
+            kf.lm_dirty()
 
         # 2. pose graph: odometry edges + the loop edge
         N = len(self.keyframes)
@@ -744,22 +823,25 @@ class MultiCameraSLAM:
         if len(lm_ids) < 10:
             return
         lm_ids = lm_ids[: cfg.ba_lm_capacity]
-        slot_of = {int(l): s for s, l in enumerate(lm_ids)}
         L = cfg.ba_lm_capacity
-
-        obs_kf, obs_cam, obs_lm, obs_uv, obs_s2 = [], [], [], [], []
+        # vectorized observation-table assembly (python per-slot loops cost
+        # seconds per keyframe on a 1-core host)
+        slot_lookup = np.full(self.map.capacity, -1, np.int32)
+        slot_lookup[lm_ids] = np.arange(len(lm_ids), dtype=np.int32)
+        parts = []
         for wk, kf in enumerate(window):
-            has = np.nonzero(kf.lm_id >= 0)[0]
-            for m in has:
-                s = slot_of.get(int(kf.lm_id[m]))
-                if s is None:
-                    continue
-                for c in np.nonzero(kf.ray_valid[m])[0]:
-                    obs_kf.append(wk)
-                    obs_cam.append(c)
-                    obs_lm.append(s)
-                    obs_uv.append(kf.ray_uv[m, c])
-                    obs_s2.append(kf.ray_sigma2[m, c])
+            slots = slot_lookup[np.maximum(kf.lm_id, 0)]
+            m_ok = (kf.lm_id >= 0) & (slots >= 0)
+            mm, cc = np.nonzero(m_ok[:, None] & kf.ray_valid)
+            parts.append((
+                np.full(len(mm), wk, np.int32), cc.astype(np.int32),
+                slots[mm], kf.ray_uv[mm, cc], kf.ray_sigma2[mm, cc],
+            ))
+        obs_kf = np.concatenate([p[0] for p in parts])
+        obs_cam = np.concatenate([p[1] for p in parts])
+        obs_lm = np.concatenate([p[2] for p in parts])
+        obs_uv = np.concatenate([p[3] for p in parts])
+        obs_s2 = np.concatenate([p[4] for p in parts])
         O = cfg.ba_obs_capacity
         n_obs = min(len(obs_kf), O)
         if n_obs < 30:
@@ -1091,7 +1173,8 @@ class MultiCameraSLAM:
             return info
 
         kf_prev = self._prev_kf()
-        ok, pose, (m_ok, m_idx), lm_of_match = self._estimate_pose(frame, kf_prev)
+        with self.timers.span("track"):
+            ok, pose, (m_ok, m_idx), lm_of_match = self._estimate_pose(frame, kf_prev)
         if not ok:
             self.track_failures += 1
             self.stats["failures"] += 1
@@ -1103,7 +1186,8 @@ class MultiCameraSLAM:
             return info
         self.track_failures = 0
 
-        pose, lm_match, inliers = self._track_local_map(frame, pose)
+        with self.timers.span("local_map"):
+            pose, lm_match, inliers = self._track_local_map(frame, pose)
         n_tracked = int(((lm_match >= 0) & inliers).sum())
         info["tracked"] = n_tracked
 
@@ -1112,10 +1196,11 @@ class MultiCameraSLAM:
 
         prev_tracked = int((kf_prev.lm_id >= 0).sum())
         if self._need_keyframe(pose, n_tracked, prev_tracked):
-            self._insert_keyframe(
-                frame, timestamp, pose, lm_match, inliers,
-                inter=(m_ok, m_idx, kf_prev),
-            )
+            with self.timers.span("keyframe"):
+                self._insert_keyframe(
+                    frame, timestamp, pose, lm_match, inliers,
+                    inter=(m_ok, m_idx, kf_prev),
+                )
             info["keyframe"] = True
 
         self._record_pose(timestamp)
