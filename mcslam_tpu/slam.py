@@ -786,7 +786,13 @@ class MultiCameraSLAM:
             edge_valid=jnp.ones(E, bool),
             anchor=jnp.asarray(0, jnp.int32),
         )
-        poses_new = np.asarray(pgo.pgo_solve(graph, iters=8))
+        if self.rig.num_cams == 1:
+            # monocular: scale drifts too — relax over Sim(3) (the rig
+            # pipeline is metric, SE(3) suffices there)
+            poses7, _scales = pgo.pgo_solve_sim3(graph, iters=8)
+            poses_new = np.asarray(poses7)
+        else:
+            poses_new = np.asarray(pgo.pgo_solve(graph, iters=8))
 
         # 3. re-anchor landmarks with their first-observing keyframe
         valid_ids = np.nonzero(self.map.valid)[0]
