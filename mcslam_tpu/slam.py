@@ -65,6 +65,9 @@ class SlamConfig:
     ba_lm_capacity: int = 2048
     # failure handling
     max_track_failures: int = 2  # reference num_trials_to_track
+    # async backend: defer BA write-back to the next keyframe (hides the
+    # whole solve latency behind tracking; slightly stale corrections)
+    async_ba: bool = False
     # inertial
     imu_init_samples: int = 200  # reference collects >= 200 before alignment
 
@@ -750,6 +753,8 @@ class MultiCameraSLAM:
         correction through ISAM2 + smart-factor re-triangulation)."""
         from mcslam_tpu.backend import pgo
 
+        # an in-flight window BA linearized at pre-loop poses is invalid
+        self._finish_pending_ba()
         self.stats["loops"] += 1
         # 1. merge landmark identities: the query slots re-observe OLD lms
         for slot, old_lm in zip(det.query_slots, det.lm_ids):
@@ -815,6 +820,7 @@ class MultiCameraSLAM:
     # -- window bundle adjustment ----------------------------------------
 
     def _run_window_ba(self):
+        self._finish_pending_ba()  # consume the previous async solve
         cfg = self.cfg
         window = self.keyframes[-cfg.window_size:]
         if len(window) < 2:
@@ -895,13 +901,45 @@ class MultiCameraSLAM:
             kf_valid=jnp.asarray(kf_valid),
         )
         result = ba.ba_solve(problem, iters=cfg.ba_iters)
+        # DEFERRED write-back: the solve runs asynchronously on device; its
+        # results are fetched at the NEXT keyframe (or at finalize/loop
+        # closure), hiding the whole BA latency behind tracking. The
+        # reference runs its backend synchronously on the main thread —
+        # nothing in the math requires that.
+        self._pending_ba = (result, lm_ids, list(window))
+        if not cfg.async_ba:
+            self._finish_pending_ba()
 
+    def _finish_pending_ba(self):
+        pending = getattr(self, "_pending_ba", None)
+        if pending is None:
+            return
+        self._pending_ba = None
+        result, lm_ids, window = pending
+        old_last = window[-1].world_T_ref.copy()
         new_poses = np.asarray(result.poses)
         for wk, kf in enumerate(window):
             kf.world_T_ref = new_poses[wk]
         new_lms = np.asarray(result.landmarks)[: len(lm_ids)]
         self._map_update_positions(lm_ids, new_lms)
-        self.cur_pose = window[-1].world_T_ref.copy()
+        if self.cfg.async_ba:
+            # deferred landing: retro-correct every pose recorded since the
+            # window's last keyframe by the correction it received
+            delta = (new_poses[len(window) - 1] @ np.linalg.inv(old_last))
+            t_kf = window[-1].timestamp
+            for i in range(len(self.trajectory) - 1, -1, -1):
+                t, p = self.trajectory[i]
+                if t < t_kf:
+                    break
+                self.trajectory[i] = (t, (delta @ p).astype(np.float32))
+            self.cur_pose = (delta @ self.cur_pose).astype(np.float32)
+        else:
+            self.cur_pose = window[-1].world_T_ref.copy()
+
+    def _discard_pending_ba(self):
+        """Drop an in-flight BA (its linearization is invalidated, e.g. by a
+        loop-closure pose-graph correction)."""
+        self._pending_ba = None
 
     def _run_window_ba_vio(self, window, obs, poses, kf_valid, lms, lm_valid,
                            lm_ids):
@@ -1214,7 +1252,12 @@ class MultiCameraSLAM:
 
     # -- outputs ----------------------------------------------------------
 
+    def finalize(self):
+        """Flush asynchronous backend work (call before reading poses/map)."""
+        self._finish_pending_ba()
+
     def trajectory_arrays(self):
+        self.finalize()
         ts = np.array([t for t, _ in self.trajectory])
         poses = np.stack([p for _, p in self.trajectory])
         return ts, poses
