@@ -88,20 +88,22 @@ class LiveRig:
         stopped / timed out. imu_slice = (ts, gyro, accel) arrays of all IMU
         samples up to t; gps_slice likewise (reference share_imu_data).
         """
-        # anchor on camera 0
-        if not self._cams[0].wait_nonempty(timeout):
-            return None
-        with self._cams[0].mu:
-            if not self._cams[0].q:
+        # anchor on camera 0; loop (not recurse) over unmatched anchors so a
+        # stalled/late camera on a long-running session cannot blow the
+        # Python recursion limit
+        while True:
+            if not self._cams[0].wait_nonempty(timeout):
                 return None
-            t0, img0 = self._cams[0].q.popleft()
-        if img0 is None:
-            return None  # stop sentinel — queues drained
-        out = self._assemble(t0, img0, timeout)
-        if out is None:
+            with self._cams[0].mu:
+                if not self._cams[0].q:
+                    return None
+                t0, img0 = self._cams[0].q.popleft()
+            if img0 is None:
+                return None  # stop sentinel — queues drained
+            out = self._assemble(t0, img0, timeout)
+            if out is not None:
+                return out
             # unmatched group (async camera start): try the next anchor
-            return self.get_next(timeout)
-        return out
 
     def _assemble(self, t0, img0, timeout):
         imgs = [img0]

@@ -20,17 +20,23 @@ _SRC_DIR = Path(__file__).parent.parent.parent / "native"
 
 
 def build(force: bool = False) -> bool:
-    """Compile the native loader if needed. Returns availability."""
-    if _LIB_PATH.exists() and not force:
-        return True
-    if not (_SRC_DIR / "loader.cpp").exists():
-        return False
+    """Compile the native loader from source. Returns availability.
+
+    The .so is NOT committed; `make` owns the staleness check (rebuilds
+    whenever loader.cpp is newer than the library), so source edits are
+    always picked up. An existing library is only trusted when no
+    toolchain/source is available to rebuild it.
+    """
+    src = _SRC_DIR / "loader.cpp"
+    if not src.exists():
+        return _LIB_PATH.exists()
     try:
-        subprocess.run(
-            ["make", "-C", str(_SRC_DIR)], check=True, capture_output=True
-        )
+        cmd = ["make", "-C", str(_SRC_DIR)]
+        if force:
+            cmd.insert(1, "-B")
+        subprocess.run(cmd, check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):
-        return False
+        return _LIB_PATH.exists() and not force
     return _LIB_PATH.exists()
 
 
@@ -41,7 +47,7 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() and not build():
+    if not build():
         raise OSError("native loader unavailable (libmcloader.so missing)")
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.loader_create.restype = ctypes.c_void_p

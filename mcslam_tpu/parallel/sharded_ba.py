@@ -27,9 +27,13 @@ from mcslam_tpu.geometry import lie
 AXIS = "obs"
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, platform: str | None = None) -> Mesh:
+    devs = jax.devices(platform) if platform else jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"mesh needs {n} devices, platform has {len(devs)}"
+        )
     return Mesh(devs[:n], axis_names=(AXIS,))
 
 
@@ -102,6 +106,136 @@ def sharded_lm_step(
         return new_poses, new_lms
 
     return step(
+        poses, landmarks, lm_valid, kf_valid,
+        obs.kf, obs.cam, obs.lm, obs.uv, obs.sigma2, obs.valid,
+        cam_T_ref, fxycxy, prior_H, prior_b,
+    )
+
+
+def sharded_ba_solve(
+    mesh: Mesh,
+    poses: jax.Array,  # (K, 4, 4) replicated
+    landmarks: jax.Array,  # (L, 3) replicated
+    lm_valid: jax.Array,  # (L,)
+    kf_valid: jax.Array,  # (K,)
+    obs: ba_mod.BAObservations,  # arrays sharded on axis 0 across mesh
+    cam_T_ref: jax.Array,
+    fxycxy: jax.Array,
+    prior_H: jax.Array,
+    prior_b: jax.Array,
+    iters: int = 10,
+    huber_px: float = 2.5,
+    init_lambda: float = 1e-4,
+    chi2_thresh: float = 5.991,
+    gate_rounds: int = 2,
+):
+    """Full sharded LM solve with the same semantics as `ba_mod.ba_solve`:
+    accept/reject damping per iteration and hard chi2 outlier removal
+    between `gate_rounds` passes (reference removes chi2(5.991) outlier
+    factors between optimization rounds, FrontEnd.cpp:4272-4408).
+
+    The whole solve — scan over LM iterations, gate rounds, cost
+    accept/reject — runs inside ONE shard_map: each device assembles the
+    normal equations for its observation shard, psums them over ICI, and
+    solves the tiny replicated Schur system locally. Costs are psum-reduced
+    scalars, so accept/reject decisions are identical on every device.
+
+    Returns (poses, landmarks, obs_inliers [sharded], cost, num_inliers) —
+    matching `ba_mod.BAResult` field order.
+    """
+    K = poses.shape[0]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(),  # poses, landmarks, lm_valid, kf_valid
+            P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),  # obs
+            P(), P(), P(), P(),  # cam_T_ref, fxycxy, prior_H, prior_b
+        ),
+        out_specs=(P(), P(), P(AXIS), P(), P()),
+        check_rep=False,
+    )
+    def solve(poses, landmarks, lm_valid, kf_valid,
+              o_kf, o_cam, o_lm, o_uv, o_sig2, o_valid,
+              cam_T_ref, fxycxy, prior_H, prior_b):
+        def local_system(poses, lms, obs_valid):
+            obs_local = ba_mod.BAObservations(
+                kf=o_kf, cam=o_cam, lm=o_lm, uv=o_uv, sigma2=o_sig2,
+                valid=obs_valid,
+            )
+            problem = ba_mod.BAProblem(
+                poses=poses, landmarks=lms, lm_valid=lm_valid,
+                obs=obs_local, cam_T_ref=cam_T_ref, fxycxy=fxycxy,
+                prior_H=jnp.zeros_like(prior_H),
+                prior_b=jnp.zeros_like(prior_b), kf_valid=kf_valid,
+            )
+            r, Jp, Jl, w = ba_mod._residuals_and_jacobians(problem, huber_px)
+            Hpp, gp, Hll, gl, Wc = ba_mod._assemble(problem, r, Jp, Jl, w)
+            cost = jax.lax.psum(jnp.sum(w * jnp.sum(r * r, axis=-1)), AXIS)
+            Hpp = jax.lax.psum(Hpp, AXIS) + prior_H
+            gp = jax.lax.psum(gp, AXIS) + prior_b
+            Hll = jax.lax.psum(Hll, AXIS)
+            gl = jax.lax.psum(gl, AXIS)
+            Wc = jax.lax.psum(Wc, AXIS)
+            return (Hpp, gp, Hll, gl, Wc), cost, r
+
+        def local_cost(poses, lms, obs_valid):
+            obs_local = ba_mod.BAObservations(
+                kf=o_kf, cam=o_cam, lm=o_lm, uv=o_uv, sigma2=o_sig2,
+                valid=obs_valid,
+            )
+            problem = ba_mod.BAProblem(
+                poses=poses, landmarks=lms, lm_valid=lm_valid,
+                obs=obs_local, cam_T_ref=cam_T_ref, fxycxy=fxycxy,
+                prior_H=jnp.zeros_like(prior_H),
+                prior_b=jnp.zeros_like(prior_b), kf_valid=kf_valid,
+            )
+            r, _, _, w = ba_mod._residuals_and_jacobians(problem, huber_px)
+            return jax.lax.psum(
+                jnp.sum(w * jnp.sum(r * r, axis=-1)), AXIS
+            ), r
+
+        def lm_pass(poses, lms, obs_valid):
+            def step(carry, _):
+                poses, lms, lam = carry
+                sys_, c_old, _ = local_system(poses, lms, obs_valid)
+                Hpp, gp, Hll, gl, Wc = sys_
+                dp, dl = ba_mod._schur_solve(
+                    Hpp, gp, Hll, gl, Wc, lam, lm_valid
+                )
+                new_poses = lie.se3_retract(poses, dp.reshape(K, 6))
+                new_lms = lms + dl
+                c_new, _ = local_cost(new_poses, new_lms, obs_valid)
+                improved = c_new < c_old
+                poses = jnp.where(improved, new_poses, poses)
+                lms = jnp.where(improved, new_lms, lms)
+                lam = jnp.clip(
+                    jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4
+                )
+                return (poses, lms, lam), jnp.minimum(c_new, c_old)
+
+            (poses, lms, _), costs = jax.lax.scan(
+                step,
+                (poses, lms, jnp.asarray(init_lambda, jnp.float32)),
+                None, length=iters,
+            )
+            return poses, lms, costs[-1]
+
+        obs_valid = o_valid
+        cost = jnp.asarray(0.0, jnp.float32)
+        for _ in range(gate_rounds):
+            poses, landmarks, cost = lm_pass(poses, landmarks, obs_valid)
+            _, r = local_cost(poses, landmarks, obs_valid)
+            chi2 = jnp.sum(r * r, axis=-1) / jnp.maximum(o_sig2, 1e-6)
+            obs_valid = obs_valid & (chi2 < chi2_thresh)
+
+        num_inliers = jax.lax.psum(
+            jnp.sum(obs_valid).astype(jnp.int32), AXIS
+        )
+        return poses, landmarks, obs_valid, cost, num_inliers
+
+    return solve(
         poses, landmarks, lm_valid, kf_valid,
         obs.kf, obs.cam, obs.lm, obs.uv, obs.sigma2, obs.valid,
         cam_T_ref, fxycxy, prior_H, prior_b,

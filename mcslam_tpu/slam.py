@@ -756,14 +756,34 @@ class MultiCameraSLAM:
         # an in-flight window BA linearized at pre-loop poses is invalid
         self._finish_pending_ba()
         self.stats["loops"] += 1
-        # 1. merge landmark identities: the query slots re-observe OLD lms
+        # 1. merge landmark identities: the query slots re-observe OLD lms.
+        # A freshly minted duplicate may be referenced by OTHER keyframes'
+        # lm_id tables too (tracked landmarks are multi-KF), so remap
+        # cur_lm -> old_lm everywhere BEFORE freeing the slot — otherwise
+        # the free list reuses the id and stale references alias an
+        # unrelated new landmark.
+        remap = {}
         for slot, old_lm in zip(det.query_slots, det.lm_ids):
-            cur_lm = kf.lm_id[slot]
+            cur_lm = int(kf.lm_id[slot])
             if cur_lm >= 0 and cur_lm != old_lm:
-                # the freshly minted landmark duplicates an old one
-                self._map_delete([cur_lm])
+                remap[cur_lm] = int(old_lm)
             kf.lm_id[slot] = old_lm
-            kf.lm_dirty()
+        kf.lm_dirty()
+        if remap:
+            remap_arr = np.arange(self.map.capacity, dtype=np.int32)
+            for cur, old in remap.items():
+                remap_arr[cur] = old
+            for k in self.keyframes:
+                m = k.lm_id >= 0
+                if m.any():
+                    new_ids = remap_arr[k.lm_id[m]]
+                    if np.any(new_ids != k.lm_id[m]):
+                        k.lm_id[m] = new_ids
+                        k.lm_dirty()
+            # merge observation counts, then free the duplicate slots
+            for cur, old in remap.items():
+                self.map.n_obs[old] += self.map.n_obs[cur]
+            self._map_delete(list(remap.keys()))
 
         # 2. pose graph: odometry edges + the loop edge
         N = len(self.keyframes)
@@ -794,23 +814,32 @@ class MultiCameraSLAM:
         if self.rig.num_cams == 1:
             # monocular: scale drifts too — relax over Sim(3) (the rig
             # pipeline is metric, SE(3) suffices there)
-            poses7, _scales = pgo.pgo_solve_sim3(graph, iters=8)
+            poses7, scales7 = pgo.pgo_solve_sim3(graph, iters=8)
             poses_new = np.asarray(poses7)
+            scales = np.asarray(scales7, np.float32)
         else:
             poses_new = np.asarray(pgo.pgo_solve(graph, iters=8))
+            scales = np.ones(N, np.float32)
 
-        # 3. re-anchor landmarks with their first-observing keyframe
+        # 3. re-anchor landmarks with their first-observing keyframe,
+        # applying the FULL Sim(3) correction of that keyframe:
+        #   X_new = s_i * R_new R_old^T (X_old - t_old) + t_new
+        # (SE(3) branch has s_i = 1). Dropping the scale leaves map points
+        # around scale-drifted keyframes inconsistent with the corrected
+        # trajectory (UPDATE_GATE rejections after closure).
         valid_ids = np.nonzero(self.map.valid)[0]
         first = self.map.first_kf[valid_ids]
         # kf_id -> index (vision KFs are appended 1:1)
         id2idx = {k.kf_id: i for i, k in enumerate(self.keyframes)}
         fidx = np.array([id2idx.get(int(f), 0) for f in first])
-        T_corr = np.einsum(
-            "nij,njk->nik", poses_new[fidx], np.linalg.inv(poses_old[fidx])
+        R_corr = np.einsum(
+            "nij,nkj->nik",
+            poses_new[fidx, :3, :3], poses_old[fidx, :3, :3],
         )
-        p = self.map.pos[valid_ids]
+        p = self.map.pos[valid_ids] - poses_old[fidx, :3, 3]
         self.map.pos[valid_ids] = (
-            np.einsum("nij,nj->ni", T_corr[:, :3, :3], p) + T_corr[:, :3, 3]
+            scales[fidx, None] * np.einsum("nij,nj->ni", R_corr, p)
+            + poses_new[fidx, :3, 3]
         )
         self.dmap.upsert(valid_ids, pos=self.map.pos[valid_ids])
         for i, k in enumerate(self.keyframes):

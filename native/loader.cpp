@@ -46,12 +46,22 @@ bool decode_pgm(FILE* f, std::vector<float>& out, int& w, int& h) {
     return fscanf(f, "%d", &v) == 1;
   };
   if (!read_int(w) || !read_int(h) || !read_int(maxv)) return false;
+  if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 65535) return false;
   fgetc(f);  // single whitespace after header
-  std::vector<uint8_t> buf((size_t)w * h);
-  if (fread(buf.data(), 1, buf.size(), f) != buf.size()) return false;
-  out.resize(buf.size());
+  const size_t n = (size_t)w * h;
+  out.resize(n);
   const float s = 1.0f / (float)maxv;
-  for (size_t i = 0; i < buf.size(); ++i) out[i] = buf[i] * s;
+  if (maxv > 255) {
+    // 16-bit P5: big-endian two-byte samples
+    std::vector<uint8_t> buf(n * 2);
+    if (fread(buf.data(), 1, buf.size(), f) != buf.size()) return false;
+    for (size_t i = 0; i < n; ++i)
+      out[i] = (float)((buf[2 * i] << 8) | buf[2 * i + 1]) * s;
+  } else {
+    std::vector<uint8_t> buf(n);
+    if (fread(buf.data(), 1, buf.size(), f) != buf.size()) return false;
+    for (size_t i = 0; i < n; ++i) out[i] = buf[i] * s;
+  }
   return true;
 }
 
@@ -75,6 +85,8 @@ bool decode_png_file(FILE* f, std::vector<float>& out, int& w, int& h) {
   png_byte color = png_get_color_type(png, info);
   png_byte depth = png_get_bit_depth(png, info);
   if (depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
   if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
   if (color == PNG_COLOR_TYPE_RGB || color == PNG_COLOR_TYPE_PALETTE ||

@@ -14,3 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The TPU-tunnel sitecustomize hooks jax import and PREPENDS its platform
+# to jax_platforms, overriding the env var — force it back after import
+# (backends are created lazily, so this is safe as long as it runs before
+# any jax computation, which conftest import order guarantees).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -97,6 +97,51 @@ def test_sharded_lm_step_matches_single_device():
     assert err1 < err0
 
 
+def test_sharded_ba_solve_matches_single_device():
+    """Full solve parity: damping accept/reject + chi2 gate rounds inside
+    shard_map must reproduce the single-device ba_solve trajectory."""
+    n = 4
+    mesh = sharded_ba.make_mesh(n)
+    poses_gt, lms_gt, poses0, lms0, obs, cam_T_ref, fxycxy = _toy_problem(n)
+    K, L = poses0.shape[0], lms0.shape[0]
+    prior_H = np.zeros((K * 6, K * 6), np.float32)
+    prior_H[:6, :6] = np.eye(6) * 1e6
+    obs_sharded = sharded_ba.shard_observations(mesh, obs)
+
+    sp, sl, s_inl, s_cost, s_nin = sharded_ba.sharded_ba_solve(
+        mesh, jnp.asarray(poses0), jnp.asarray(lms0), jnp.ones(L, bool),
+        jnp.ones(K, bool), obs_sharded, jnp.asarray(cam_T_ref),
+        jnp.asarray(fxycxy), jnp.asarray(prior_H),
+        jnp.zeros(K * 6, jnp.float32), iters=5, gate_rounds=2,
+    )
+
+    problem = ba.BAProblem(
+        poses=jnp.asarray(poses0), landmarks=jnp.asarray(lms0),
+        lm_valid=jnp.ones(L, bool), obs=obs,
+        cam_T_ref=jnp.asarray(cam_T_ref), fxycxy=jnp.asarray(fxycxy),
+        prior_H=jnp.asarray(prior_H), prior_b=jnp.zeros(K * 6, jnp.float32),
+        kf_valid=jnp.ones(K, bool),
+    )
+    ref = ba.ba_solve(problem, iters=5, gate_rounds=2)
+
+    # both converge to the ground truth; compare against each other with a
+    # tolerance covering f32 psum reduction-order differences
+    np.testing.assert_allclose(
+        np.asarray(sp), np.asarray(ref.poses), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sl), np.asarray(ref.landmarks), rtol=5e-2, atol=1e-2
+    )
+    assert int(s_nin) == int(ref.num_inliers)
+    # gate decisions identical (sharded inlier mask == reference mask)
+    np.testing.assert_array_equal(
+        np.asarray(s_inl), np.asarray(ref.obs_inliers)
+    )
+    # converged near ground truth
+    err = np.linalg.norm(np.asarray(sp)[1:, :3, 3] - poses_gt[1:, :3, 3])
+    assert err < 0.02
+
+
 def test_graft_dryrun_multichip():
     import importlib.util
 
