@@ -93,14 +93,18 @@ def main():
     jax.block_until_ready(pose_out)
 
     # ---- stage C: window BA (6 KFs, 2048 lms, 16384 obs) ----
-    K, L, O = 6, 2048, 16384
+    # kf-blocked observation layout + warm-window iteration budget: exactly
+    # what the SLAM driver (slam._run_window_ba) runs in steady state.
+    K, L = 6, 2048
+    Ok = 16384 // K
+    O = Ok * K  # blocked layout: O divisible by K
     rng = np.random.RandomState(0)
     ba_poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1))
     ba_lms = jnp.asarray(
         (rng.uniform(-6, 6, (L, 3)) + [0, 0, 8]).astype(np.float32)
     )
     obs = ba.BAObservations(
-        kf=jnp.asarray(rng.randint(0, K, O), jnp.int32),
+        kf=jnp.asarray(np.repeat(np.arange(K, dtype=np.int32), Ok)),
         cam=jnp.asarray(rng.randint(0, C, O), jnp.int32),
         lm=jnp.asarray(rng.randint(0, L, O), jnp.int32),
         uv=jnp.asarray(rng.uniform(0, W, (O, 2)).astype(np.float32)),
@@ -116,7 +120,9 @@ def main():
         prior_H=prior_H, prior_b=jnp.zeros(K * 6, jnp.float32),
         kf_valid=jnp.ones(K, bool),
     )
-    solve = jax.jit(lambda p: ba.ba_solve(p, iters=5, gate_rounds=2))
+    solve = jax.jit(
+        lambda p: ba.ba_solve(p, iters=3, gate_rounds=2, kf_blocked=True)
+    )
     res = solve(problem)
     jax.block_until_ready(res.poses)
 
@@ -144,7 +150,14 @@ def main():
     fps = 1.0 / per_frame
     print(
         f"# stage_a(frame build)={t_a*1e3:.2f}ms stage_b(track)={t_b*1e3:.2f}ms"
-        f" stage_c(BA)={t_c*1e3:.2f}ms -> {fps:.1f} fps",
+        f" stage_c(BA solve)={t_c*1e3:.2f}ms",
+        file=sys.stderr,
+    )
+    print(
+        f"# fps assumes BA amortized over kf_interval={kf_interval} frames "
+        f"(BA runs per keyframe, not per frame): per-frame = "
+        f"{t_a*1e3:.2f} + {t_b*1e3:.2f} + {t_c*1e3:.2f}/{kf_interval} ms "
+        f"-> {fps:.1f} fps",
         file=sys.stderr,
     )
     print(json.dumps({

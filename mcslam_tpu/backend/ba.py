@@ -131,23 +131,35 @@ def _residuals_and_jacobians(problem: BAProblem, huber_px: float):
     return r, Jp, Jl, w
 
 
-def _make_onehots(problem: BAProblem):
+def _make_onehots(problem: BAProblem, kf_blocked: bool = False):
     """Index-only segment-reduction matrices; constant across LM iterations."""
     K = problem.poses.shape[0]
     L = problem.landmarks.shape[0]
     obs = problem.obs
-    oh_k = (obs.kf[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)
+    if kf_blocked:
+        oh_k = None  # keyframe reduction is a plain block-sum
+    else:
+        oh_k = (obs.kf[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)
     oh_l = (obs.lm[:, None] == jnp.arange(L)[None, :]).astype(jnp.float32)
     return oh_k, oh_l
 
 
-def _assemble(problem: BAProblem, r, Jp, Jl, w, onehots=None):
+def _assemble(problem: BAProblem, r, Jp, Jl, w, onehots=None,
+              kf_blocked: bool = False):
     """Weighted normal equations with landmark Schur elimination prepared.
 
     All segment reductions are expressed as one-hot matmuls (MXU) rather
     than scatter-adds: TPU scatters lower to sorts and dominate the LM
     iteration; a (dims, O) x (O, K or L) matmul does the same reduction at
     full MXU throughput.
+
+    kf_blocked: the caller guarantees the observation table is laid out in
+    K contiguous blocks of size O//K with obs.kf[o] == o // (O//K). Then
+    every keyframe reduction is a plain block-sum, and the W cross term —
+    the FLOPs wall of the solve (K masked (O,18)x(O,L) matmuls at 1/K
+    useful density) — collapses to ONE batched (18,Ok)x(Ok,L) matmul per
+    keyframe block: a Kx FLOP reduction. The SLAM driver builds windows in
+    this layout natively (observations are collected per window keyframe).
     """
     K = problem.poses.shape[0]
     L = problem.landmarks.shape[0]
@@ -157,8 +169,8 @@ def _assemble(problem: BAProblem, r, Jp, Jl, w, onehots=None):
     Jlw = Jl * w[:, None, None]
 
     if onehots is None:
-        onehots = _make_onehots(problem)
-    oh_k, oh_l = onehots  # (O, K), (O, L)
+        onehots = _make_onehots(problem, kf_blocked)
+    oh_k, oh_l = onehots  # (O, K) or None, (O, L)
     # NOTE: bf16 inputs for these reductions were tried and REJECTED: both
     # the gradient and the Schur complement S = Hpp - W Hll^-1 W^T involve
     # heavy cancellation, and 0.4% rounding on the summands biased the
@@ -170,36 +182,52 @@ def _assemble(problem: BAProblem, r, Jp, Jl, w, onehots=None):
             preferred_element_type=jnp.float32,
         )  # (dims, K or L)
 
-    # pose-side block-diagonal + dense prior
     Hpp_blocks = jnp.einsum("ori,orj->oij", Jpw, Jp).reshape(O, 36)
-    Hpp = _reduce(Hpp_blocks, oh_k).T.reshape(K, 6, 6)
+    gp_blocks = jnp.einsum("ori,or->oi", Jpw, r)  # (O, 6)
+    T = jnp.einsum("ori,orj->oij", Jpw, Jl).reshape(O, 18)  # (O, 6*3)
+
+    if kf_blocked:
+        if O % K:
+            raise ValueError(
+                f"kf_blocked needs O ({O}) divisible by K ({K})"
+            )
+        Ok = O // K
+        # pose-side blocks: plain per-block sums
+        Hpp = Hpp_blocks.reshape(K, Ok, 36).sum(axis=1).reshape(K, 6, 6)
+        gp = gp_blocks.reshape(K, Ok, 6).sum(axis=1).reshape(K * 6)
+        # cross term: one batched matmul over the K blocks
+        Wc = jnp.einsum(
+            "koi,kol->kil",
+            T.reshape(K, Ok, 18),
+            oh_l.reshape(K, Ok, L),
+            preferred_element_type=jnp.float32,
+        ).reshape(K, 6, 3, L).transpose(0, 1, 3, 2)  # (K, 6, L, 3)
+    else:
+        Hpp = _reduce(Hpp_blocks, oh_k).T.reshape(K, 6, 6)
+        gp = jnp.einsum(
+            "oi,ok->ki", gp_blocks, oh_k.astype(r.dtype)
+        ).reshape(K * 6)
+        oh_k_b = (problem.obs.kf[:, None] == jnp.arange(K)[None, :])
+        Wc_list = []
+        for k in range(K):
+            Tk = jnp.where(oh_k_b[:, k : k + 1], T, 0.0)
+            Wk = _reduce(Tk, oh_l).T  # (L, 18)
+            Wc_list.append(Wk.reshape(L, 6, 3).transpose(1, 0, 2))
+        Wc = jnp.stack(Wc_list)  # (K, 6, L, 3)
+
     Hpp_dense = jax.scipy.linalg.block_diag(*[Hpp[k] for k in range(K)])
     Hpp_dense = Hpp_dense + problem.prior_H
+    gp = gp + problem.prior_b
 
     # gradients stay f32: at the optimum they are small sums of large
     # cancelling terms; bf16 rounding before the reduction biases the
     # fixed point (measured 3x worse pose error)
-    gp_blocks = jnp.einsum("ori,or->oi", Jpw, r)  # (O, 6)
-    gp = jnp.einsum("oi,ok->ki", gp_blocks, oh_k.astype(r.dtype)).reshape(K * 6)
-    gp = gp + problem.prior_b
-
-    # landmark blocks
     Hll = _reduce(
         jnp.einsum("ori,orj->oij", Jlw, Jl).reshape(O, 9), oh_l
     ).T.reshape(L, 3, 3)
     gl = jnp.einsum(
         "oi,ol->li", jnp.einsum("ori,or->oi", Jlw, r), oh_l.astype(r.dtype)
     )
-
-    # cross term W: (K, 6, L, 3) — per-keyframe masked matmul over landmarks
-    T = jnp.einsum("ori,orj->oij", Jpw, Jl).reshape(O, 18)  # (O, 6*3)
-    oh_k_f = (problem.obs.kf[:, None] == jnp.arange(K)[None, :])
-    Wc_list = []
-    for k in range(K):
-        Tk = jnp.where(oh_k_f[:, k : k + 1], T, 0.0)
-        Wk = _reduce(Tk, oh_l).T  # (L, 18)
-        Wc_list.append(Wk.reshape(L, 6, 3).transpose(1, 0, 2))
-    Wc = jnp.stack(Wc_list)  # (K, 6, L, 3)
     return Hpp_dense, gp, Hll, gl, Wc
 
 
@@ -232,7 +260,7 @@ def _total_cost(problem: BAProblem, huber_px: float):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "gate_rounds")
+    jax.jit, static_argnames=("iters", "gate_rounds", "kf_blocked")
 )
 def ba_solve(
     problem: BAProblem,
@@ -241,14 +269,18 @@ def ba_solve(
     init_lambda: float = 1e-4,
     chi2_thresh: float = 5.991,
     gate_rounds: int = 2,
+    kf_blocked: bool = False,
 ) -> BAResult:
     """LM with accept/reject damping, run in `gate_rounds` passes with hard
     chi2 outlier removal between passes (the reference removes chi2(5.991)
     outlier factors between optimization rounds, FrontEnd.cpp:4272-4408 /
-    Backend window cleanup)."""
+    Backend window cleanup).
+
+    kf_blocked=True enables the blocked fast assembly (see _assemble);
+    the caller must lay out observations in K contiguous equal blocks."""
     K = problem.poses.shape[0]
 
-    onehots = _make_onehots(problem)
+    onehots = _make_onehots(problem, kf_blocked)
 
     def lm_pass(poses, lms, obs_valid, n_iters):
         prob = problem._replace(obs=problem.obs._replace(valid=obs_valid))
@@ -257,7 +289,8 @@ def ba_solve(
             poses, lms, lam = carry
             p = prob._replace(poses=poses, landmarks=lms)
             r, Jp, Jl, w = _residuals_and_jacobians(p, huber_px)
-            Hpp, gp, Hll, gl, Wc = _assemble(p, r, Jp, Jl, w, onehots)
+            Hpp, gp, Hll, gl, Wc = _assemble(p, r, Jp, Jl, w, onehots,
+                                             kf_blocked)
             dp, dl = _schur_solve(Hpp, gp, Hll, gl, Wc, lam, problem.lm_valid)
             new_poses = lie.se3_retract(poses, dp.reshape(K, 6))
             new_lms = lms + dl

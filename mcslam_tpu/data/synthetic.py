@@ -69,6 +69,48 @@ def smooth_trajectory(num_frames: int, radius: float = 4.0, height: float = 0.0,
     return poses
 
 
+def loop_trajectory(num_frames: int, radius: float = 5.0,
+                    revisit_frames: int = 6, seed: int = 0,
+                    drift: float = 0.0):
+    """Closed circular trajectory: the camera rides a circle of `radius`
+    facing tangentially (direction of travel) and completes one full turn
+    in (num_frames - revisit_frames) frames, then re-traverses the start —
+    the geometry loop-closure tests need. Pair with `make_ring_landmarks`.
+
+    Returns (num_frames, 4, 4) world_T_ref float32."""
+    rng = np.random.RandomState(seed)
+    n_circle = num_frames - revisit_frames
+    poses = np.zeros((num_frames, 4, 4), np.float32)
+    jitter = rng.randn(num_frames, 3).cumsum(axis=0) * 0.0005
+    for k in range(num_frames):
+        a = 2.0 * np.pi * k / n_circle
+        pos = np.array(
+            [radius * np.sin(a), 0.1 * np.sin(3 * a), -radius * np.cos(a)],
+            np.float64,
+        ) + jitter[k] + drift * k * np.array([0.0, 0.001, 0.0])
+        yaw = np.pi / 2 - a  # camera +z along the tangent (travel direction)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float64)
+        poses[k, :3, :3] = R
+        poses[k, :3, 3] = pos
+        poses[k, 3, 3] = 1.0
+    return poses
+
+
+def make_ring_landmarks(num: int, radius: float = 11.0, seed: int = 1,
+                        y_spread: float = 4.0, radial_spread: float = 3.0):
+    """Landmarks on an annulus around the origin (for `loop_trajectory`:
+    a camera riding an inner circle facing tangentially always sees the
+    stretch of ring ahead of it)."""
+    rng = np.random.RandomState(seed)
+    theta = rng.uniform(0, 2 * np.pi, num)
+    r = radius + rng.uniform(-radial_spread, radial_spread, num)
+    y = rng.uniform(-y_spread / 2, y_spread / 2, num)
+    return np.stack(
+        [r * np.sin(theta), y, -r * np.cos(theta)], axis=-1
+    ).astype(np.float32)
+
+
 def make_landmarks(num: int, seed: int = 1, depth_range=(4.0, 14.0),
                    spread=(12.0, 6.0)):
     """Landmarks in a slab in front of the trajectory (world frame)."""

@@ -39,6 +39,9 @@ class LoopConfig:
     k_consistency: int = 2  # temporal consistency frames
     dislocal: int = 20  # exclude this many recent KFs
     island_gap: int = 3  # max id gap within an island
+    group_expiry: int = 3  # consistency groups die after this many KFs
+    #   without being extended (reference DLoopDetector expires stale
+    #   groups; a single below-threshold frame must not kill a group)
     min_matches: int = 20
     min_inliers: int = 12
     ransac_px: float = 5.0
@@ -69,7 +72,10 @@ class LoopCloser:
         self.bows: list[np.ndarray] = []  # per-KF dense BoW
         self.kf_ids: list[int] = []
         self._last_bow: Optional[np.ndarray] = None
-        self._consistent_groups: list[tuple[set, int]] = []  # (island ids, count)
+        # temporal-consistency groups: (island ids, count, last db size at
+        # which the group was extended) — groups expire after
+        # cfg.group_expiry keyframes without extension
+        self._consistent_groups: list[tuple[set, int, int]] = []
         self._key = jax.random.PRNGKey(seed)
 
     def _next_key(self):
@@ -114,6 +120,13 @@ class LoopCloser:
 
         n_db = len(self.bows)
         detection = LoopDetection(detected=False, query_kf=query_kf.kf_id)
+        # expire stale consistency groups on EVERY keyframe (also ones with
+        # no candidates — the reference expires groups not extended within
+        # the window; a candidate-less frame must age groups, not skip them)
+        self._consistent_groups = [
+            (g, c, last) for (g, c, last) in self._consistent_groups
+            if n_db - last <= cfg.group_expiry
+        ]
         usable = n_db - cfg.dislocal
         if usable > 0 and prev_bow is not None:
             nss = float(bow @ prev_bow)
@@ -123,7 +136,9 @@ class LoopCloser:
                 cand = np.nonzero(scores >= thresh)[0]
                 if len(cand):
                     best = self._best_island(cand, scores)
-                    if best is not None and self._temporally_consistent(best):
+                    if best is not None and self._temporally_consistent(
+                        best, n_db
+                    ):
                         island_best = int(best[np.argmax(scores[best])])
                         detection = self._verify(
                             query_kf, keyframes[island_best], lm_map
@@ -146,24 +161,30 @@ class LoopCloser:
         sums = [scores[i].sum() for i in islands]
         return islands[int(np.argmax(sums))]
 
-    def _temporally_consistent(self, island: np.ndarray) -> bool:
+    def _temporally_consistent(self, island: np.ndarray, n_db: int) -> bool:
         """Require cfg.k_consistency consecutive detections whose islands
-        overlap (reference getConsistentEntries semantics)."""
+        overlap (reference getConsistentEntries semantics). Groups the
+        current island does NOT extend survive until group_expiry — a
+        single below-threshold frame between two true detections must not
+        kill the evidence chain."""
         cfg = self.cfg
         ids = set(int(i) for i in island)
         matched = False
         new_groups = []
-        for group, count in self._consistent_groups:
+        extended = False
+        for group, count, last in self._consistent_groups:
             near = any(
                 abs(i - j) <= cfg.island_gap for i in ids for j in group
             )
-            if near:
-                new_groups.append((ids, count + 1))
+            if near and not extended:
+                extended = True
+                new_groups.append((ids, count + 1, n_db))
                 if count + 1 >= cfg.k_consistency:
                     matched = True
             else:
-                pass  # group dies
-        new_groups.append((ids, 1))
+                new_groups.append((group, count, last))  # ages until expiry
+        if not extended:
+            new_groups.append((ids, 1, n_db))
         self._consistent_groups = new_groups
         return matched or cfg.k_consistency <= 1
 

@@ -60,7 +60,8 @@ class SlamConfig:
     max_z: float = 60.0
     # window BA
     window_size: int = 6
-    ba_iters: int = 5  # per gate round (x2 rounds); warm-started windows
+    ba_iters: int = 3  # per gate round (x2 rounds); warm-started windows
+    ba_iters_cold: int = 8  # first solve after init / reinit / loop closure
     ba_obs_capacity: int = 16384
     ba_lm_capacity: int = 2048
     # failure handling
@@ -337,6 +338,7 @@ class MultiCameraSLAM:
         self.kf_counter = 0
         self._key = jax.random.PRNGKey(seed)
         self.stats = {"frames": 0, "keyframes": 0, "failures": 0, "loops": 0}
+        self._ba_warm = False  # adaptive LM budget: cold until a solve lands
         from mcslam_tpu.utils.profiling import StageTimers
 
         # per-stage span timers (reference logs chrono spans per stage)
@@ -756,6 +758,7 @@ class MultiCameraSLAM:
         # an in-flight window BA linearized at pre-loop poses is invalid
         self._finish_pending_ba()
         self.stats["loops"] += 1
+        self._ba_warm = False  # post-loop windows need the full LM budget
         # 1. merge landmark identities: the query slots re-observe OLD lms.
         # A freshly minted duplicate may be referenced by OTHER keyframes'
         # lm_id tables too (tracked landmarks are multi-KF), so remap
@@ -846,12 +849,131 @@ class MultiCameraSLAM:
             k.world_T_ref = poses_new[i]
         self.cur_pose = poses_new[-1].copy()
 
+        # 4. digest the loop evidence in BA (not just the rigid PGO bend):
+        # solve a window of [matched old KF] + recent KFs so the merged
+        # landmark observations constrain the optimizer directly (reference
+        # feeds loop measurements into the smart factors and lets ISAM2
+        # re-optimize, Backend.cpp:1871-1901). Gauge clamps the old KF.
+        recent = [
+            k for k in self.keyframes[-(self.cfg.window_size - 1):]
+            if k.kf_id != det.match_kf
+        ]
+        loop_window = [self.keyframes[match_idx]] + recent
+        self._solve_window(loop_window, force_sync=True, allow_vio=False)
+
+        # 5. re-triangulate landmarks from the corrected poses and prune
+        # degenerate ones (reference UpdateVariables_SmartFactors,
+        # Backend.cpp:3512-3749): after a global correction the map must be
+        # re-estimated, not merely rigidly moved.
+        self._retriangulate_landmarks()
+
+    def _retriangulate_landmarks(self, min_obs: int = 2, max_rays: int = 4):
+        """Re-triangulate every landmark observed by >= min_obs keyframes
+        from its observing keyframes' anchor-camera rays; landmarks whose
+        re-triangulation is degenerate (chi2 / cheirality / parallax fail)
+        are deleted and their keyframe references cleared (reference
+        deletes landmarks triangulateSafe marks invalid,
+        Backend.cpp:3591-3745). Runs on loop closure — rare — so host-side
+        gather cost is acceptable; the triangulation itself is one batched
+        device call."""
+        lm_p, uv_p, anc_p, sig_p, kfi_p = [], [], [], [], []
+        for i, k in enumerate(self.keyframes):
+            sel = np.nonzero((k.lm_id >= 0) & k.im_valid)[0]
+            lm_p.append(k.lm_id[sel])
+            uv_p.append(k.im_uv[sel])
+            anc_p.append(k.im_anchor_cam[sel])
+            sig_p.append(k.im_sigma2[sel])
+            kfi_p.append(np.full(len(sel), i, np.int32))
+        if not lm_p:
+            return
+        lm_all = np.concatenate(lm_p)
+        keep = self.map.valid[lm_all]
+        lm_all = lm_all[keep]
+        uv_all = np.concatenate(uv_p)[keep]
+        anc_all = np.concatenate(anc_p)[keep]
+        sig_all = np.concatenate(sig_p)[keep]
+        kfi_all = np.concatenate(kfi_p)[keep]
+        if len(lm_all) == 0:
+            return
+        order = np.argsort(lm_all, kind="stable")
+        lm_s = lm_all[order]
+        uniq, starts, counts = np.unique(
+            lm_s, return_index=True, return_counts=True
+        )
+        tgt = counts >= min_obs
+        uniq, starts, counts = uniq[tgt], starts[tgt], counts[tgt]
+        n = len(uniq)
+        if n == 0:
+            return
+        R = max_rays
+        idx_sel = np.zeros((n, R), np.int64)
+        ray_mask = np.zeros((n, R), bool)
+        for row in range(n):
+            s, c = starts[row], counts[row]
+            if c <= R:
+                idx_sel[row, :c] = order[s : s + c]
+                ray_mask[row, :c] = True
+            else:
+                # widest baseline: first and last observing keyframes
+                h1 = R // 2
+                idx_sel[row, :h1] = order[s : s + h1]
+                idx_sel[row, h1:] = order[s + c - (R - h1) : s + c]
+                ray_mask[row] = True
+        poses_all = np.stack([k.world_T_ref for k in self.keyframes])
+        inv_ctr = np.linalg.inv(np.asarray(self.rig.cam_T_ref))
+        anc = anc_all[idx_sel]
+        wTc = np.einsum(
+            "nrij,nrjk->nrik", poses_all[kfi_all[idx_sel]], inv_ctr[anc]
+        ).astype(np.float32)
+        uv = uv_all[idx_sel].astype(np.float32)
+        f = np.asarray(self.rig.fxycxy)[anc].astype(np.float32)
+        sig = np.maximum(sig_all[idx_sel], 1e-3).astype(np.float32)
+        # pad rows to a power-of-two bucket so eager jit shapes stay few
+        npad = 16
+        while npad < n:
+            npad *= 2
+        def padrows(a):
+            out = np.zeros((npad,) + a.shape[1:], a.dtype)
+            out[:n] = a
+            return out
+        X, ok = _triangulate_pairs(
+            jnp.asarray(padrows(wTc)), jnp.asarray(padrows(uv)),
+            jnp.asarray(padrows(f)), jnp.asarray(padrows(ray_mask)),
+            jnp.asarray(padrows(sig)),
+        )
+        X = np.asarray(X)[:n]
+        ok = np.asarray(ok)[:n]
+        good = uniq[ok]
+        if len(good):
+            # direct write: loop corrections legitimately exceed UPDATE_GATE
+            self.map.pos[good] = X[ok]
+            self.dmap.upsert(good, pos=X[ok])
+        bad = uniq[~ok]
+        if len(bad):
+            drop = np.zeros(self.map.capacity, bool)
+            drop[bad] = True
+            for k in self.keyframes:
+                m = (k.lm_id >= 0) & drop[np.maximum(k.lm_id, 0)]
+                if m.any():
+                    k.lm_id[m] = -1
+                    k.lm_dirty()
+            self._map_delete(bad)
+
     # -- window bundle adjustment ----------------------------------------
 
     def _run_window_ba(self):
         self._finish_pending_ba()  # consume the previous async solve
+        window = self.keyframes[-self.cfg.window_size:]
+        self._solve_window(window)
+
+    def _solve_window(self, window, force_sync=False, allow_vio=True):
+        """Window BA over an explicit keyframe list (gauge on window[0]).
+
+        _run_window_ba passes the trailing window; _close_loop passes
+        [matched old KF] + recent KFs so the loop's merged observations are
+        digested by the optimizer itself (reference addLoopClosure feeds
+        loop measurements into the smart factors, Backend.cpp:1871-1901)."""
         cfg = self.cfg
-        window = self.keyframes[-cfg.window_size:]
         if len(window) < 2:
             return
         K = cfg.window_size
@@ -866,40 +988,45 @@ class MultiCameraSLAM:
         lm_ids = lm_ids[: cfg.ba_lm_capacity]
         L = cfg.ba_lm_capacity
         # vectorized observation-table assembly (python per-slot loops cost
-        # seconds per keyframe on a 1-core host)
+        # seconds per keyframe on a 1-core host). The table is laid out in
+        # K contiguous blocks of Ok = O//K slots, one per window keyframe
+        # (kf_blocked layout): ba._assemble then reduces keyframe blocks by
+        # plain sums and computes the W cross term K-times cheaper.
         slot_lookup = np.full(self.map.capacity, -1, np.int32)
         slot_lookup[lm_ids] = np.arange(len(lm_ids), dtype=np.int32)
-        parts = []
+        Ok = cfg.ba_obs_capacity // K
+        O = Ok * K  # blocked layout needs O divisible by K
+        obs_kf = np.repeat(np.arange(K, dtype=np.int32), Ok)
+        obs_cam = np.zeros(O, np.int32)
+        obs_lm = np.zeros(O, np.int32)
+        obs_uv = np.zeros((O, 2), np.float32)
+        obs_s2 = np.ones(O, np.float32)
+        obs_val = np.zeros(O, bool)
+        n_obs = 0
         for wk, kf in enumerate(window):
             slots = slot_lookup[np.maximum(kf.lm_id, 0)]
             m_ok = (kf.lm_id >= 0) & (slots >= 0)
             mm, cc = np.nonzero(m_ok[:, None] & kf.ray_valid)
-            parts.append((
-                np.full(len(mm), wk, np.int32), cc.astype(np.int32),
-                slots[mm], kf.ray_uv[mm, cc], kf.ray_sigma2[mm, cc],
-            ))
-        obs_kf = np.concatenate([p[0] for p in parts])
-        obs_cam = np.concatenate([p[1] for p in parts])
-        obs_lm = np.concatenate([p[2] for p in parts])
-        obs_uv = np.concatenate([p[3] for p in parts])
-        obs_s2 = np.concatenate([p[4] for p in parts])
-        O = cfg.ba_obs_capacity
-        n_obs = min(len(obs_kf), O)
+            n = min(len(mm), Ok)
+            base = wk * Ok
+            obs_cam[base:base + n] = cc[:n]
+            obs_lm[base:base + n] = slots[mm[:n]]
+            obs_uv[base:base + n] = kf.ray_uv[mm[:n], cc[:n]]
+            obs_s2[base:base + n] = np.maximum(
+                kf.ray_sigma2[mm[:n], cc[:n]], 1e-3
+            )
+            obs_val[base:base + n] = True
+            n_obs += n
         if n_obs < 30:
             return
 
-        def pad(arr, dtype, shape_tail=()):
-            out = np.zeros((O,) + shape_tail, dtype)
-            out[:n_obs] = np.asarray(arr[:n_obs])
-            return out
-
         obs = ba.BAObservations(
-            kf=jnp.asarray(pad(obs_kf, np.int32)),
-            cam=jnp.asarray(pad(obs_cam, np.int32)),
-            lm=jnp.asarray(pad(obs_lm, np.int32)),
-            uv=jnp.asarray(pad(obs_uv, np.float32, (2,))),
-            sigma2=jnp.asarray(np.maximum(pad(obs_s2, np.float32), 1e-3)),
-            valid=jnp.asarray(np.arange(O) < n_obs),
+            kf=jnp.asarray(obs_kf),
+            cam=jnp.asarray(obs_cam),
+            lm=jnp.asarray(obs_lm),
+            uv=jnp.asarray(obs_uv),
+            sigma2=jnp.asarray(obs_s2),
+            valid=jnp.asarray(obs_val),
         )
         poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
         kf_valid = np.zeros(K, bool)
@@ -911,7 +1038,7 @@ class MultiCameraSLAM:
         lm_valid = np.zeros(L, bool)
         lm_valid[: len(lm_ids)] = True
 
-        if self.use_imu and self.imu_initialized:
+        if allow_vio and self.use_imu and self.imu_initialized:
             self._run_window_ba_vio(window, obs, poses, kf_valid, lms,
                                     lm_valid, lm_ids)
             return
@@ -929,14 +1056,19 @@ class MultiCameraSLAM:
             prior_b=jnp.zeros(K * 6, jnp.float32),
             kf_valid=jnp.asarray(kf_valid),
         )
-        result = ba.ba_solve(problem, iters=cfg.ba_iters)
+        # warm windows (previous solve landed, no loop/reinit since) are
+        # re-linearizations of an already-converged system: 2-3 LM steps
+        # per gate round suffice; cold windows get the full budget
+        iters = cfg.ba_iters if self._ba_warm else cfg.ba_iters_cold
+        result = ba.ba_solve(problem, iters=iters, kf_blocked=True)
+        self._ba_warm = True
         # DEFERRED write-back: the solve runs asynchronously on device; its
         # results are fetched at the NEXT keyframe (or at finalize/loop
         # closure), hiding the whole BA latency behind tracking. The
         # reference runs its backend synchronously on the main thread —
         # nothing in the math requires that.
         self._pending_ba = (result, lm_ids, list(window))
-        if not cfg.async_ba:
+        if force_sync or not cfg.async_ba:
             self._finish_pending_ba()
 
     def _finish_pending_ba(self):
@@ -1080,7 +1212,9 @@ class MultiCameraSLAM:
             kf_valid=jnp.asarray(kf_valid),
             g_norm=self.imu_params.g_norm,
         )
-        result = ba_vio.vio_solve(problem, iters=cfg.ba_iters)
+        iters = cfg.ba_iters if self._ba_warm else cfg.ba_iters_cold
+        result = ba_vio.vio_solve(problem, iters=iters)
+        self._ba_warm = True
 
         new_poses_body = np.asarray(result.poses)
         new_vels = np.asarray(result.vels)
@@ -1254,6 +1388,7 @@ class MultiCameraSLAM:
             if self.track_failures >= cfg.max_track_failures:
                 self.state = REINITIALIZING
                 self.track_failures = 0
+                self._ba_warm = False
             self._record_pose(timestamp)
             info["state"] = self.state
             return info

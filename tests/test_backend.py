@@ -220,3 +220,63 @@ def test_gravity_init():
     np.testing.assert_allclose(out, [0, 0, 1], atol=1e-3)
     np.testing.assert_allclose(np.asarray(bias[:3]), bias_g, atol=1e-3)
     np.testing.assert_allclose(np.asarray(bias[3:]), 0.0, atol=1e-2)
+
+
+def test_ba_kf_blocked_assembly_matches_generic():
+    """kf_blocked fast assembly must produce identical normal equations and
+    an identical full solve vs the generic one-hot path."""
+    problem, poses_gt, lms_gt = _make_ba_problem(K=4, L=64)
+    obs = problem.obs
+    K = problem.poses.shape[0]
+    O_orig = obs.kf.shape[0]
+    kf_np = np.asarray(obs.kf)
+    # re-lay out into K equal contiguous blocks
+    Ok = int(max(np.bincount(kf_np, minlength=K).max(), 1))
+    O = Ok * K
+    def blocked(arr, fill=0):
+        a = np.asarray(arr)
+        out = np.full((O,) + a.shape[1:], fill, a.dtype)
+        for k in range(K):
+            sel = np.nonzero(kf_np == k)[0]
+            out[k * Ok : k * Ok + len(sel)] = a[sel]
+        return out
+    valid_b = np.zeros(O, bool)
+    for k in range(K):
+        valid_b[k * Ok : k * Ok + int((kf_np == k).sum())] = True
+    obs_b = ba.BAObservations(
+        kf=jnp.asarray(np.repeat(np.arange(K, dtype=np.int32), Ok)),
+        cam=jnp.asarray(blocked(obs.cam)),
+        lm=jnp.asarray(blocked(obs.lm)),
+        uv=jnp.asarray(blocked(obs.uv)),
+        sigma2=jnp.asarray(blocked(obs.sigma2, 1)),
+        valid=jnp.asarray(valid_b),
+    )
+    prob_b = problem._replace(obs=obs_b)
+
+    # normal-equation parity at the initial linearization point
+    r, Jp, Jl, w = ba._residuals_and_jacobians(prob_b, 2.5)
+    ref = ba._assemble(prob_b, r, Jp, Jl, w, kf_blocked=False)
+    fast = ba._assemble(prob_b, r, Jp, Jl, w, kf_blocked=True)
+    names = ["Hpp", "gp", "Hll", "gl", "Wc"]
+    for name, a, b in zip(names, ref, fast):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4,
+            err_msg=name,
+        )
+
+    # full solve parity
+    res_ref = ba.ba_solve(prob_b, iters=4, gate_rounds=2, kf_blocked=False)
+    res_fast = ba.ba_solve(prob_b, iters=4, gate_rounds=2, kf_blocked=True)
+    # f32 reduction-order differences accumulate over the LM iterations;
+    # the linearized systems themselves match to 1e-4 above
+    np.testing.assert_allclose(
+        np.asarray(res_fast.poses), np.asarray(res_ref.poses), atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_fast.obs_inliers), np.asarray(res_ref.obs_inliers)
+    )
+    # and the blocked solve converges to ground truth
+    err = np.linalg.norm(
+        np.asarray(res_fast.poses)[1:, :3, 3] - poses_gt[1:, :3, 3]
+    )
+    assert err < 0.05
