@@ -68,6 +68,28 @@ def main(argv=None):
             print(f"[mc_slam_app] vocabulary load failed: {e}", file=sys.stderr)
 
     slam = MultiCameraSLAM(rig, slam_cfg, vocab=vocab)
+
+    # map-reuse session (reference relocal app mode, mc_slam_app.cpp:347-521):
+    # relocalization=true loads the saved map + BoW DB and localizes against
+    # it; fast_tracking=true adds per-frame prior-map tracking from the
+    # predicted pose (FrontEnd::startTrackingModule, FrontEnd.cpp:1570-1786)
+    if settings.relocalization:
+        if vocab is None:
+            print(
+                "[mc_slam_app] relocalization=true needs a vocabulary",
+                file=sys.stderr,
+            )
+            return 2
+        from mcslam_tpu.loop.reloc import Relocalizer
+        from mcslam_tpu.loop.tracking import FastTracker
+
+        reloc = Relocalizer(
+            vocab, rig, settings.raw["map_path"],
+            settings.raw["database_path"],
+        )
+        tracker = FastTracker(reloc) if settings.fast_tracking else None
+        slam.enable_relocalization(reloc, tracker)
+
     reader = build_reader(settings)
 
     log = None
@@ -108,9 +130,11 @@ def main(argv=None):
 
     traj_path = args.traj_file or settings.raw.get("traj_file", "trajectory.txt")
     slam.write_trajectory(traj_path)
-    if settings.raw.get("map_path"):
+    if settings.raw.get("map_path") and not settings.relocalization:
+        # (a reuse session localizes against map_path — don't clobber it)
         mapio.save_map_json(settings.raw["map_path"], slam.keyframes, slam.map)
-    if settings.raw.get("database_path") and slam.looper is not None:
+    if settings.raw.get("database_path") and slam.looper is not None \
+            and not settings.relocalization:
         slam.looper.save_database(settings.raw["database_path"])
     if log is not None:
         for kf in slam.keyframes:

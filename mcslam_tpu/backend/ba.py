@@ -195,13 +195,34 @@ def _assemble(problem: BAProblem, r, Jp, Jl, w, onehots=None,
         # pose-side blocks: plain per-block sums
         Hpp = Hpp_blocks.reshape(K, Ok, 36).sum(axis=1).reshape(K, 6, 6)
         gp = gp_blocks.reshape(K, Ok, 6).sum(axis=1).reshape(K * 6)
-        # cross term: one batched matmul over the K blocks
-        Wc = jnp.einsum(
+        # ONE landmark-axis matmul for W + Hll + gl: all three reduce the
+        # same (O,) payload against the same one-hot, so concatenating the
+        # payloads [T | Hll-blocks | gl-blocks] into (O, 30) reads the
+        # big (O, L) one-hot ONCE per iteration instead of three times
+        # (it is the dominant HBM traffic of the solve) and amortizes the
+        # skinny-M MXU padding across the fused payload.
+        payload = jnp.concatenate(
+            [
+                T,  # (O, 18)
+                jnp.einsum("ori,orj->oij", Jlw, Jl).reshape(O, 9),
+                jnp.einsum("ori,or->oi", Jlw, r),  # (O, 3)
+            ],
+            axis=1,
+        )  # (O, 30)
+        R = jnp.einsum(
             "koi,kol->kil",
-            T.reshape(K, Ok, 18),
+            payload.reshape(K, Ok, 30),
             oh_l.reshape(K, Ok, L),
             preferred_element_type=jnp.float32,
-        ).reshape(K, 6, 3, L).transpose(0, 1, 3, 2)  # (K, 6, L, 3)
+        )  # (K, 30, L)
+        Wc = R[:, :18, :].reshape(K, 6, 3, L).transpose(0, 1, 3, 2)
+        Hll = R[:, 18:27, :].sum(axis=0).T.reshape(L, 3, 3)
+        gl = R[:, 27:30, :].sum(axis=0).T  # (L, 3)
+
+        Hpp_dense = jax.scipy.linalg.block_diag(*[Hpp[k] for k in range(K)])
+        Hpp_dense = Hpp_dense + problem.prior_H
+        gp = gp + problem.prior_b
+        return Hpp_dense, gp, Hll, gl, Wc
     else:
         Hpp = _reduce(Hpp_blocks, oh_k).T.reshape(K, 6, 6)
         gp = jnp.einsum(
@@ -285,39 +306,54 @@ def ba_solve(
     def lm_pass(poses, lms, obs_valid, n_iters):
         prob = problem._replace(obs=problem.obs._replace(valid=obs_valid))
 
-        def step(carry, _):
-            poses, lms, lam = carry
+        def system(poses, lms):
             p = prob._replace(poses=poses, landmarks=lms)
             r, Jp, Jl, w = _residuals_and_jacobians(p, huber_px)
-            Hpp, gp, Hll, gl, Wc = _assemble(p, r, Jp, Jl, w, onehots,
-                                             kf_blocked)
-            dp, dl = _schur_solve(Hpp, gp, Hll, gl, Wc, lam, problem.lm_valid)
-            new_poses = lie.se3_retract(poses, dp.reshape(K, 6))
-            new_lms = lms + dl
-            c_old = jnp.sum(w * jnp.sum(r * r, axis=-1))  # reuse residuals
-            c_new = _total_cost(
-                prob._replace(poses=new_poses, landmarks=new_lms), huber_px
-            )
-            improved = c_new < c_old
-            poses = jnp.where(improved, new_poses, poses)
-            lms = jnp.where(improved, new_lms, lms)
-            lam = jnp.where(improved, lam * 0.3, lam * 5.0)
-            lam = jnp.clip(lam, 1e-8, 1e4)
-            return (poses, lms, lam), c_new
+            sys_ = _assemble(p, r, Jp, Jl, w, onehots, kf_blocked)
+            cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
+            return sys_, cost, r
 
-        (poses, lms, _), costs = jax.lax.scan(
-            step, (poses, lms, jnp.asarray(init_lambda, jnp.float32)),
+        # Deferred accept/reject: ONE linearization pass per iteration —
+        # the pass at the trial point doubles as the acceptance check of
+        # the previous step, and a rejected step re-solves the CARRIED
+        # system with a larger lambda (identical LM trajectory to the
+        # classic two-pass loop; the second residual pass was pure waste).
+        sys0, c0, r0 = system(poses, lms)
+
+        def step(carry, _):
+            b_poses, b_lms, b_sys, b_cost, b_r, lam = carry
+            dp, dl = _schur_solve(*b_sys, lam, problem.lm_valid)
+            t_poses = lie.se3_retract(b_poses, dp.reshape(K, 6))
+            t_lms = b_lms + dl
+            sys_t, c_t, r_t = system(t_poses, t_lms)
+            improved = c_t < b_cost
+            pick = lambda a, b: jax.tree.map(
+                lambda x, y: jnp.where(improved, x, y), a, b
+            )
+            b_poses = jnp.where(improved, t_poses, b_poses)
+            b_lms = jnp.where(improved, t_lms, b_lms)
+            b_sys = pick(sys_t, b_sys)
+            b_r = jnp.where(improved, r_t, b_r)
+            b_cost = jnp.minimum(c_t, b_cost)
+            lam = jnp.clip(
+                jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4
+            )
+            return (b_poses, b_lms, b_sys, b_cost, b_r, lam), c_t
+
+        (poses, lms, _, cost, r, _), _ = jax.lax.scan(
+            step,
+            (poses, lms, sys0, c0, r0, jnp.asarray(init_lambda, jnp.float32)),
             None, length=n_iters,
         )
-        return poses, lms, costs[-1]
+        return poses, lms, cost, r
 
     poses, lms = problem.poses, problem.landmarks
     obs_valid = problem.obs.valid
     cost = jnp.asarray(0.0, jnp.float32)
     for _ in range(gate_rounds):
-        poses, lms, cost = lm_pass(poses, lms, obs_valid, iters)
-        p = problem._replace(poses=poses, landmarks=lms)
-        r, _, _, _ = _residuals_and_jacobians(p, huber_px)
+        poses, lms, cost, r = lm_pass(poses, lms, obs_valid, iters)
+        # chi2 gate from the carried residuals at the accepted solution —
+        # no extra residual pass
         chi2 = jnp.sum(r * r, axis=-1) / jnp.maximum(problem.obs.sigma2, 1e-6)
         obs_valid = problem.obs.valid & (chi2 < chi2_thresh)
 

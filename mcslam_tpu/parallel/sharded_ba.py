@@ -180,53 +180,44 @@ def sharded_ba_solve(
             Wc = jax.lax.psum(Wc, AXIS)
             return (Hpp, gp, Hll, gl, Wc), cost, r
 
-        def local_cost(poses, lms, obs_valid):
-            obs_local = ba_mod.BAObservations(
-                kf=o_kf, cam=o_cam, lm=o_lm, uv=o_uv, sigma2=o_sig2,
-                valid=obs_valid,
-            )
-            problem = ba_mod.BAProblem(
-                poses=poses, landmarks=lms, lm_valid=lm_valid,
-                obs=obs_local, cam_T_ref=cam_T_ref, fxycxy=fxycxy,
-                prior_H=jnp.zeros_like(prior_H),
-                prior_b=jnp.zeros_like(prior_b), kf_valid=kf_valid,
-            )
-            r, _, _, w = ba_mod._residuals_and_jacobians(problem, huber_px)
-            return jax.lax.psum(
-                jnp.sum(w * jnp.sum(r * r, axis=-1)), AXIS
-            ), r
-
         def lm_pass(poses, lms, obs_valid):
+            # deferred accept/reject (mirrors ba_mod.ba_solve): one
+            # linearization + ONE psum round per iteration; a rejected
+            # step re-solves the carried (already reduced) system
+            sys0, c0, r0 = local_system(poses, lms, obs_valid)
+
             def step(carry, _):
-                poses, lms, lam = carry
-                sys_, c_old, _ = local_system(poses, lms, obs_valid)
-                Hpp, gp, Hll, gl, Wc = sys_
-                dp, dl = ba_mod._schur_solve(
-                    Hpp, gp, Hll, gl, Wc, lam, lm_valid
+                b_poses, b_lms, b_sys, b_cost, b_r, lam = carry
+                dp, dl = ba_mod._schur_solve(*b_sys, lam, lm_valid)
+                t_poses = lie.se3_retract(b_poses, dp.reshape(K, 6))
+                t_lms = b_lms + dl
+                sys_t, c_t, r_t = local_system(t_poses, t_lms, obs_valid)
+                improved = c_t < b_cost
+                pick = lambda a, b: jax.tree.map(
+                    lambda x, y: jnp.where(improved, x, y), a, b
                 )
-                new_poses = lie.se3_retract(poses, dp.reshape(K, 6))
-                new_lms = lms + dl
-                c_new, _ = local_cost(new_poses, new_lms, obs_valid)
-                improved = c_new < c_old
-                poses = jnp.where(improved, new_poses, poses)
-                lms = jnp.where(improved, new_lms, lms)
+                b_poses = jnp.where(improved, t_poses, b_poses)
+                b_lms = jnp.where(improved, t_lms, b_lms)
+                b_sys = pick(sys_t, b_sys)
+                b_r = jnp.where(improved, r_t, b_r)
+                b_cost = jnp.minimum(c_t, b_cost)
                 lam = jnp.clip(
                     jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4
                 )
-                return (poses, lms, lam), jnp.minimum(c_new, c_old)
+                return (b_poses, b_lms, b_sys, b_cost, b_r, lam), c_t
 
-            (poses, lms, _), costs = jax.lax.scan(
+            (poses, lms, _, cost, r, _), _ = jax.lax.scan(
                 step,
-                (poses, lms, jnp.asarray(init_lambda, jnp.float32)),
+                (poses, lms, sys0, c0, r0,
+                 jnp.asarray(init_lambda, jnp.float32)),
                 None, length=iters,
             )
-            return poses, lms, costs[-1]
+            return poses, lms, cost, r
 
         obs_valid = o_valid
         cost = jnp.asarray(0.0, jnp.float32)
         for _ in range(gate_rounds):
-            poses, landmarks, cost = lm_pass(poses, landmarks, obs_valid)
-            _, r = local_cost(poses, landmarks, obs_valid)
+            poses, landmarks, cost, r = lm_pass(poses, landmarks, obs_valid)
             chi2 = jnp.sum(r * r, axis=-1) / jnp.maximum(o_sig2, 1e-6)
             obs_valid = obs_valid & (chi2 < chi2_thresh)
 

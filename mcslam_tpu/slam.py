@@ -106,6 +106,38 @@ def _pack_kf(frame: FrameFeatures):
 class Keyframe:
     """Host-side keyframe record (small numpy arrays + landmark id table)."""
 
+    is_dummy = False  # GPS dummy keyframes override (no vision content)
+
+    @classmethod
+    def dummy(cls, kf_id, timestamp, world_T_ref, num_cams: int,
+              num_slots: int):
+        """IMU-predicted GPS keyframe with NO vision content (reference
+        dummy-KF ctor MultiCameraFrame.cpp:56-75 / insertKeyFrame overload
+        FrontEnd.cpp:1452-1484): a pure state node the window BA constrains
+        with IMU + GPS factors only."""
+        kf = cls.__new__(cls)
+        kf.kf_id = kf_id
+        kf.timestamp = timestamp
+        kf.world_T_ref = np.asarray(world_T_ref, np.float32)
+        kf.is_dummy = True
+        M, C = num_slots, num_cams
+        kf.im_desc = np.zeros((M, 8), np.uint32)
+        kf.im_uv = np.zeros((M, 2), np.float32)
+        kf.im_anchor_cam = np.zeros(M, np.int32)
+        kf.im_valid = np.zeros(M, bool)
+        kf.im_sigma2 = np.ones(M, np.float32)
+        kf.im_point3d = np.zeros((M, 3), np.float32)
+        kf.im_has_depth = np.zeros(M, bool)
+        kf.im_ray_idx = np.full((M, C), -1, np.int32)
+        kf.ray_uv = np.zeros((M, C, 2), np.float32)
+        kf.ray_sigma2 = np.ones((M, C), np.float32)
+        kf.ray_valid = np.zeros((M, C), bool)
+        kf.lm_id = np.full(M, -1, np.int32)
+        kf.d_desc = None
+        kf.d_valid = None
+        kf._d_lm_id = None
+        return kf
+
     def __init__(self, kf_id, timestamp, world_T_ref, frame: FrameFeatures):
         self.kf_id = kf_id
         self.timestamp = timestamp
@@ -339,6 +371,11 @@ class MultiCameraSLAM:
         self._key = jax.random.PRNGKey(seed)
         self.stats = {"frames": 0, "keyframes": 0, "failures": 0, "loops": 0}
         self._ba_warm = False  # adaptive LM budget: cold until a solve lands
+        # map-reuse session state (enable_relocalization)
+        self.relocalizer = None
+        self.fast_tracker = None
+        self._reloc_localized = False
+        self._reloc_delta = np.eye(4, dtype=np.float32)
         from mcslam_tpu.utils.profiling import StageTimers
 
         # per-stage span timers (reference logs chrono spans per stage)
@@ -387,7 +424,13 @@ class MultiCameraSLAM:
         return k
 
     def _prev_kf(self) -> Optional[Keyframe]:
-        return self.keyframes[-1] if self.keyframes else None
+        """Last VISION keyframe — GPS dummy KFs interleave in the keyframe
+        list and must be skipped when picking the tracking reference
+        (reference FrontEnd.cpp:5993-6003)."""
+        for kf in reversed(self.keyframes):
+            if not kf.is_dummy:
+                return kf
+        return None
 
     # host map + device mirror kept in lockstep
     def _map_insert(self, pos, desc, normal, kf_id):
@@ -1333,26 +1376,159 @@ class MultiCameraSLAM:
         self.E_T_V[:3, 3] = np.asarray(t)
         self.gps_initialized = True
 
+    # merge window: a GPS fix this close to a vision KF is attached to it
+    # rather than spawning a dummy KF (reference merges when within 10 ms
+    # and no IMU msgs between, Backend.cpp:2699-2741; our frame timestamps
+    # are coarser, so the window is wider)
+    GPS_MERGE_DT = 0.05
+
     def _attach_gps_to_kf(self, kf):
-        """Attach the closest buffered fix within the validity window
-        (reference validGPSmessage: in-window, moved >= 0.5 m)."""
+        """Attach a near-simultaneous buffered fix to this vision keyframe
+        (reference validGPSmessage gates: in-window, moved >= 0.5 m)."""
         if not self._gps_buf:
             return
-        best, best_dt = None, 0.5
+        best, best_t, best_dt = None, None, self.GPS_MERGE_DT
         for t, enu in self._gps_buf:
             dt = abs(t - kf.timestamp)
             if dt < best_dt:
-                best, best_dt = enu, dt
+                best, best_t, best_dt = enu, t, dt
         if best is not None:
-            prev = [v for v in self.kf_gps.values()]
-            if prev and np.linalg.norm(best - prev[-1]) < 0.5:
+            prev = getattr(self, "_gps_last_enu", None)
+            if prev is not None and np.linalg.norm(best - prev) < 0.5:
                 return
             self.kf_gps[kf.kf_id] = best
-        self._gps_buf = [
-            (t, e) for (t, e) in self._gps_buf if t > kf.timestamp - 1.0
-        ]
+            self._gps_last_enu = best
+            self._gps_buf = [
+                (t, e) for (t, e) in self._gps_buf if t != best_t
+            ]
+
+    def _process_gps_dummies(self, t_now: float):
+        """Create IMU-predicted dummy keyframes for valid GPS fixes that
+        fall BETWEEN vision keyframes (reference FrontEnd.cpp:1452-1484 +
+        Backend::addKeyframeGPS(true), Backend.cpp:1610-1642) — without
+        them, low-rate vision or vision dropout silently discards GPS
+        information. The dummy is a pure state node: the VIO window links
+        it to its neighbors with IMU factors and to the fix with a GPS
+        factor; it carries no vision observations."""
+        if not (self.use_imu and self.imu_initialized
+                and self.gps_initialized and self.keyframes):
+            return
+        from mcslam_tpu.backend import imu as imu_mod
+
+        body_T_cam0 = np.asarray(self.rig.body_T_cam)[0]
+        inv_btc0 = np.linalg.inv(body_T_cam0)
+        consumed = []
+        for t, enu in sorted(self._gps_buf):
+            last_kf = self.keyframes[-1]
+            if t <= last_kf.timestamp or t > t_now:
+                continue
+            prev = getattr(self, "_gps_last_enu", None)
+            if prev is not None and np.linalg.norm(enu - prev) < 0.5:
+                continue  # reference: reject fixes that barely moved
+            if t - last_kf.timestamp < self.GPS_MERGE_DT:
+                # near-simultaneous with the last keyframe: merge into it
+                # (reference change_vision_kf_info, Backend.cpp:2699-2741)
+                if last_kf.kf_id not in self.kf_gps:
+                    self.kf_gps[last_kf.kf_id] = enu
+                    self._gps_last_enu = enu
+                    consumed.append(t)
+                continue
+            pre = self._preintegrate_span(last_kf.timestamp, t)
+            if pre is None:
+                continue  # <3 IMU samples in the gap: no constraint
+            state = imu_mod.ImuState(
+                world_T_body=jnp.asarray(
+                    last_kf.world_T_ref @ inv_btc0, jnp.float32
+                ),
+                vel=jnp.asarray(
+                    self.kf_vel.get(last_kf.kf_id, np.zeros(3)), jnp.float32
+                ),
+                bias=jnp.asarray(self.bias, jnp.float32),
+            )
+            pred = imu_mod.predict(state, pre, self.imu_params)
+            pose_ref = (
+                np.asarray(pred.world_T_body) @ body_T_cam0
+            ).astype(np.float32)
+            M = last_kf.lm_id.shape[0]
+            kf = Keyframe.dummy(
+                self.kf_counter, t, pose_ref, self.rig.num_cams, M
+            )
+            self.kf_counter += 1
+            self.keyframes.append(kf)
+            self.stats["gps_dummy_kfs"] = (
+                self.stats.get("gps_dummy_kfs", 0) + 1
+            )
+            self.kf_time[kf.kf_id] = t
+            self._kf_preints[kf.kf_id] = (last_kf.kf_id, pre)
+            self.kf_vel[kf.kf_id] = np.asarray(pred.vel, np.float32)
+            self.kf_bias[kf.kf_id] = self.bias.copy()
+            self.kf_gps[kf.kf_id] = enu
+            self._gps_last_enu = enu
+            consumed.append(t)
+        if consumed:
+            self._gps_buf = [
+                (t, e) for (t, e) in self._gps_buf if t not in consumed
+            ]
+            # the new state nodes need the optimizer to see them
+            self._run_window_ba()
+        # prune fixes that can never attach anymore (post-init only;
+        # the Kabsch init needs the full buffer)
+        horizon = self.keyframes[-1].timestamp - 1.0
+        self._gps_buf = [(t, e) for (t, e) in self._gps_buf if t > horizon]
 
     # -- main entry -------------------------------------------------------
+
+    def enable_relocalization(self, relocalizer, fast_tracker=None):
+        """Switch to a map-reuse session (reference relocal app mode,
+        mc_slam_app.cpp:347-521): frames are localized against the SAVED
+        map instead of building a new one. While lost, every frame queries
+        the saved BoW DB + GP3P (checkGlobalRelocalization,
+        FrontEnd.cpp:1486); once localized, `fast_tracker` (when given)
+        tracks the prior map from the motion-predicted pose per frame
+        (startTrackingModule + refinePose, FrontEnd.cpp:1570-1786),
+        falling back to global relocalization on loss."""
+        self.relocalizer = relocalizer
+        self.fast_tracker = fast_tracker
+        self.stats.setdefault("relocalizations", 0)
+        self.stats.setdefault("fast_tracked", 0)
+
+    def _process_frame_reloc(self, frame: FrameFeatures, timestamp: float,
+                             info: dict) -> dict:
+        pose = None
+        if self._reloc_localized and self.fast_tracker is not None:
+            # constant-velocity prediction (the reference predicts with the
+            # IMU integrator when available; the motion model is its
+            # vision-only equivalent)
+            pred = (self.cur_pose @ self._reloc_delta).astype(np.float32)
+            with self.timers.span("fast_track"):
+                pose = self.fast_tracker.track(frame, pred)
+            if pose is not None:
+                self.stats["fast_tracked"] += 1
+        if pose is None:
+            with self.timers.span("relocalize"):
+                pose = self.relocalizer.relocalize(frame)
+            if pose is not None:
+                self.stats["relocalizations"] += 1
+                self._reloc_delta = np.eye(4, dtype=np.float32)
+        if pose is not None:
+            pose = np.asarray(pose, np.float32)
+            if self._reloc_localized:
+                self._reloc_delta = (
+                    np.linalg.inv(self.cur_pose) @ pose
+                ).astype(np.float32)
+            self.cur_pose = pose
+            self._reloc_localized = True
+            self.state = INITIALIZED
+            info["tracked"] = 1
+        else:
+            if self._reloc_localized:
+                self.stats["failures"] += 1
+            self._reloc_localized = False
+            self.state = REINITIALIZING
+        info["state"] = self.state
+        info["relocalized"] = pose is not None
+        self._record_pose(timestamp)
+        return info
 
     def process_frame(self, frame: FrameFeatures, timestamp: float,
                       imu=None, gps=None) -> dict:
@@ -1372,6 +1548,14 @@ class MultiCameraSLAM:
                 return info
         if gps is not None and self.use_gps:
             self._ingest_gps(gps)
+            if self.state == INITIALIZED:
+                # GPS fixes between vision keyframes become IMU-predicted
+                # dummy keyframes (reference process_GPS_frames,
+                # mc_slam_app.cpp:242-327)
+                self._process_gps_dummies(timestamp)
+
+        if self.relocalizer is not None:
+            return self._process_frame_reloc(frame, timestamp, info)
 
         if self.state != INITIALIZED:
             ok = self._initialize(frame, timestamp)

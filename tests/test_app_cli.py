@@ -55,6 +55,12 @@ def dataset(tmp_path_factory):
         KFBaselineThresholdTranslation: 0.2
         KFBaselineThresholdRotation: 0.1
     """))
+    from mcslam_tpu.loop import vocab as vocab_mod
+
+    voc = vocab_mod.Vocabulary.train(
+        synthetic.make_descriptors(2000, seed=21), k=6, depth=3, iters=3
+    )
+    voc.save(root / "vocab.npz")
     cfg = root / "app.cfg"
     cfg.write_text(textwrap.dedent(f"""
         data_path={root}
@@ -65,6 +71,8 @@ def dataset(tmp_path_factory):
         num_cams=2
         traj_file=traj.txt
         map_path=map.json
+        vocabulary=vocab.npz
+        database_path=db.npz
     """))
     return root, poses
 
@@ -85,3 +93,50 @@ def test_app_runs_end_to_end(dataset):
     ate = metrics.ate_rmse(est, poses)
     assert ate < 0.2, ate
     assert (root / "map.json").exists()
+    assert (root / "db.npz").exists()
+
+
+def test_app_relocalization_fast_tracking_round_trip(dataset):
+    """Map-reuse session (reference mc_slam_app relocal mode,
+    mc_slam_app.cpp:347-521): session A (test above) saved map.json +
+    db.npz; session B with relocalization=true + fast_tracking=true
+    localizes every frame against that map without building a new one."""
+    root, poses = dataset
+    import textwrap as tw
+
+    from mcslam_tpu.apps import mc_slam_app
+
+    assert (root / "map.json").exists(), "run after test_app_runs_end_to_end"
+    cfg_b = root / "reuse.cfg"
+    cfg_b.write_text(tw.dedent(f"""
+        data_path={root}
+        images_path={root}
+        calib_file_path=camchain.yaml
+        frontend_params_file=frontend.yaml
+        kalibr=true
+        num_cams=2
+        traj_file=traj_reloc.txt
+        map_path=map.json
+        vocabulary=vocab.npz
+        database_path=db.npz
+        relocalization=true
+        fast_tracking=true
+    """))
+    rc = mc_slam_app.main([
+        "--config_file", str(cfg_b),
+        "--traj_file", str(root / "traj_reloc.txt"),
+    ])
+    assert rc == 0
+    from mcslam_tpu.utils import metrics, tum
+
+    ts, est = tum.read_tum(root / "traj_reloc.txt")
+    assert len(ts) == 6
+    # localized against the prior map: trajectory matches ground truth
+    ate = metrics.ate_rmse(est, poses)
+    assert ate < 0.25, ate
+    # the saved map was NOT clobbered by the reuse session
+    import json
+
+    with open(root / "map.json") as f:
+        m = json.load(f)
+    assert len(m["keyframes"]) > 0

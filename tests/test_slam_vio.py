@@ -114,3 +114,92 @@ def test_gps_fused_pipeline():
     k0 = 6
     ate = metrics.ate_rmse(est[k0:], poses[k0:])
     assert ate < 0.12, ate
+
+
+def test_gps_dummy_keyframes_between_vision_kfs():
+    """GPS fixes that fall BETWEEN vision keyframes must spawn IMU-predicted
+    dummy keyframes carrying GPS factors (reference FrontEnd.cpp:1452-1484,
+    Backend.cpp:1610-1642) instead of being dropped; with degraded vision
+    the GPS-fused run must beat the vision+IMU-only run."""
+    fps = 20.0
+    num_frames = 30
+    rig, poses, imu_ts, gyro, accel, frames, _ = _vio_sequence(
+        num_frames=num_frames, seed=7
+    )
+    # degrade vision: strong pixel noise -> visible drift without GPS
+    lms = synthetic.make_landmarks(900, seed=8, depth_range=(5.0, 16.0))
+    descs = synthetic.make_descriptors(900, seed=9)
+    frames = synthetic.render_feature_frames(
+        rig, poses, lms, descs, kps_per_cam=320, px_noise=1.2,
+        desc_bit_noise=5, fps=fps, seed=10,
+    )
+    # GPS at intra-frame offsets (2 fixes per frame gap): timestamps that
+    # can never coincide with a vision keyframe
+    lat0, lon0, alt0 = 42.36, -71.06, 10.0
+    fixes_t, fixes_lla = [], []
+    for k in range(num_frames - 1):
+        for frac in (1.0 / 3.0, 2.0 / 3.0):
+            t = (k + frac) / fps
+            a = (1 - frac) * poses[k][:3, 3] + frac * poses[k + 1][:3, 3]
+            lat = lat0 + a[1] / 110_900.0
+            lon = lon0 + a[0] / (110_900.0 * np.cos(np.radians(lat0)))
+            fixes_t.append(t)
+            fixes_lla.append((lat, lon, alt0 + a[2]))
+    gps_t, gps_lla = np.array(fixes_t), np.array(fixes_lla)
+
+    imu_params = ImuParams(accel_noise=2e-3, gyro_noise=2e-4)
+
+    # LOW-RATE VISION: only every 3rd frame reaches the front end, while
+    # IMU + GPS stream at full rate — GPS fixes in the 150 ms vision gaps
+    # are exactly what the reference turns into dummy keyframes
+    step = 3
+    vision_ks = list(range(0, num_frames, step))
+
+    def run(with_gps):
+        cfg = SlamConfig(window_size=4, ba_obs_capacity=8192,
+                         ba_lm_capacity=1024, local_map_landmarks=1024,
+                         kf_translation=0.1, kf_rotation=0.08,
+                         imu_init_samples=40)
+        slam = MultiCameraSLAM(
+            rig, cfg, imu_params=imu_params,
+            gps_lever_arm=np.zeros(3) if with_gps else None,
+        )
+        t_prev = -1.0
+        for k in vision_ks:
+            f = frames[k]
+            t = k / fps
+            sel = (imu_ts > t_prev) & (imu_ts <= t)
+            ff = frame_mod.build_frame_from_keypoints(
+                jnp.asarray(f.uv), jnp.asarray(f.desc), jnp.asarray(f.valid),
+                rig, max_intra=1024,
+            )
+            kw = {}
+            if with_gps:
+                gsel = (gps_t > t_prev) & (gps_t <= t)
+                kw["gps"] = (gps_t[gsel], gps_lla[gsel])
+            slam.process_frame(
+                ff, f.timestamp, imu=(imu_ts[sel], gyro[sel], accel[sel]),
+                **kw,
+            )
+            t_prev = t
+        return slam
+
+    slam_gps = run(True)
+    assert slam_gps.state == INITIALIZED
+    # dummy keyframes were created at non-vision timestamps
+    assert slam_gps.stats.get("gps_dummy_kfs", 0) >= 1
+    dummies = [k for k in slam_gps.keyframes if k.is_dummy]
+    assert dummies
+    vision_ts = {k.timestamp for k in slam_gps.keyframes if not k.is_dummy}
+    for d in dummies:
+        assert d.timestamp not in vision_ts
+        assert d.kf_id in slam_gps.kf_gps  # carries a GPS factor
+
+    slam_vio = run(False)
+    ts_g, est_g = slam_gps.trajectory_arrays()
+    ts_v, est_v = slam_vio.trajectory_arrays()
+    gt = poses[vision_ks]
+    k0 = 3  # skip the IMU-init prefix
+    ate_g = metrics.ate_rmse(est_g[k0:], gt[k0:])
+    ate_v = metrics.ate_rmse(est_v[k0:], gt[k0:])
+    assert ate_g < ate_v, (ate_g, ate_v)
