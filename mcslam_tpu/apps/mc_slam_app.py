@@ -95,6 +95,9 @@ def main(argv=None):
     log = None
     if args.log_file or settings.raw.get("log_file"):
         log = mapio.GraphLogWriter(args.log_file or settings.raw["log_file"])
+        # imu_raw / g / k / m records stream during the run; x/l/e vision
+        # records are dumped below at session end
+        slam.attach_graph_log(log)
 
     imu_stream = gps_stream = None
     if settings.use_imu and settings.raw.get("imu_csv"):
@@ -138,7 +141,7 @@ def main(argv=None):
         slam.looper.save_database(settings.raw["database_path"])
     if log is not None:
         for kf in slam.keyframes:
-            log.pose(kf.kf_id, kf.world_T_ref)
+            log.pose(kf.kf_id, kf.world_T_ref, kf.timestamp)
             for m in np.nonzero(kf.lm_id >= 0)[0]:
                 log.edge(kf.kf_id, int(kf.im_anchor_cam[m]),
                          int(kf.lm_id[m]), float(kf.im_uv[m, 0]),

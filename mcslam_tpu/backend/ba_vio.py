@@ -54,6 +54,36 @@ class ImuFactors(NamedTuple):
     valid: jax.Array  # (F,) bool
 
 
+class BetweenFactors(NamedTuple):
+    """SE(3) relative-pose factors between window keyframes.
+
+    Used by the offline replay harness for 'k' loop-closure records (the
+    reference replay tool builds BetweenFactor<Pose3> from them with
+    betweenRotation/Translation noise, reduced_camera_system.cpp +
+    parameters.yaml) and available to the live path as a loop constraint.
+    """
+
+    i: jax.Array  # (B,) int32 window keyframe index
+    j: jax.Array  # (B,) int32 window keyframe index
+    rel: jax.Array  # (B, 4, 4) measured i_T_j
+    sigma_rot: jax.Array  # (B,) rad
+    sigma_trans: jax.Array  # (B,) m
+    valid: jax.Array  # (B,) bool
+
+
+def _between_residual(fb: BetweenFactors, idx, pose_i, pose_j):
+    """6-dim whitened log(rel^-1 * (T_i^-1 T_j))."""
+    err = lie.se3_inverse(fb.rel[idx]) @ (lie.se3_inverse(pose_i) @ pose_j)
+    r6 = lie.se3_log(err)
+    w = jnp.concatenate(
+        [
+            jnp.full(3, 1.0) / jnp.maximum(fb.sigma_rot[idx], 1e-6),
+            jnp.full(3, 1.0) / jnp.maximum(fb.sigma_trans[idx], 1e-6),
+        ]
+    )
+    return r6 * w
+
+
 class GpsFactors(NamedTuple):
     """GPS position factors: enu = E_T_V * (p_body + R_body t_bg)."""
 
@@ -80,6 +110,8 @@ class VioProblem(NamedTuple):
     prior_b: jax.Array  # (K*D+6,)
     kf_valid: jax.Array  # (K,)
     g_norm: float = 9.81
+    # SE(3) relative-pose constraints (loop 'k' records in replay)
+    between: BetweenFactors | None = None
 
 
 class VioResult(NamedTuple):
@@ -258,6 +290,47 @@ def _assemble_vio(problem: VioProblem, huber_px: float):
             jnp.einsum("gri,gr->gi", Jpw6, r3))
         g = g.at[ecols].add(jnp.sum(jnp.einsum("gri,gr->gi", Jew6, r3), axis=0))
 
+    # ---- SE(3) between factors (loop constraints in replay) ----
+    if problem.between is not None:
+        fb = problem.between
+
+        def one_between(idx):
+            i, j = fb.i[idx], fb.j[idx]
+
+            def resfn(xi_i, xi_j):
+                return _between_residual(
+                    fb, idx,
+                    lie.se3_retract(problem.poses[i], xi_i),
+                    lie.se3_retract(problem.poses[j], xi_j),
+                )
+
+            z = jnp.zeros(6)
+            r6 = resfn(z, z)
+            Ji = jax.jacfwd(resfn, argnums=0)(z, z)
+            Jj = jax.jacfwd(resfn, argnums=1)(z, z)
+            return r6, Ji, Jj
+
+        r6, Ji6, Jj6 = jax.vmap(one_between)(jnp.arange(fb.i.shape[0]))
+        wb = fb.valid.astype(jnp.float32)
+        Jiw6 = Ji6 * wb[:, None, None]
+        Jjw6 = Jj6 * wb[:, None, None]
+        bi = fb.i * D
+        bj = fb.j * D
+        pi = bi[:, None, None] + jnp.arange(6)[None, :, None]
+        pj = bj[:, None, None] + jnp.arange(6)[None, :, None]
+        H = H.at[pi, bi[:, None, None] + jnp.arange(6)[None, None, :]].add(
+            jnp.einsum("fri,frj->fij", Jiw6, Ji6))
+        H = H.at[pj, bj[:, None, None] + jnp.arange(6)[None, None, :]].add(
+            jnp.einsum("fri,frj->fij", Jjw6, Jj6))
+        H = H.at[pi, bj[:, None, None] + jnp.arange(6)[None, None, :]].add(
+            jnp.einsum("fri,frj->fij", Jiw6, Jj6))
+        H = H.at[pj, bi[:, None, None] + jnp.arange(6)[None, None, :]].add(
+            jnp.einsum("fri,frj->fij", Jjw6, Ji6))
+        g = g.at[bi[:, None] + jnp.arange(6)[None, :]].add(
+            jnp.einsum("fri,fr->fi", Jiw6, r6))
+        g = g.at[bj[:, None] + jnp.arange(6)[None, :]].add(
+            jnp.einsum("fri,fr->fi", Jjw6, r6))
+
     H = H + problem.prior_H
     g = g + problem.prior_b
     return H, g, Hll, gl, Wc, (r, w)
@@ -303,6 +376,16 @@ def _vio_cost(problem: VioProblem, huber_px: float):
             return jnp.sum(r * r) * wg
 
         cost = cost + jnp.sum(jax.vmap(oneg)(jnp.arange(gf.kf.shape[0])))
+    if problem.between is not None:
+        fb = problem.between
+
+        def oneb(idx):
+            r = _between_residual(
+                fb, idx, problem.poses[fb.i[idx]], problem.poses[fb.j[idx]]
+            )
+            return jnp.sum(r * r) * fb.valid[idx]
+
+        cost = cost + jnp.sum(jax.vmap(oneb)(jnp.arange(fb.i.shape[0])))
     return cost
 
 

@@ -376,6 +376,10 @@ class MultiCameraSLAM:
         self.fast_tracker = None
         self._reloc_localized = False
         self._reloc_delta = np.eye(4, dtype=np.float32)
+        # optional streaming graph_logs writer (attach_graph_log): imu_raw /
+        # g / k / m records are written as they happen (the reference
+        # streams them from appendLogs/appendIMUValue/appendGPSValue)
+        self.graph_log = None
         from mcslam_tpu.utils.profiling import StageTimers
 
         # per-stage span timers (reference logs chrono spans per stage)
@@ -802,6 +806,15 @@ class MultiCameraSLAM:
         self._finish_pending_ba()
         self.stats["loops"] += 1
         self._ba_warm = False  # post-loop windows need the full LM budget
+        if self.graph_log is not None:
+            # 'k' relative pose (match_T_query) + 'm' re-observation records
+            # (reference appendLogs loop records, FrontEnd.cpp:7523-7542)
+            self.graph_log.loop_pose(kf.kf_id, det.match_kf, det.rel_pose)
+            for slot, old_lm in zip(det.query_slots, det.lm_ids):
+                self.graph_log.loop_measurement(
+                    kf.kf_id, int(kf.im_anchor_cam[slot]), int(old_lm),
+                    float(kf.im_uv[slot, 0]), float(kf.im_uv[slot, 1]),
+                )
         # 1. merge landmark identities: the query slots re-observe OLD lms.
         # A freshly minted duplicate may be referenced by OTHER keyframes'
         # lm_id tables too (tracked landmarks are multi-KF), so remap
@@ -1292,6 +1305,8 @@ class MultiCameraSLAM:
         ts, gyro, accel = imu
         for k in range(len(ts)):
             self._imu_buf.append((float(ts[k]), gyro[k], accel[k]))
+            if self.graph_log is not None:
+                self.graph_log.imu_raw(float(ts[k]), gyro[k], accel[k])
         if not self.imu_initialized:
             self._imu_init_buf.extend(
                 (gyro[k], accel[k]) for k in range(len(ts))
@@ -1382,6 +1397,11 @@ class MultiCameraSLAM:
     # are coarser, so the window is wider)
     GPS_MERGE_DT = 0.05
 
+    def _set_kf_gps(self, kf_id: int, enu) -> None:
+        self.kf_gps[kf_id] = enu
+        if self.graph_log is not None and self.enu_converter is not None:
+            self.graph_log.gps(kf_id, enu, self.enu_converter.ref_geodetic)
+
     def _attach_gps_to_kf(self, kf):
         """Attach a near-simultaneous buffered fix to this vision keyframe
         (reference validGPSmessage gates: in-window, moved >= 0.5 m)."""
@@ -1396,7 +1416,7 @@ class MultiCameraSLAM:
             prev = getattr(self, "_gps_last_enu", None)
             if prev is not None and np.linalg.norm(best - prev) < 0.5:
                 return
-            self.kf_gps[kf.kf_id] = best
+            self._set_kf_gps(kf.kf_id, best)
             self._gps_last_enu = best
             self._gps_buf = [
                 (t, e) for (t, e) in self._gps_buf if t != best_t
@@ -1429,7 +1449,7 @@ class MultiCameraSLAM:
                 # near-simultaneous with the last keyframe: merge into it
                 # (reference change_vision_kf_info, Backend.cpp:2699-2741)
                 if last_kf.kf_id not in self.kf_gps:
-                    self.kf_gps[last_kf.kf_id] = enu
+                    self._set_kf_gps(last_kf.kf_id, enu)
                     self._gps_last_enu = enu
                     consumed.append(t)
                 continue
@@ -1462,7 +1482,7 @@ class MultiCameraSLAM:
             self._kf_preints[kf.kf_id] = (last_kf.kf_id, pre)
             self.kf_vel[kf.kf_id] = np.asarray(pred.vel, np.float32)
             self.kf_bias[kf.kf_id] = self.bias.copy()
-            self.kf_gps[kf.kf_id] = enu
+            self._set_kf_gps(kf.kf_id, enu)
             self._gps_last_enu = enu
             consumed.append(t)
         if consumed:
@@ -1477,6 +1497,14 @@ class MultiCameraSLAM:
         self._gps_buf = [(t, e) for (t, e) in self._gps_buf if t > horizon]
 
     # -- main entry -------------------------------------------------------
+
+    def attach_graph_log(self, writer):
+        """Stream sensor/loop graph_logs records as they happen (x/l/e
+        vision records are dumped at session end by the app); together they
+        form the reduced_camera_system replay input (reference
+        FrontEnd::appendLogs/appendIMUValue/appendGPSValue,
+        FrontEnd.cpp:7415-7542,8355-8372)."""
+        self.graph_log = writer
 
     def enable_relocalization(self, relocalizer, fast_tracker=None):
         """Switch to a map-reuse session (reference relocal app mode,

@@ -88,9 +88,13 @@ class GraphLogWriter:
     def close(self):
         self._f.close()
 
-    def pose(self, kf_id: int, world_T_body: np.ndarray):
+    def pose(self, kf_id: int, world_T_body: np.ndarray,
+             timestamp: float = 0.0):
+        """'x kfID ts p00..p33' (reference FrontEnd.cpp:7442 — the
+        timestamp is what lets the replay harness segment imu_raw records
+        into per-keyframe preintegration spans)."""
         vals = " ".join(f"{v:.9f}" for v in np.asarray(world_T_body).reshape(-1))
-        self._f.write(f"x {kf_id} {vals}\n")
+        self._f.write(f"x {kf_id} {timestamp:.9f} {vals}\n")
 
     def landmark(self, lid: int, pt: np.ndarray):
         self._f.write(f"l {lid} {pt[0]:.9f} {pt[1]:.9f} {pt[2]:.9f}\n")
@@ -131,9 +135,16 @@ def read_graph_logs(path):
                 continue
             tag, vals = parts[0], parts[1:]
             if tag == "x":
-                out["x"].append(
-                    (int(vals[0]), np.array(vals[1:17], np.float64).reshape(4, 4))
-                )
+                if len(vals) >= 18:  # kfID ts pose16 (reference grammar)
+                    out["x"].append(
+                        (int(vals[0]), float(vals[1]),
+                         np.array(vals[2:18], np.float64).reshape(4, 4))
+                    )
+                else:  # legacy: kfID pose16 (no timestamp)
+                    out["x"].append(
+                        (int(vals[0]), 0.0,
+                         np.array(vals[1:17], np.float64).reshape(4, 4))
+                    )
             elif tag == "l":
                 out["l"].append((int(vals[0]), np.array(vals[1:4], np.float64)))
             elif tag == "e":
