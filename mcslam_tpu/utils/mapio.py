@@ -79,6 +79,112 @@ def load_map_json(path):
     return kfs, lms
 
 
+def load_map_navability(features_path, poses_path):
+    """Load an external 'navability' two-file JSON map into the SAME
+    structure as load_map_json, so the relocalizer consumes either format.
+
+    Parity (WHAT): Relocalization::checkRelocalizationNavability +
+    getLandmarkDescriptors (/root/reference/MCSlam/src/relocalization.cpp:44,
+    707-860):
+      * `<name>_features.json`: object of landmark entries; each value has
+        "pos" [x,y,z], "descriptor" [32 uint8], "adj_cams" [camera-pose
+        keys]; the entry key embeds its anchor camera pose as
+        "_<camera_pose>_". A camera pose's landmark set is every feature
+        anchored at it or listing it in adj_cams.
+      * `<name>_poses.json`: object keyed by camera-pose id with
+        "timestamp" (ISO-8601 or epoch float), "pos" [x,y,z] and "quat"
+        [w,x,y,z].
+    2D observations don't exist in this schema — uv is the projection of
+    the point through the stored pose (the reference does the same,
+    project3DTo2D, relocalization.cpp:843)."""
+    with open(features_path) as f:
+        feats = json.load(f)
+    with open(poses_path) as f:
+        pose_entries = json.load(f)
+
+    def _quat_to_R(q):
+        w, x, y, z = [float(v) for v in q]
+        n = max((w * w + x * x + y * y + z * z) ** 0.5, 1e-12)
+        w, x, y, z = w / n, x / n, y / n, z / n
+        return np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x),
+                 1 - 2 * (x * x + y * y)],
+            ],
+            np.float32,
+        )
+
+    def _parse_ts(v):
+        if isinstance(v, (int, float)):
+            return float(v)
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            from datetime import datetime
+
+            try:
+                return datetime.fromisoformat(str(v)).timestamp()
+            except ValueError:
+                return 0.0
+
+    # per-camera-pose landmark sets (anchored-at or adjacent-to)
+    cam_lms: dict[str, list[int]] = {k: [] for k in pose_entries}
+    lms = {}
+    for lid, (key, val) in enumerate(feats.items()):
+        pos = np.array(val["pos"], np.float32)
+        desc = np.array(val["descriptor"], np.uint8)
+        # 32 bytes -> 8 uint32 words (our descriptor layout)
+        desc = desc.view(np.uint32) if desc.size == 32 else np.zeros(
+            8, np.uint32
+        )
+        lms[lid] = (pos, desc.astype(np.uint32))
+        owners = set()
+        for cam_pose in pose_entries:
+            if f"_{cam_pose}_" in key:
+                owners.add(cam_pose)
+        for cam_pose in val.get("adj_cams", []):
+            if cam_pose in cam_lms:
+                owners.add(cam_pose)
+        for cam_pose in owners:
+            cam_lms[cam_pose].append(lid)
+
+    kfs = []
+    for i, (cam_pose, pv) in enumerate(sorted(pose_entries.items())):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = _quat_to_R(pv["quat"])
+        T[:3, 3] = np.array(pv["pos"], np.float32)
+        lids = np.array(cam_lms.get(cam_pose, []), np.int32)
+        if len(lids):
+            pts = np.stack([lms[int(l)][0] for l in lids])
+            descs = np.stack([lms[int(l)][1] for l in lids])
+            # project through the stored pose (fx=fy=1, principal point 0:
+            # normalized-plane uv; the relocalizer only uses descriptors +
+            # 3D, matching the reference's use of this map)
+            Tinv = np.linalg.inv(T)
+            pc = pts @ Tinv[:3, :3].T + Tinv[:3, 3]
+            z = np.maximum(pc[:, 2:3], 1e-3)
+            uv = (pc[:, :2] / z).astype(np.float32)
+        else:
+            descs = np.zeros((0, 8), np.uint32)
+            uv = np.zeros((0, 2), np.float32)
+        kfs.append(
+            {
+                "kfID": i,
+                "timestamp": _parse_ts(pv.get("timestamp", 0.0)),
+                "pose": T,
+                "lids": lids,
+                "uv": uv,
+                "cams": np.zeros(len(lids), np.int32),
+                "descs": descs,
+            }
+        )
+    return kfs, lms
+
+
 class GraphLogWriter:
     """Streaming graph_logs writer (reference record grammar)."""
 

@@ -162,6 +162,58 @@ def test_relocalization_against_saved_map(tmp_path, small_vocab):
     assert err < 0.1, err
 
 
+def test_relocalization_navability_map(tmp_path, small_vocab):
+    """Relocalize against the external 'navability' two-file JSON schema
+    (reference checkRelocalizationNavability, relocalization.cpp:44):
+    features.json entries with pos/descriptor/adj_cams + poses.json with
+    pos/quat/timestamp — loaded through the alias and driven through the
+    same query/verify pipeline."""
+    import json
+
+    slam, poses, rig, frames, ffs = _run_slam(vocab=small_vocab)
+
+    # export the live session as a navability map
+    features, pose_obj = {}, {}
+    for kf in slam.keyframes:
+        cam_pose = f"p{kf.kf_id:04d}"
+        T = kf.world_T_ref
+        from mcslam_tpu.geometry import lie as lie_mod
+
+        q = np.asarray(lie_mod.quat_from_rot(jnp.asarray(T[:3, :3])))
+        pose_obj[cam_pose] = {
+            "timestamp": float(kf.timestamp),
+            "pos": [float(v) for v in T[:3, 3]],
+            "quat": [float(v) for v in q],  # [w,x,y,z]
+        }
+        for m in np.nonzero(kf.lm_id >= 0)[0]:
+            lid = int(kf.lm_id[m])
+            if not slam.map.valid[lid]:
+                continue
+            key = f"lm{lid:05d}_{cam_pose}_"
+            if key in features:
+                continue
+            desc_bytes = slam.map.desc[lid].astype(np.uint32).view(np.uint8)
+            features[key] = {
+                "pos": [float(v) for v in slam.map.pos[lid]],
+                "descriptor": [int(b) for b in desc_bytes],
+                "adj_cams": [],
+            }
+    fpath = tmp_path / "session_features.json"
+    ppath = tmp_path / "session_poses.json"
+    fpath.write_text(json.dumps(features))
+    ppath.write_text(json.dumps(pose_obj))
+
+    from mcslam_tpu.loop.reloc import Relocalizer
+
+    reloc = Relocalizer.from_navability(small_vocab, rig, fpath, ppath)
+    assert len(reloc.db_bows) > 0  # BoW scoring built from stored descs
+    pose = reloc.relocalize(ffs[5])
+    assert pose is not None
+    expected = np.linalg.inv(poses[0]) @ poses[5]
+    err = np.linalg.norm(pose[:3, 3] - expected[:3, 3])
+    assert err < 0.1, err
+
+
 def test_fast_tracking_after_reloc(tmp_path, small_vocab):
     slam, poses, rig, frames, ffs = _run_slam(vocab=small_vocab)
     map_path = tmp_path / "map.json"
