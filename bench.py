@@ -49,44 +49,31 @@ def main():
     jax.block_until_ready(ff1.im_desc)
 
     # ---- stage B: inter matching + RANSAC + pose refine ----
-    # separate jits chained on device values (one fused program makes XLA
-    # pick pathological schedules, like the frame-build stages)
+    # ONE fused jit: the tunnel's per-dispatch floor is ~1 ms, so three
+    # chained jits paid ~2.5 ms of pure dispatch (measured 3.87 ms split
+    # vs 3.09 ms fused)
     key = jax.random.PRNGKey(0)
 
     @jax.jit
-    def b_match(cur_desc, cur_valid, prev_desc, prev_valid):
-        d = hamming.hamming_matrix(cur_desc, prev_desc)
-        return match_ops.match_mutual(
-            d, row_mask=cur_valid, col_mask=prev_valid, max_dist=64,
+    def stage_b(key, cur, prev, X_world_prev):
+        d = hamming.hamming_matrix(cur.im_desc, prev.im_desc)
+        res = match_ops.match_mutual(
+            d, row_mask=cur.im_valid, col_mask=prev.im_valid, max_dist=64,
             ratio=0.85,
         )
-
-    @jax.jit
-    def b_ransac(key, cur, idx, ok, X_world_prev):
-        X_world = X_world_prev[idx]
-        mask = ok & cur.im_has_depth
+        X_world = X_world_prev[res.idx]
+        mask = res.ok & cur.im_has_depth
         cTr = rig.cam_T_ref[cur.im_anchor_cam]
         f = rig.fxycxy[cur.im_anchor_cam]
         rr = ransac.ransac_kabsch(
             key, cur.im_point3d, X_world, cur.im_uv_ref, cTr, f, mask,
             num_hyp=512, px_thresh=5.0,
         )
-        return rr, X_world, mask, cTr, f
-
-    @jax.jit
-    def b_refine(rr, cur, X_world, mask, cTr, f):
         ref = pose_opt.optimize_pose(
             rr.world_T_ref, X_world, cur.im_uv_ref, cTr, f,
             mask & rr.inliers, sigma2=cur.im_sigma2,
         )
         return ref.world_T_ref, ref.num_inliers
-
-    def stage_b(key, cur, prev, X_world_prev):
-        res = b_match(cur.im_desc, cur.im_valid, prev.im_desc, prev.im_valid)
-        rr, X_world, mask, cTr, f = b_ransac(
-            key, cur, res.idx, res.ok, X_world_prev
-        )
-        return b_refine(rr, cur, X_world, mask, cTr, f)
 
     Xw_prev = ff0.im_point3d  # world == first frame
     pose_out, ninl = stage_b(key, ff1, ff0, Xw_prev)

@@ -102,6 +102,60 @@ def ransac_kabsch(
     )
 
 
+def _dlt_gpnp(Xw: jax.Array, rays: jax.Array, Tcr: jax.Array) -> jax.Array:
+    """Batched GENERALIZED (non-central) linear absolute pose from S >= 6
+    correspondences — the lever-arm-aware counterpart of _dlt_pnp, covering
+    the reference's non-central GP3P role for wide-baseline rigs
+    (/root/reference/MCSlam/src/FrontEnd.cpp:4660).
+
+    Xw: (K, S, 3) world points; rays: (K, S, 3) observation rays in each
+    observing CAMERA frame; Tcr: (K, S, 4, 4) cam_T_ref extrinsics.
+    Returns ref_T_world (K, 4, 4).
+
+    Each observation constrains [d]x (R_cr (R X + t) + t_cr) = 0, which is
+    AFFINE in the 12 unknowns theta = [vec_rows(R) | t]: the known lever
+    arm t_cr pins the overall scale, so the (3S, 13) homogeneous system
+    [A | b] (theta, 1) = 0 has a unique null direction. For a central rig
+    (t_cr == 0) the 13th column vanishes and e13 joins the null space —
+    those hypotheses are garbage there, which is why ransac_pnp runs a
+    half/half portfolio of central + generalized hypotheses and lets the
+    exact non-central scoring pick the winner.
+    """
+    K_, S = Xw.shape[:2]
+    R_cr = Tcr[..., :3, :3]  # (K,S,3,3)
+    t_cr = Tcr[..., :3, 3]  # (K,S,3)
+    dx = lie.so3_hat(rays)  # (K,S,3,3)
+    B = jnp.einsum("ksab,ksbc->ksac", dx, R_cr)  # (K,S,3,3) = [d]x R_cr
+    # rows of A: [d]x R_cr (RX + t); (RX + t)_i = sum_j R_ij X_j + t_i
+    # column layout: theta = [R11 R12 R13 R21 ... R33 | t1 t2 t3]
+    # A[:, :, :, 3*j + c] = B[..., j] * X[..., c]
+    A_R = jnp.einsum("ksaj,ksc->ksajc", B, Xw).reshape(K_, S, 3, 9)
+    A_t = B  # (K,S,3,3)
+    b = jnp.einsum("ksab,ksb->ksa", dx, t_cr)[..., None]  # (K,S,3,1)
+    M_full = jnp.concatenate([A_R, A_t, b], axis=-1)  # (K,S,3,13)
+    M_full = M_full.reshape(K_, S * 3, 13)
+    _, _, Vt = jnp.linalg.svd(M_full, full_matrices=True)
+    # smallest singular vector; if it degenerated to ~e13 (central rig),
+    # take the second-smallest instead
+    v_a = Vt[..., -1, :]
+    v_b = Vt[..., -2, :]
+    use_a = jnp.linalg.norm(v_a[..., :12], axis=-1) > 0.3
+    v = jnp.where(use_a[:, None], v_a, v_b)
+    hom = v[..., 12]
+    theta = v[..., :12] / jnp.where(
+        jnp.abs(hom) > 1e-8, hom, jnp.where(hom < 0, -1e-8, 1e-8)
+    )[..., None]
+    Rraw = theta[..., :9].reshape(K_, 3, 3)
+    t = theta[..., 9:12]
+    # project to SO(3); renormalize t by the raw rotation scale
+    U, sv, Vt2 = jnp.linalg.svd(Rraw)
+    det = jnp.linalg.det(U @ Vt2)
+    D = jnp.ones((K_, 3), Rraw.dtype).at[:, 2].set(jnp.sign(det) + (det == 0))
+    R = U @ (D[:, :, None] * Vt2)
+    s = jnp.maximum(sv.mean(axis=-1), 1e-9)
+    return lie.se3_matrix(R, t / s[:, None])
+
+
 def _dlt_pnp(Xw: jax.Array, xn: jax.Array) -> jax.Array:
     """Batched linear PnP from S >= 6 correspondences.
 
@@ -173,7 +227,16 @@ def ransac_pnp(
     R_ref_cam = jnp.swapaxes(Tcr[..., :3, :3], -1, -2)
     rays_ref = jnp.einsum("ksij,ksj->ksi", R_ref_cam, rays)
     xn_ref = rays_ref[..., :2] / jnp.maximum(rays_ref[..., 2:], 1e-6)
-    ref_T_world = _dlt_pnp(Xs, xn_ref)
+    # hypothesis portfolio, half central / half generalized: the central
+    # DLT is exact for rays through the ref-camera center and degrades as
+    # baseline approaches scene depth; the generalized DLT keeps the
+    # lever arm (exact for non-central rigs) but is singular for central
+    # ones. Scoring is exactly non-central either way, so the better
+    # family wins per scene.
+    kc = num_hyp // 2
+    ref_T_world_c = _dlt_pnp(Xs[:kc], xn_ref[:kc])
+    ref_T_world_g = _dlt_gpnp(Xs[kc:], rays[kc:], Tcr[kc:])
+    ref_T_world = jnp.concatenate([ref_T_world_c, ref_T_world_g], axis=0)
     hyp = lie.se3_inverse(ref_T_world)  # world_T_ref
     counts, inl = _score_reprojection(
         hyp, X_world, uv, obs_cam_T_ref, obs_fxycxy, mask, px_thresh

@@ -275,7 +275,12 @@ def extract_orb_rig(
         )
         # patch-local orientation + descriptors (one contiguous slice per
         # keypoint; no dense conv, no global point gathers)
-        patches, origin = jax.vmap(extract_patches)(blurred, yx)
+        if _use_pallas():
+            from mcslam_tpu.ops.patch_pallas import extract_patches_pallas
+
+            patches, origin = extract_patches_pallas(blurred, yx)
+        else:
+            patches, origin = jax.vmap(extract_patches)(blurred, yx)
         center = (yx - origin).astype(jnp.float32)
         ang = jax.vmap(patch_orientation)(patches, yx, origin)
         desc = jax.vmap(compute_descriptors_patch)(patches, center, ang)

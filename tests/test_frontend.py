@@ -110,6 +110,46 @@ def test_ransac_pnp_recovers_pose():
     assert np.linalg.norm(err) < 0.05, err
 
 
+def test_ransac_pnp_wide_baseline_rig():
+    """Baseline ~ 0.5x scene depth: the central minimal-solver
+    approximation collapses here (err > 1.0 rad+m before the generalized
+    DLT was added); the non-central hypothesis family must keep absolute
+    pose accurate (reference uses non-central GP3P, FrontEnd.cpp:4660)."""
+    rng = np.random.RandomState(2)
+    M = 400
+    baseline = 2.5  # scene depth ~5 m
+    cams = []
+    for cx in (-baseline / 2, baseline / 2):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = -cx  # cam_T_ref
+        cams.append(T)
+    cams = np.stack(cams)
+    X_world = rng.uniform(-3, 3, (M, 3)).astype(np.float32) + [0, 0, 5]
+    T_true = np.asarray(
+        lie.se3_exp(jnp.array([0.1, 0.05, -0.08, 0.6, -0.3, 0.2]))
+    )
+    rTw = np.linalg.inv(T_true)
+    cam_idx = rng.randint(0, 2, M)
+    cTr = cams[cam_idx]
+    f = np.array([400.0, 400.0, 320.0, 240.0], np.float32)
+    X_ref = X_world @ rTw[:3, :3].T + rTw[:3, 3]
+    X_cam = np.einsum("mij,mj->mi", cTr[:, :3, :3], X_ref) + cTr[:, :3, 3]
+    uv = X_cam[:, :2] / X_cam[:, 2:] * f[:2] + f[2:]
+    uv += rng.randn(M, 2) * 0.3
+    for s in range(3):
+        res = ransac.ransac_pnp(
+            jax.random.PRNGKey(s), jnp.asarray(X_world), jnp.asarray(uv),
+            jnp.asarray(cTr), jnp.tile(jnp.asarray(f), (M, 1)),
+            jnp.ones(M, bool), num_hyp=256, px_thresh=4.0,
+        )
+        assert bool(res.ok)
+        assert int(res.num_inliers) > 0.9 * M, int(res.num_inliers)
+        err = np.asarray(lie.se3_log(
+            lie.se3_inverse(jnp.asarray(T_true)) @ res.world_T_ref
+        ))
+        assert np.linalg.norm(err) < 0.05, err
+
+
 def test_ransac_essential_recovers_relative_pose():
     key = jax.random.PRNGKey(2)
     rng = np.random.RandomState(3)

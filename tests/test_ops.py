@@ -127,6 +127,27 @@ def test_fast_pallas_matches_xla():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_patch_pallas_matches_xla():
+    """The DMA patch-extraction kernel (interpret mode on CPU) must
+    reproduce the dynamic-slice reference bit-exactly, including clamped
+    border keypoints and the aligned-start row/col rolls."""
+    import jax
+
+    from mcslam_tpu.ops import orb
+    from mcslam_tpu.ops.patch_pallas import extract_patches_pallas
+
+    rng = np.random.RandomState(9)
+    C, H, W, N = 2, 96, 200, 70
+    imgs = jnp.asarray(rng.rand(C, H, W).astype(np.float32))
+    yx = jnp.asarray(np.stack([
+        rng.randint(0, H, (C, N)), rng.randint(0, W, (C, N)),
+    ], axis=-1).astype(np.int32))
+    got_p, got_o = extract_patches_pallas(imgs, yx, batch=16, interpret=True)
+    ref_p, ref_o = jax.vmap(orb.extract_patches)(imgs, yx)
+    np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+
+
 # ---------- topk_grid ----------
 
 def test_select_keypoints_balanced():
