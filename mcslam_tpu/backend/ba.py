@@ -363,62 +363,83 @@ def ba_solve(
     K = problem.poses.shape[0]
 
     onehots = _make_onehots(problem, kf_blocked)
+    lin = (_residuals_and_jacobians_blocked if kf_blocked
+           else _residuals_and_jacobians)
 
-    def lm_pass(poses, lms, obs_valid, n_iters):
-        prob = problem._replace(obs=problem.obs._replace(valid=obs_valid))
-
-        def system(poses, lms):
-            p = prob._replace(poses=poses, landmarks=lms)
-            lin = (_residuals_and_jacobians_blocked if kf_blocked
-                   else _residuals_and_jacobians)
-            r, Jp, Jl, w = lin(p, huber_px)
-            sys_ = _assemble(p, r, Jp, Jl, w, onehots, kf_blocked)
-            cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
-            return sys_, cost, r
-
-        # Deferred accept/reject: ONE linearization pass per iteration —
-        # the pass at the trial point doubles as the acceptance check of
-        # the previous step, and a rejected step re-solves the CARRIED
-        # system with a larger lambda (identical LM trajectory to the
-        # classic two-pass loop; the second residual pass was pure waste).
-        sys0, c0, r0 = system(poses, lms)
-
-        def step(carry, _):
-            b_poses, b_lms, b_sys, b_cost, b_r, lam = carry
-            dp, dl = _schur_solve(*b_sys, lam, problem.lm_valid)
-            t_poses = lie.se3_retract(b_poses, dp.reshape(K, 6))
-            t_lms = b_lms + dl
-            sys_t, c_t, r_t = system(t_poses, t_lms)
-            improved = c_t < b_cost
-            pick = lambda a, b: jax.tree.map(
-                lambda x, y: jnp.where(improved, x, y), a, b
-            )
-            b_poses = jnp.where(improved, t_poses, b_poses)
-            b_lms = jnp.where(improved, t_lms, b_lms)
-            b_sys = pick(sys_t, b_sys)
-            b_r = jnp.where(improved, r_t, b_r)
-            b_cost = jnp.minimum(c_t, b_cost)
-            lam = jnp.clip(
-                jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4
-            )
-            return (b_poses, b_lms, b_sys, b_cost, b_r, lam), c_t
-
-        (poses, lms, _, cost, r, _), _ = jax.lax.scan(
-            step,
-            (poses, lms, sys0, c0, r0, jnp.asarray(init_lambda, jnp.float32)),
-            None, length=n_iters,
+    def system(poses, lms, obs_valid):
+        p = problem._replace(
+            poses=poses, landmarks=lms,
+            obs=problem.obs._replace(valid=obs_valid),
         )
-        return poses, lms, cost, r
+        r, Jp, Jl, w = lin(p, huber_px)
+        sys_ = _assemble(p, r, Jp, Jl, w, onehots, kf_blocked)
+        cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
+        return sys_, cost, r
 
-    poses, lms = problem.poses, problem.landmarks
-    obs_valid = problem.obs.valid
-    cost = jnp.asarray(0.0, jnp.float32)
-    for _ in range(gate_rounds):
-        poses, lms, cost, r = lm_pass(poses, lms, obs_valid, iters)
-        # chi2 gate from the carried residuals at the accepted solution —
-        # no extra residual pass
+    # Deferred accept/reject, single scan: ONE linearization per iteration
+    # (the trial-point pass doubles as the previous step's acceptance
+    # check; a rejected step re-solves the CARRIED system with larger
+    # lambda — identical LM trajectory to the classic two-pass loop). The
+    # chi2 outlier gate (the reference removes chi2(5.991) factors between
+    # optimization rounds) fires INSIDE the scan every `iters` steps from
+    # the carried residuals, costing no extra linearization; the carried
+    # system stays linearized at the pre-gate weights for one step (its
+    # descent direction is still valid) while the carried cost is
+    # re-weighted so acceptance stays consistent.
+    total = iters * gate_rounds
+    gate_at = iters
+
+    def gate_weights(r, obs_valid):
         chi2 = jnp.sum(r * r, axis=-1) / jnp.maximum(problem.obs.sigma2, 1e-6)
-        obs_valid = problem.obs.valid & (chi2 < chi2_thresh)
+        return obs_valid & (chi2 < chi2_thresh)
+
+    def recost(r, obs_valid):
+        rn = jnp.linalg.norm(r, axis=-1)
+        w_h = jnp.where(rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9))
+        w = (
+            w_h / jnp.maximum(problem.obs.sigma2, 1e-6)
+            * obs_valid.astype(r.dtype)
+        )
+        return jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+    obs_valid0 = problem.obs.valid
+    sys0, c0, r0 = system(problem.poses, problem.landmarks, obs_valid0)
+
+    def step(carry, idx):
+        b_poses, b_lms, b_sys, b_cost, b_r, lam, obs_valid = carry
+        # chi2 gate boundary: tighten the validity mask from the carried
+        # residuals and re-weight the carried cost under the new mask
+        do_gate = (idx % gate_at == 0) & (idx > 0)
+        gated = gate_weights(b_r, problem.obs.valid)
+        obs_valid = jnp.where(do_gate, gated, obs_valid)
+        b_cost = jnp.where(do_gate, recost(b_r, obs_valid), b_cost)
+
+        dp, dl = _schur_solve(*b_sys, lam, problem.lm_valid)
+        t_poses = lie.se3_retract(b_poses, dp.reshape(K, 6))
+        t_lms = b_lms + dl
+        sys_t, c_t, r_t = system(t_poses, t_lms, obs_valid)
+        improved = c_t < b_cost
+        pick = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(improved, x, y), a, b
+        )
+        b_poses = jnp.where(improved, t_poses, b_poses)
+        b_lms = jnp.where(improved, t_lms, b_lms)
+        b_sys = pick(sys_t, b_sys)
+        b_r = jnp.where(improved, r_t, b_r)
+        b_cost = jnp.minimum(c_t, b_cost)
+        lam = jnp.clip(
+            jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4
+        )
+        return (b_poses, b_lms, b_sys, b_cost, b_r, lam, obs_valid), c_t
+
+    (poses, lms, _, cost, r, _, obs_valid), _ = jax.lax.scan(
+        step,
+        (problem.poses, problem.landmarks, sys0, c0, r0,
+         jnp.asarray(init_lambda, jnp.float32), obs_valid0),
+        jnp.arange(total),
+    )
+    # final gate for the reported inlier set
+    obs_valid = gate_weights(r, problem.obs.valid)
 
     return BAResult(
         poses=poses,

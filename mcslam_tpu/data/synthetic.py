@@ -26,6 +26,8 @@ class SyntheticRigSpec(NamedTuple):
     image_size: tuple = (640, 480)
     focal: float = 400.0
     baseline: float = 0.12  # spacing between cameras along +x
+    dist: tuple | None = None  # distortion coefficients (all cameras)
+    dist_model: int | None = None  # camera.DIST_* (requires dist)
 
 
 def make_synthetic_rig(spec: SyntheticRigSpec = SyntheticRigSpec()):
@@ -37,6 +39,14 @@ def make_synthetic_rig(spec: SyntheticRigSpec = SyntheticRigSpec()):
     cam_T_ref = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
     for i in range(n):
         cam_T_ref[i, 0, 3] = -spec.baseline * i  # camera i at +x*i in ref frame
+    if spec.dist is not None:
+        dist = np.tile(np.asarray(spec.dist, np.float32)[None], (n, 1))
+        return cam_ops.make_rig(
+            fxycxy, dist=dist, cam_T_ref=cam_T_ref,
+            image_size=spec.image_size,
+            dist_model=(spec.dist_model if spec.dist_model is not None
+                        else cam_ops.DIST_RADTAN),
+        )
     return cam_ops.make_rig(
         fxycxy, dist=None, cam_T_ref=cam_T_ref, image_size=spec.image_size
     )
@@ -159,8 +169,12 @@ def render_feature_frames(
     desc_bit_noise: int = 6,
     fps: float = 20.0,
     seed: int = 3,
+    max_depth: float = float("inf"),
 ):
-    """Generate a list of FeatureLevelFrame for each pose."""
+    """Generate a list of FeatureLevelFrame for each pose.
+
+    max_depth bounds landmark visibility (finite-range sensing): landmarks
+    farther than this from the camera are not observed."""
     rng = np.random.RandomState(seed)
     C = rig.num_cams
     frames = []
@@ -178,8 +192,8 @@ def render_feature_frames(
             p = landmarks @ cTw[:3, :3].T + cTw[:3, 3]
             z = p[:, 2]
             uv = p[:, :2] / np.maximum(z[:, None], 1e-6) * fxycxy[c, :2] + fxycxy[c, 2:]
-            vis = (z > 0.3) & (uv[:, 0] >= 5) & (uv[:, 0] < w - 5) & \
-                  (uv[:, 1] >= 5) & (uv[:, 1] < h - 5)
+            vis = (z > 0.3) & (z < max_depth) & (uv[:, 0] >= 5) & \
+                  (uv[:, 0] < w - 5) & (uv[:, 1] >= 5) & (uv[:, 1] < h - 5)
             vis_idx = np.nonzero(vis)[0]
             rng.shuffle(vis_idx)
             take = vis_idx[:kps_per_cam]
@@ -209,16 +223,31 @@ def render_blob_images(
     landmarks: np.ndarray,
     blob_intensity: np.ndarray | None = None,
     seed: int = 4,
+    textured: bool = False,
 ):
     """Image-level rendering: each landmark becomes a small anti-aliased
-    square blob; background is low-amplitude noise. (F, C, H, W) float32."""
+    square blob; background is low-amplitude noise. (F, C, H, W) float32.
+
+    Projects through the rig's distortion model (fisheye/equidistant rigs
+    render correctly). `textured=True` stamps a fixed per-landmark random
+    texture instead of a constant intensity, giving each landmark a
+    distinctive BRIEF signature (needed for image-level place recognition
+    tests; uniform blobs all look alike to a descriptor)."""
+    import jax.numpy as _jnp
+
     rng = np.random.RandomState(seed)
     C = rig.num_cams
     w, h = rig.image_size
     if blob_intensity is None:
         blob_intensity = rng.uniform(0.4, 1.0, len(landmarks)).astype(np.float32)
+    tex = None
+    if textured:
+        tex = rng.uniform(0.25, 1.0, (len(landmarks), 17, 17)).astype(
+            np.float32
+        )
     fxycxy = np.asarray(rig.fxycxy)
     cam_T_ref = np.asarray(rig.cam_T_ref)
+    dist = np.asarray(rig.dist)
     out = np.zeros((len(poses), C, h, w), np.float32)
     base = rng.rand(h, w).astype(np.float32) * 0.02
     for k, wTr in enumerate(poses):
@@ -227,14 +256,27 @@ def render_blob_images(
             cTw = cam_T_ref[c] @ rTw
             p = landmarks @ cTw[:3, :3].T + cTw[:3, 3]
             z = p[:, 2]
-            uv = p[:, :2] / np.maximum(z[:, None], 1e-6) * fxycxy[c, :2] + fxycxy[c, 2:]
+            xn = p[:, :2] / np.maximum(z[:, None], 1e-6)
+            if rig.dist_model != cam_ops.DIST_NONE:
+                xn = np.asarray(cam_ops.distort(
+                    _jnp.asarray(xn), _jnp.asarray(dist[c]), rig.dist_model
+                ))
+            uv = xn * fxycxy[c, :2] + fxycxy[c, 2:]
             img = base.copy()
             vis = (z > 0.3) & (uv[:, 0] >= 4) & (uv[:, 0] < w - 4) & \
                   (uv[:, 1] >= 4) & (uv[:, 1] < h - 4)
             for i in np.nonzero(vis)[0]:
                 x, y = int(round(uv[i, 0])), int(round(uv[i, 1]))
                 s = max(1, int(round(3.0 * 6.0 / z[i])))
-                img[y - s : y + s + 1, x - s : x + s + 1] = blob_intensity[i]
+                if textured:
+                    s = min(s, 8)  # texture stamps are 17x17
+                y0c, y1c = max(y - s, 0), min(y + s + 1, h)
+                x0c, x1c = max(x - s, 0), min(x + s + 1, w)
+                if textured:
+                    patch = tex[i][: y1c - y0c, : x1c - x0c]
+                    img[y0c:y1c, x0c:x1c] = patch * blob_intensity[i]
+                else:
+                    img[y0c:y1c, x0c:x1c] = blob_intensity[i]
             out[k, c] = img
     return out
 

@@ -242,63 +242,101 @@ def extract_orb_rig(
     stage runs as a fused Pallas kernel.
     """
     budgets = _level_budget(num_points, num_levels, scale)
+    maxb = max(budgets)
     levels = image_ops.build_pyramid(imgs, num_levels, scale)
+    C = imgs.shape[0]
+    L = num_levels
+    H0, W0 = levels[0].shape[-2:]
+    hw = [(lv.shape[-2], lv.shape[-1]) for lv in levels]
 
-    all_parts = []
-    for lvl, lvl_imgs in enumerate(levels):
-        s = scale**lvl
-        blurred = image_ops.gaussian_blur(lvl_imgs, 7, 2.0)
-        if _use_pallas():
-            from mcslam_tpu.ops.fast_pallas import fast_corners_pallas
+    # ALL pyramid levels zero-padded to the level-0 shape and stacked into
+    # one (L*C, H0, W0) batch: one blur, one FAST launch, one top-k, one
+    # patch-DMA pass, one orientation reduction, one descriptor matmul —
+    # instead of L copies of each (the per-level graph paid ~2x in launch
+    # overhead and lost cross-level parallelism; padding costs ~1.6x pixel
+    # work on dense stages, a clear win on measurement)
+    stacked = jnp.concatenate(
+        [
+            jnp.pad(lv, ((0, 0), (0, H0 - h), (0, W0 - w)))
+            for lv, (h, w) in zip(levels, hw)
+        ],
+        axis=0,
+    )
+    blurred = image_ops.gaussian_blur(stacked, 7, 2.0)
+    if _use_pallas():
+        from mcslam_tpu.ops.fast_pallas import fast_corners_pallas
 
-            score = fast_corners_pallas(lvl_imgs, min_threshold)
-        else:
-            score = fast_ops.fast_corners(lvl_imgs, min_threshold)
-        # prefer corners passing the high threshold: add a rank bonus
-        score = jnp.where(score > fast_threshold, score + 1.0, score)
-        yx, resp, valid = jax.vmap(
-            lambda sc: topk_grid.select_keypoints(
-                sc, budgets[lvl], cell=cell, per_cell=per_cell
-            )
-        )(score)
-        resp = jnp.where(resp > 1.0, resp - 1.0, resp)  # undo rank bonus
-        h, w = lvl_imgs.shape[-2:]
-        inb = (
-            (yx[..., 0] >= EDGE)
-            & (yx[..., 0] < h - EDGE)
-            & (yx[..., 1] >= EDGE)
-            & (yx[..., 1] < w - EDGE)
+        score = fast_corners_pallas(stacked, min_threshold)
+    else:
+        score = fast_ops.fast_corners(stacked, min_threshold)
+    # mask scores outside each level's TRUE bounds (the kernel's interior
+    # mask only knows the padded shape)
+    h_l = jnp.repeat(jnp.asarray([h for h, _ in hw], jnp.int32), C)
+    w_l = jnp.repeat(jnp.asarray([w for _, w in hw], jnp.int32), C)
+    yy = jnp.arange(H0, dtype=jnp.int32)[None, :, None]
+    xx = jnp.arange(W0, dtype=jnp.int32)[None, None, :]
+    interior = (yy < (h_l[:, None, None] - fast_ops.BORDER)) & (
+        xx < (w_l[:, None, None] - fast_ops.BORDER)
+    )
+    score = jnp.where(interior, score, 0.0)
+    # prefer corners passing the high threshold: add a rank bonus
+    score = jnp.where(score > fast_threshold, score + 1.0, score)
+    yx, resp, valid = jax.vmap(
+        lambda sc: topk_grid.select_keypoints(
+            sc, maxb, cell=cell, per_cell=per_cell
         )
-        valid = valid & inb
-        xy_lvl = jnp.stack([yx[..., 1], yx[..., 0]], axis=-1).astype(
-            jnp.float32
-        )
-        # patch-local orientation + descriptors (one contiguous slice per
-        # keypoint; no dense conv, no global point gathers)
-        if _use_pallas():
-            from mcslam_tpu.ops.patch_pallas import extract_patches_pallas
+    )(score)
+    resp = jnp.where(resp > 1.0, resp - 1.0, resp)  # undo rank bonus
+    # per-level quota: top_k is response-sorted, so the quota is a prefix
+    budget_arr = jnp.repeat(jnp.asarray(budgets, jnp.int32), C)
+    valid = valid & (
+        jnp.arange(maxb, dtype=jnp.int32)[None, :] < budget_arr[:, None]
+    )
+    inb = (
+        (yx[..., 0] >= EDGE)
+        & (yx[..., 0] < h_l[:, None] - EDGE)
+        & (yx[..., 1] >= EDGE)
+        & (yx[..., 1] < w_l[:, None] - EDGE)
+    )
+    valid = valid & inb
 
-            patches, origin = extract_patches_pallas(blurred, yx)
-        else:
-            patches, origin = jax.vmap(extract_patches)(blurred, yx)
-        center = (yx - origin).astype(jnp.float32)
-        ang = jax.vmap(patch_orientation)(patches, yx, origin)
-        desc = jax.vmap(compute_descriptors_patch)(patches, center, ang)
-        xy0 = xy_lvl * s
-        C, n = xy_lvl.shape[:2]
-        octv = jnp.full((C, n), lvl, jnp.int32)
-        sigma2 = jnp.full((C, n), s * s, jnp.float32)
-        all_parts.append((xy0, resp, ang, octv, sigma2, desc, valid))
+    # patch-local orientation + descriptors (one contiguous window per
+    # keypoint; no dense conv, no global point gathers)
+    if _use_pallas():
+        from mcslam_tpu.ops.patch_pallas import extract_patches_pallas
 
-    cat = lambda i: jnp.concatenate([p[i] for p in all_parts], axis=1)
+        patches, origin = extract_patches_pallas(blurred, yx)
+    else:
+        patches, origin = jax.vmap(extract_patches)(blurred, yx)
+    center = (yx - origin).astype(jnp.float32)
+    ang = jax.vmap(patch_orientation)(patches, yx, origin)
+    desc = jax.vmap(compute_descriptors_patch)(patches, center, ang)
+
+    # (L*C, maxb, ...) -> (C, L*maxb, ...) with level-0 coordinate scaling
+    s_lvl = jnp.asarray(
+        [scale**lvl for lvl in range(L)], jnp.float32
+    )  # (L,)
+    xy_lvl = jnp.stack([yx[..., 1], yx[..., 0]], axis=-1).astype(jnp.float32)
+    xy0 = xy_lvl.reshape(L, C, maxb, 2) * s_lvl[:, None, None, None]
+    octv = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[:, None, None], (L, C, maxb)
+    )
+    sigma2 = jnp.broadcast_to(
+        (s_lvl**2)[:, None, None], (L, C, maxb)
+    )
+
+    def merge(x):
+        x = x.reshape(L, C, *x.shape[1:]) if x.ndim == 2 else x
+        return jnp.moveaxis(x, 1, 0).reshape(C, L * maxb, *x.shape[3:])
+
     return Keypoints(
-        xy=cat(0),
-        response=cat(1),
-        angle=cat(2),
-        octave=cat(3),
-        sigma2=cat(4),
-        desc=cat(5),
-        valid=cat(6),
+        xy=merge(xy0.reshape(L, C, maxb, 2)),
+        response=merge(resp),
+        angle=merge(ang),
+        octave=merge(octv),
+        sigma2=merge(sigma2),
+        desc=merge(desc.reshape(L, C, maxb, 8)),
+        valid=merge(valid),
     )
 
 

@@ -64,6 +64,13 @@ class SlamConfig:
     ba_iters_cold: int = 8  # first solve after init / reinit / loop closure
     ba_obs_capacity: int = 16384
     ba_lm_capacity: int = 2048
+    # loop closure: run the PGO bend only when the trajectory disagrees
+    # with the verified loop constraint by more than this (the landmark
+    # merge + loop-window BA always run)
+    loop_pgo_min_trans: float = 0.2
+    loop_pgo_min_rot: float = 0.05
+    # suppress repeat closures for this many keyframes after one fires
+    loop_cooldown_kfs: int = 8
     # failure handling
     max_track_failures: int = 2  # reference num_trials_to_track
     # async backend: defer BA write-back to the next keyframe (hides the
@@ -780,13 +787,21 @@ class MultiCameraSLAM:
             self._try_gps_init()
 
         # loop closure (reference: insertKeyFrame -> callerDetectLoop,
-        # FrontEnd.cpp:1849)
+        # FrontEnd.cpp:1849). After a closure the next few keyframes
+        # trivially re-detect the same place; re-running the merge + BA +
+        # retriangulation every keyframe churns the map for no gain, so
+        # closures are suppressed for loop_cooldown_kfs keyframes.
         if self.looper is not None:
             det = self.looper.detect(
                 kf, jnp.asarray(kf.im_desc), jnp.asarray(kf.im_valid),
                 self.keyframes, self.map,
             )
-            if det.detected:
+            cooled = (
+                kf.kf_id - getattr(self, "_last_loop_kf", -10**9)
+                >= self.cfg.loop_cooldown_kfs
+            )
+            if det.detected and cooled:
+                self._last_loop_kf = kf.kf_id
                 self._close_loop(kf, det)
 
         # window BA
@@ -844,40 +859,65 @@ class MultiCameraSLAM:
                 self.map.n_obs[old] += self.map.n_obs[cur]
             self._map_delete(list(remap.keys()))
 
-        # 2. pose graph: odometry edges + the loop edge
+        # 2. pose graph: odometry edges + the loop edge — but only when the
+        # trajectory actually DISAGREES with the loop constraint. The loop
+        # edge carries its own verification noise; bending an
+        # already-consistent trajectory with it injects that noise (the
+        # reference gets this weighting implicitly by adding the loop
+        # measurements to the smart factors and letting ISAM2 re-optimize
+        # against ALL observations, Backend.cpp:1871-1901 — our landmark
+        # merge + loop-window BA below plays that role).
         N = len(self.keyframes)
         poses_old = np.stack([k.world_T_ref for k in self.keyframes])
-        E = (N - 1) + 1
-        ei = np.arange(N - 1, dtype=np.int32)
-        ej = ei + 1
-        meas = np.einsum(
-            "nij,njk->nik", np.linalg.inv(poses_old[:-1]), poses_old[1:]
+        match_pose = next(
+            k.world_T_ref for k in self.keyframes if k.kf_id == det.match_kf
         )
+        pred_query = match_pose @ det.rel_pose  # loop-implied query pose
+        delta = np.linalg.inv(kf.world_T_ref) @ pred_query
+        d_trans = float(np.linalg.norm(delta[:3, 3]))
+        d_rot = float(
+            np.arccos(np.clip((np.trace(delta[:3, :3]) - 1) / 2, -1, 1))
+        )
+        run_pgo = (d_trans > self.cfg.loop_pgo_min_trans
+                   or d_rot > self.cfg.loop_pgo_min_rot)
         match_idx = next(
             i for i, k in enumerate(self.keyframes) if k.kf_id == det.match_kf
         )
-        query_idx = N - 1
-        edge_i = np.concatenate([ei, [match_idx]]).astype(np.int32)
-        edge_j = np.concatenate([ej, [query_idx]]).astype(np.int32)
-        edge_meas = np.concatenate([meas, det.rel_pose[None]], axis=0)
-        edge_w = np.concatenate([np.ones(N - 1), [float(det.n_inliers)]])
-        graph = pgo.PoseGraph(
-            poses=jnp.asarray(poses_old, jnp.float32),
-            edge_i=jnp.asarray(edge_i),
-            edge_j=jnp.asarray(edge_j),
-            edge_meas=jnp.asarray(edge_meas, jnp.float32),
-            edge_weight=jnp.asarray(edge_w, jnp.float32),
-            edge_valid=jnp.ones(E, bool),
-            anchor=jnp.asarray(0, jnp.int32),
-        )
-        if self.rig.num_cams == 1:
-            # monocular: scale drifts too — relax over Sim(3) (the rig
-            # pipeline is metric, SE(3) suffices there)
-            poses7, scales7 = pgo.pgo_solve_sim3(graph, iters=8)
-            poses_new = np.asarray(poses7)
-            scales = np.asarray(scales7, np.float32)
+        if run_pgo:
+            E = (N - 1) + 1
+            ei = np.arange(N - 1, dtype=np.int32)
+            ej = ei + 1
+            meas = np.einsum(
+                "nij,njk->nik", np.linalg.inv(poses_old[:-1]), poses_old[1:]
+            )
+            query_idx = N - 1
+            edge_i = np.concatenate([ei, [match_idx]]).astype(np.int32)
+            edge_j = np.concatenate([ej, [query_idx]]).astype(np.int32)
+            edge_meas = np.concatenate([meas, det.rel_pose[None]], axis=0)
+            edge_w = np.concatenate([np.ones(N - 1), [float(det.n_inliers)]])
+            graph = pgo.PoseGraph(
+                poses=jnp.asarray(poses_old, jnp.float32),
+                edge_i=jnp.asarray(edge_i),
+                edge_j=jnp.asarray(edge_j),
+                edge_meas=jnp.asarray(edge_meas, jnp.float32),
+                edge_weight=jnp.asarray(edge_w, jnp.float32),
+                edge_valid=jnp.ones(E, bool),
+                anchor=jnp.asarray(0, jnp.int32),
+            )
+            if self.rig.num_cams == 1:
+                # monocular: scale drifts too — relax over Sim(3) (the rig
+                # pipeline is metric, SE(3) suffices there)
+                poses7, scales7 = pgo.pgo_solve_sim3(graph, iters=8)
+                poses_new = np.asarray(poses7)
+                scales = np.asarray(scales7, np.float32)
+            else:
+                poses_new = np.asarray(pgo.pgo_solve(graph, iters=8))
+                scales = np.ones(N, np.float32)
         else:
-            poses_new = np.asarray(pgo.pgo_solve(graph, iters=8))
+            # trajectory already satisfies the loop constraint: no rigid
+            # bend; the merged observations + loop-window BA below still
+            # digest the loop evidence
+            poses_new = poses_old
             scales = np.ones(N, np.float32)
 
         # 3. re-anchor landmarks with their first-observing keyframe,
@@ -918,10 +958,14 @@ class MultiCameraSLAM:
         self._solve_window(loop_window, force_sync=True, allow_vio=False)
 
         # 5. re-triangulate landmarks from the corrected poses and prune
-        # degenerate ones (reference UpdateVariables_SmartFactors,
-        # Backend.cpp:3512-3749): after a global correction the map must be
-        # re-estimated, not merely rigidly moved.
-        self._retriangulate_landmarks()
+        # degenerate ones — but ONLY when poses actually moved (reference
+        # UpdateVariables_SmartFactors re-triangulates landmarks of KFs
+        # that moved > 5mm/1e-6rad, Backend.cpp:3512-3749). When the
+        # trajectory was already loop-consistent, re-triangulating would
+        # REPLACE BA-refined landmark positions with noisier anchor-ray
+        # triangulations.
+        if run_pgo:
+            self._retriangulate_landmarks()
 
     def _retriangulate_landmarks(self, min_obs: int = 2, max_rays: int = 4):
         """Re-triangulate every landmark observed by >= min_obs keyframes

@@ -20,7 +20,14 @@ from mcslam_tpu.slam import INITIALIZED, MultiCameraSLAM, SlamConfig
 from mcslam_tpu.utils import metrics
 
 
-def _loop_scene(num_frames=46, revisit=6, seed=0):
+def _loop_scene(num_frames=60, revisit=8, seed=0):
+    """Loop-closure's home scenario: clean tracking at the start and the
+    revisit, heavy observation noise through the middle of the circle.
+    VO accumulates real drift where it's noisy; the loop constraint
+    (verified start-vs-revisit, both clean) is far more accurate than the
+    drift — exactly the regime where the closure must pull the
+    trajectory back. (A uniformly-noisy scene no longer drifts enough:
+    the portfolio PnP tracks it to ~mm.)"""
     rig = synthetic.make_synthetic_rig(
         synthetic.SyntheticRigSpec(num_cams=3, baseline=0.2)
     )
@@ -29,10 +36,22 @@ def _loop_scene(num_frames=46, revisit=6, seed=0):
     )
     lms = synthetic.make_ring_landmarks(1400, radius=11.0, seed=seed + 1)
     descs = synthetic.make_descriptors(1400, seed=seed + 2)
-    frames = synthetic.render_feature_frames(
-        rig, poses, lms, descs, kps_per_cam=320, px_noise=0.5,
-        desc_bit_noise=4, seed=seed + 3,
+    # finite sensing range: early landmarks leave view during the noisy
+    # middle, so drifted window BA cannot corrupt the map the loop
+    # verification later matches against (with unbounded range the whole
+    # ring stays visible and drift leaks into the "old" landmarks)
+    kw = dict(kps_per_cam=320, desc_bit_noise=4, seed=seed + 3,
+              max_depth=9.0)
+    clean = synthetic.render_feature_frames(
+        rig, poses, lms, descs, px_noise=0.4, **kw
     )
+    noisy = synthetic.render_feature_frames(
+        rig, poses, lms, descs, px_noise=1.8, **kw
+    )
+    lo, hi = 10, num_frames - revisit - 4
+    frames = [
+        noisy[i] if lo <= i < hi else clean[i] for i in range(num_frames)
+    ]
     return rig, poses, frames, descs
 
 
@@ -84,7 +103,7 @@ def test_loop_closure_improves_ate(loop_runs):
     ate_vo = metrics.ate_rmse(est_vo, poses_gt)
     # identical input stream; the only difference is loop closure
     assert ate_loop < ate_vo, (ate_loop, ate_vo)
-    assert ate_loop < 0.35, ate_loop
+    assert ate_loop < 0.30, ate_loop
 
 
 def test_loop_closure_map_stays_consistent(loop_runs):
