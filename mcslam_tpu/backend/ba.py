@@ -68,6 +68,11 @@ class BAResult(NamedTuple):
     obs_inliers: jax.Array  # (O,) bool chi2 gate at the solution
     cost: jax.Array
     num_inliers: jax.Array
+    # pose-side marginal information at the solution (landmarks
+    # eliminated): the fixed-lag marginalization prior source (reference
+    # BatchFixedLagSmoother::CalculateMarginalFactors,
+    # OurFixedLagSmoother.h:109-168)
+    marginal_H: jax.Array  # (K*6, K*6)
 
 
 def _obs_residual(dxi, dX, T0, cam_T_ref, fxycxy, uv):
@@ -313,6 +318,45 @@ def _assemble(problem: BAProblem, r, Jp, Jl, w, onehots=None,
     return Hpp_dense, gp, Hll, gl, Wc
 
 
+
+def _assemble_from_payload(problem, payload, Hpp36, gp6, oh_l):
+    """System assembly given the fused per-obs payload (Pallas path,
+    channel-major (K, 30, Ok)): identical downstream math to
+    _assemble(kf_blocked)."""
+    K = problem.poses.shape[0]
+    L = problem.landmarks.shape[0]
+    Ok = payload.shape[2]
+    R = jnp.einsum(
+        "kio,kol->kil",
+        payload,
+        oh_l.reshape(K, Ok, L),
+        preferred_element_type=jnp.float32,
+    )  # (K, 30, L)
+    Wc = R[:, :18, :].reshape(K, 6, 3, L).transpose(0, 1, 3, 2)
+    Hll = R[:, 18:27, :].sum(axis=0).T.reshape(L, 3, 3)
+    gl = R[:, 27:30, :].sum(axis=0).T  # (L, 3)
+    Hpp = Hpp36.reshape(K, 6, 6)
+    Hpp_dense = jax.scipy.linalg.block_diag(*[Hpp[k] for k in range(K)])
+    Hpp_dense = Hpp_dense + problem.prior_H
+    gp = gp6.reshape(K * 6) + problem.prior_b
+    return Hpp_dense, gp, Hll, gl, Wc
+
+
+def _use_pallas() -> bool:
+    """Fused Pallas linearization is opt-in (MCSLAM_BA_PALLAS=1): measured
+    at parity with the XLA formulation on v5e (7.0ms vs 7.0ms full solve —
+    XLA fuses this elementwise chain well); kept as the tuning vehicle for
+    larger windows / future hardware."""
+    import os
+
+    if os.environ.get("MCSLAM_BA_PALLAS") != "1":
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _schur_solve(Hpp, gp, Hll, gl, Wc, lam, lm_valid):
     """Damped Schur solve -> (dpose (K*6,), dlm (L, 3))."""
     K6 = Hpp.shape[0]
@@ -365,12 +409,45 @@ def ba_solve(
     onehots = _make_onehots(problem, kf_blocked)
     lin = (_residuals_and_jacobians_blocked if kf_blocked
            else _residuals_and_jacobians)
+    pallas_path = kf_blocked and _use_pallas()
+    if pallas_path:
+        # per-solve constants of the fused Pallas linearization
+        from mcslam_tpu.ops.ba_pallas import linearize_payload_pallas
+
+        C = problem.cam_T_ref.shape[0]
+        oh_c = jax.nn.one_hot(problem.obs.cam, C, dtype=jnp.float32)
+        Rc9 = oh_c @ problem.cam_T_ref[:, :3, :3].reshape(C, 9)
+        tc3 = oh_c @ problem.cam_T_ref[:, :3, 3]
+        f4 = oh_c @ problem.fxycxy
+        K_ = problem.poses.shape[0]
+        lm_vf = (
+            problem.lm_valid[problem.obs.lm].astype(jnp.float32)
+            * jnp.repeat(
+                problem.kf_valid.astype(jnp.float32),
+                problem.obs.kf.shape[0] // K_,
+            )
+        )
 
     def system(poses, lms, obs_valid):
         p = problem._replace(
             poses=poses, landmarks=lms,
             obs=problem.obs._replace(valid=obs_valid),
         )
+        if pallas_path:
+            rTw = jax.vmap(lie.se3_inverse)(poses)
+            rTw12 = jnp.concatenate(
+                [rTw[:, :3, :3].reshape(-1, 9), rTw[:, :3, 3]], axis=1
+            )
+            X = lms[problem.obs.lm]
+            vf = lm_vf * obs_valid.astype(jnp.float32)
+            payload, r, w, Hpp36, gp6 = linearize_payload_pallas(
+                rTw12, X, problem.obs.uv, Rc9, tc3, f4,
+                problem.obs.sigma2, vf, huber_px=huber_px,
+            )
+            sys_ = _assemble_from_payload(p, payload, Hpp36, gp6,
+                                          onehots[1])
+            cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
+            return sys_, cost, r
         r, Jp, Jl, w = lin(p, huber_px)
         sys_ = _assemble(p, r, Jp, Jl, w, onehots, kf_blocked)
         cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
@@ -432,7 +509,7 @@ def ba_solve(
         )
         return (b_poses, b_lms, b_sys, b_cost, b_r, lam, obs_valid), c_t
 
-    (poses, lms, _, cost, r, _, obs_valid), _ = jax.lax.scan(
+    (poses, lms, fin_sys, cost, r, _, obs_valid), _ = jax.lax.scan(
         step,
         (problem.poses, problem.landmarks, sys0, c0, r0,
          jnp.asarray(init_lambda, jnp.float32), obs_valid0),
@@ -441,10 +518,22 @@ def ba_solve(
     # final gate for the reported inlier set
     obs_valid = gate_weights(r, problem.obs.valid)
 
+    # undamped pose-side marginal at the solution, from the CARRIED
+    # (accepted-state) system: S = Hpp - W Hll^-1 W^T — the condensed
+    # information fixed-lag marginalization hands to the next window
+    Hpp_f, _, Hll_f, _, Wc_f = fin_sys
+    K6 = Hpp_f.shape[0]
+    L_ = Hll_f.shape[0]
+    Hll_inv = linalg3.inv3(Hll_f + 1e-6 * jnp.eye(3)[None])
+    Wm = Wc_f.reshape(K6, L_, 3)
+    WHinv = jnp.einsum("plj,ljk->plk", Wm, Hll_inv)
+    marginal_H = Hpp_f - jnp.einsum("plk,qlk->pq", WHinv, Wm)
+
     return BAResult(
         poses=poses,
         landmarks=lms,
         obs_inliers=obs_valid,
         cost=cost,
         num_inliers=jnp.sum(obs_valid).astype(jnp.int32),
+        marginal_H=marginal_H,
     )

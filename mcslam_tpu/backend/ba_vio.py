@@ -179,6 +179,7 @@ def _assemble_vio(problem: VioProblem, huber_px: float):
     )
     r, Jp, Jl, w = ba_mod._residuals_and_jacobians(vis_problem, huber_px)
     Jpw = Jp * w[:, None, None]
+    cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
 
     H = jnp.zeros((N, N), jnp.float32)
     g = jnp.zeros(N, jnp.float32)
@@ -232,6 +233,7 @@ def _assemble_vio(problem: VioProblem, huber_px: float):
 
         r15, Ji, Jj = jax.vmap(one_factor)(jnp.arange(problem.imu.i.shape[0]))
         wv = fi.valid.astype(jnp.float32)
+        cost = cost + jnp.sum(wv * jnp.sum(r15 * r15, axis=-1))
         Jiw = Ji * wv[:, None, None]
         Jjw = Jj * wv[:, None, None]
         ri = fi.i * D
@@ -272,6 +274,7 @@ def _assemble_vio(problem: VioProblem, huber_px: float):
 
         r3, Jp6, Je6 = jax.vmap(one_gps)(jnp.arange(gf.kf.shape[0]))
         wg = gf.valid.astype(jnp.float32) / jnp.maximum(gf.sigma, 1e-3) ** 2
+        cost = cost + jnp.sum(wg * jnp.sum(r3 * r3, axis=-1))
         Jpw6 = Jp6 * wg[:, None, None]
         Jew6 = Je6 * wg[:, None, None]
         rk = gf.kf * D
@@ -312,6 +315,7 @@ def _assemble_vio(problem: VioProblem, huber_px: float):
 
         r6, Ji6, Jj6 = jax.vmap(one_between)(jnp.arange(fb.i.shape[0]))
         wb = fb.valid.astype(jnp.float32)
+        cost = cost + jnp.sum(wb * jnp.sum(r6 * r6, axis=-1))
         Jiw6 = Ji6 * wb[:, None, None]
         Jjw6 = Jj6 * wb[:, None, None]
         bi = fb.i * D
@@ -333,7 +337,7 @@ def _assemble_vio(problem: VioProblem, huber_px: float):
 
     H = H + problem.prior_H
     g = g + problem.prior_b
-    return H, g, Hll, gl, Wc, (r, w)
+    return H, g, Hll, gl, Wc, (r, w), cost
 
 
 def _vio_cost(problem: VioProblem, huber_px: float):
@@ -404,88 +408,107 @@ def vio_solve(
     L = problem.landmarks.shape[0]
     N = K * D + 6
 
-    def lm_pass(state, obs_valid, n_iters):
-        poses, vels, biases, lms, ETV = state
-        prob0 = problem._replace(obs=problem.obs._replace(valid=obs_valid))
-
-        def step(carry, _):
-            poses, vels, biases, lms, ETV, lam = carry
-            p = prob0._replace(
-                poses=poses, vels=vels, biases=biases, landmarks=lms,
-                E_T_V=ETV,
-            )
-            H, g, Hll, gl, Wc, _ = _assemble_vio(p, huber_px)
-            from mcslam_tpu.geometry import linalg3
-
-            eye3 = jnp.eye(3)
-            Hll_inv = linalg3.inv3(Hll + (lam + 1e-6) * eye3[None])
-            WHinv = jnp.einsum("plj,ljk->plk", Wc, Hll_inv)
-            S = H + lam * jnp.eye(N) - jnp.einsum("plk,qlk->pq", WHinv, Wc)
-            rhs = g - jnp.einsum("plk,lk->p", WHinv, gl)
-            dx = -jnp.linalg.solve(S, rhs)
-            dl = -jnp.einsum("ljk,lk->lj", Hll_inv,
-                             gl + jnp.einsum("plj,p->lj", Wc, dx))
-            dl = dl * problem.lm_valid[:, None]
-            dstate = dx[: K * D].reshape(K, D)
-            new_poses = lie.se3_retract(poses, dstate[:, :6])
-            new_vels = vels + dstate[:, 6:9]
-            new_biases = biases + dstate[:, 9:15]
-            new_ETV = lie.se3_retract(ETV, dx[K * D:])
-            new_lms = lms + dl
-            c_old = _vio_cost(p, huber_px)
-            c_new = _vio_cost(
-                prob0._replace(poses=new_poses, vels=new_vels,
-                               biases=new_biases, landmarks=new_lms,
-                               E_T_V=new_ETV),
-                huber_px,
-            )
-            improved = c_new < c_old
-            sel = lambda a, b: jnp.where(improved, a, b)
-            return (
-                sel(new_poses, poses), sel(new_vels, vels),
-                sel(new_biases, biases), sel(new_lms, lms),
-                sel(new_ETV, ETV),
-                jnp.where(improved, lam * 0.3, lam * 5.0),
-            ), c_new
-
-        (poses, vels, biases, lms, ETV, _), costs = jax.lax.scan(
-            step, (poses, vels, biases, lms, ETV,
-                   jnp.asarray(init_lambda, jnp.float32)),
-            None, length=n_iters,
-        )
-        return (poses, vels, biases, lms, ETV), costs[-1]
-
-    state = (problem.poses, problem.vels, problem.biases, problem.landmarks,
-             problem.E_T_V)
-    obs_valid = problem.obs.valid
-    cost = jnp.asarray(0.0)
-    for _ in range(gate_rounds):
-        state, cost = lm_pass(state, obs_valid, iters)
-        p = problem._replace(
-            poses=state[0], vels=state[1], biases=state[2],
-            landmarks=state[3], E_T_V=state[4],
-            obs=problem.obs._replace(valid=obs_valid),
-        )
-        vis_problem = ba_mod.BAProblem(
-            poses=state[0], landmarks=state[3], lm_valid=problem.lm_valid,
-            obs=problem.obs, cam_T_ref=problem.cam_T_body,
-            fxycxy=problem.fxycxy,
-            prior_H=jnp.zeros((K * 6, K * 6)), prior_b=jnp.zeros(K * 6),
-            kf_valid=problem.kf_valid,
-        )
-        rv, _, _, _ = ba_mod._residuals_and_jacobians(vis_problem, huber_px)
-        chi2 = jnp.sum(rv * rv, axis=-1) / jnp.maximum(problem.obs.sigma2, 1e-6)
-        obs_valid = problem.obs.valid & (chi2 < chi2_thresh)
-
-    # marginal information of the pose-side states at the solution
-    final = problem._replace(
-        poses=state[0], vels=state[1], biases=state[2], landmarks=state[3],
-        E_T_V=state[4], obs=problem.obs._replace(valid=obs_valid),
-    )
-    H, g, Hll, gl, Wc, _ = _assemble_vio(final, huber_px)
     from mcslam_tpu.geometry import linalg3
 
-    Hll_inv = linalg3.inv3(Hll + 1e-6 * jnp.eye(3)[None])
+    eye3 = jnp.eye(3)
+
+    def system(state, obs_valid):
+        poses, vels, biases, lms, ETV = state
+        p = problem._replace(
+            poses=poses, vels=vels, biases=biases, landmarks=lms,
+            E_T_V=ETV, obs=problem.obs._replace(valid=obs_valid),
+        )
+        H, g, Hll, gl, Wc, (rv, wv), cost = _assemble_vio(p, huber_px)
+        cost_vis = jnp.sum(wv * jnp.sum(rv * rv, axis=-1))
+        # (total, non-vision part): the gate re-weights only the vision
+        # term, so the non-vision part is carried separately
+        return (H, g, Hll, gl, Wc), (cost, cost - cost_vis), rv
+
+    def solve(sys_, lam, state):
+        H, g, Hll, gl, Wc = sys_
+        poses, vels, biases, lms, ETV = state
+        Hll_inv = linalg3.inv3(Hll + (lam + 1e-6) * eye3[None])
+        WHinv = jnp.einsum("plj,ljk->plk", Wc, Hll_inv)
+        S = H + lam * jnp.eye(N) - jnp.einsum("plk,qlk->pq", WHinv, Wc)
+        rhs = g - jnp.einsum("plk,lk->p", WHinv, gl)
+        dx = -jnp.linalg.solve(S, rhs)
+        dl = -jnp.einsum("ljk,lk->lj", Hll_inv,
+                         gl + jnp.einsum("plj,p->lj", Wc, dx))
+        dl = dl * problem.lm_valid[:, None]
+        dstate = dx[: K * D].reshape(K, D)
+        return (
+            lie.se3_retract(poses, dstate[:, :6]),
+            vels + dstate[:, 6:9],
+            biases + dstate[:, 9:15],
+            lms + dl,
+            lie.se3_retract(ETV, dx[K * D:]),
+        )
+
+    # Deferred accept/reject, single scan (mirrors ba.ba_solve): ONE
+    # assembly per LM iteration — it doubles as the previous step's
+    # acceptance check — with the chi2 vision-outlier gate fired in-scan
+    # every `iters` steps from the carried residuals.
+    total = iters * gate_rounds
+    gate_at = iters
+
+    def gate(rv, base_valid):
+        chi2 = jnp.sum(rv * rv, axis=-1) / jnp.maximum(
+            problem.obs.sigma2, 1e-6
+        )
+        return base_valid & (chi2 < chi2_thresh)
+
+    def recost_vis(rv, obs_valid):
+        rn = jnp.linalg.norm(rv, axis=-1)
+        w_h = jnp.where(rn <= huber_px, 1.0,
+                        huber_px / jnp.maximum(rn, 1e-9))
+        w = (w_h / jnp.maximum(problem.obs.sigma2, 1e-6)
+             * obs_valid.astype(rv.dtype)
+             * problem.lm_valid[problem.obs.lm].astype(rv.dtype)
+             * problem.kf_valid[problem.obs.kf].astype(rv.dtype))
+        return jnp.sum(w * jnp.sum(rv * rv, axis=-1))
+
+    state0 = (problem.poses, problem.vels, problem.biases,
+              problem.landmarks, problem.E_T_V)
+    obs_valid0 = problem.obs.valid
+    sys0, (c0, c0_nv), r0 = system(state0, obs_valid0)
+
+    def step(carry, idx):
+        b_state, b_sys, b_cost, b_nv, b_r, lam, obs_valid = carry
+        do_gate = (idx % gate_at == 0) & (idx > 0)
+        gated = gate(b_r, problem.obs.valid)
+        obs_valid = jnp.where(do_gate, gated, obs_valid)
+        # re-weight the carried vision cost under the new mask
+        b_cost = jnp.where(
+            do_gate, b_nv + recost_vis(b_r, obs_valid), b_cost
+        )
+        t_state = solve(b_sys, lam, b_state)
+        sys_t, (c_t, c_nv), r_t = system(t_state, obs_valid)
+        improved = c_t < b_cost
+        pick = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(improved, x, y), a, b
+        )
+        b_state = pick(t_state, b_state)
+        b_sys = pick(sys_t, b_sys)
+        b_r = jnp.where(improved, r_t, b_r)
+        b_nv = jnp.where(improved, c_nv, b_nv)
+        b_cost = jnp.minimum(c_t, b_cost)
+        lam = jnp.clip(
+            jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4
+        )
+        return (b_state, b_sys, b_cost, b_nv, b_r, lam, obs_valid), c_t
+
+    (state, fin_sys, cost, _, rv, _, obs_valid), _ = jax.lax.scan(
+        step,
+        (state0, sys0, c0, c0_nv, r0,
+         jnp.asarray(init_lambda, jnp.float32), obs_valid0),
+        jnp.arange(total),
+    )
+    obs_valid = gate(rv, problem.obs.valid)
+
+    # marginal information of the pose-side states at the solution, from
+    # the carried (accepted-state) system — no extra assembly pass
+    H, _, Hll, _, Wc = fin_sys
+    Hll_inv = linalg3.inv3(Hll + 1e-6 * eye3[None])
     WHinv = jnp.einsum("plj,ljk->plk", Wc, Hll_inv)
     S = H - jnp.einsum("plk,qlk->pq", WHinv, Wc)
 

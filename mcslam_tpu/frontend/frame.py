@@ -146,6 +146,33 @@ def _triangulate_stage(groups, xy_ud, kp_sigma2, rig, min_z, max_z):
     return X, has_depth, anchor_cam, uv_ref, anchor_sigma2, n_rays
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_points", "num_levels", "fast_threshold", "min_threshold",
+        "max_intra", "min_z", "max_z",
+    ),
+)
+def _fused_stage(imgs, rig, num_points, num_levels, fast_threshold,
+                 min_threshold, max_intra, min_z, max_z):
+    """extract + intra + triangulate in ONE program (see build_frame)."""
+    if imgs.dtype == jnp.uint8:
+        imgs = imgs.astype(jnp.float32) * (1.0 / 255.0)
+    kps = orb.extract_orb_rig(
+        imgs, num_points=num_points, num_levels=num_levels,
+        fast_threshold=fast_threshold, min_threshold=min_threshold,
+    )
+    xy_ud = undistort_keypoints(kps.xy, kps.valid, rig)
+    groups = intra_ops.intra_match(
+        desc=kps.desc, xy_ud=xy_ud, valid=kps.valid, response=kps.response,
+        rig=rig, max_out=max_intra,
+    )
+    tri = _triangulate_stage.__wrapped__(
+        groups, xy_ud, kps.sigma2, rig, min_z, max_z
+    )
+    return kps, xy_ud, groups, tri
+
+
 # --------------------------------------------------------------------------
 # host-side composition
 # --------------------------------------------------------------------------
@@ -175,6 +202,34 @@ def build_frame(
     is < 0.7 are vetoed (the reference's semantic dynamic-object veto,
     FrontEnd.cpp:266).
     """
+    if seg_masks is None:
+        # one fused program: the dispatch floor through a tunneled TPU is
+        # ~1 ms per call, so three chained stage jits paid ~2 ms of pure
+        # dispatch per frame
+        kps, xy_ud, groups, tri = _fused_stage(
+            imgs, rig, num_points, num_levels, fast_threshold,
+            min_threshold, max_intra, min_z, max_z,
+        )
+        X, has_depth, anchor_cam, uv_ref, anchor_sigma2, n_rays = tri
+        return FrameFeatures(
+            kp_xy=kps.xy,
+            kp_xy_ud=xy_ud,
+            kp_response=kps.response,
+            kp_angle=kps.angle,
+            kp_octave=kps.octave,
+            kp_sigma2=kps.sigma2,
+            kp_desc=kps.desc,
+            kp_valid=kps.valid,
+            im_ray_idx=groups.ray_idx,
+            im_desc=groups.desc,
+            im_uv_ref=uv_ref,
+            im_anchor_cam=anchor_cam,
+            im_point3d=X,
+            im_has_depth=has_depth,
+            im_n_rays=n_rays,
+            im_valid=groups.valid,
+            im_sigma2=anchor_sigma2,
+        )
     kps, xy_ud = _extract_stage(
         imgs, rig, num_points, num_levels, fast_threshold, min_threshold
     )

@@ -78,6 +78,9 @@ class SlamConfig:
     async_ba: bool = False
     # inertial
     imu_init_samples: int = 200  # reference collects >= 200 before alignment
+    # GPS position measurement sigma [m] (reference reads it from the
+    # backend params yaml)
+    gps_sigma: float = 0.5
 
 
 @jax.jit
@@ -1144,7 +1147,19 @@ class MultiCameraSLAM:
             return
 
         prior_H = np.zeros((K * 6, K * 6), np.float32)
-        prior_H[:6, :6] = np.eye(6) * 1e6  # gauge: clamp oldest window pose
+        # fixed-lag marginalization (vision window): anchor the oldest
+        # window pose with the SMOOTHED marginal information carried from
+        # the previous solve (reference BatchFixedLagSmoother semantics,
+        # OurFixedLagSmoother.h:109-168) instead of a hard identity clamp;
+        # gauge observability comes from the propagated old anchor plus a
+        # weak regularizer
+        vis_marg = getattr(self, "_vis_marg_prior", None)
+        if vis_marg is not None and window[0].kf_id == vis_marg[0]:
+            prior_H[:6, :6] = (
+                np.clip(vis_marg[1], -1e6, 1e6) + np.eye(6) * 1e2
+            )
+        else:
+            prior_H[:6, :6] = np.eye(6) * 1e6  # cold: clamp oldest pose
         problem = ba.BAProblem(
             poses=jnp.asarray(poses),
             landmarks=jnp.asarray(lms),
@@ -1162,6 +1177,10 @@ class MultiCameraSLAM:
         iters = cfg.ba_iters if self._ba_warm else cfg.ba_iters_cold
         result = ba.ba_solve(problem, iters=iters, kf_blocked=True)
         self._ba_warm = True
+        # stash the marginal information of the state that becomes the
+        # oldest when the trailing window slides (consumed above)
+        if len(window) > 1 and window is not None and not force_sync:
+            self._pending_vis_marg = (window[1].kf_id, result)
         # DEFERRED write-back: the solve runs asynchronously on device; its
         # results are fetched at the NEXT keyframe (or at finalize/loop
         # closure), hiding the whole BA latency behind tracking. The
@@ -1177,6 +1196,12 @@ class MultiCameraSLAM:
             return
         self._pending_ba = None
         result, lm_ids, window = pending
+        pm = getattr(self, "_pending_vis_marg", None)
+        if pm is not None and pm[1] is result:
+            self._pending_vis_marg = None
+            blk = np.asarray(result.marginal_H)[6:12, 6:12]
+            blk = (blk + blk.T) * 0.5  # kill f32 accumulation asymmetry
+            self._vis_marg_prior = (pm[0], blk)
         old_last = window[-1].world_T_ref.copy()
         new_poses = np.asarray(result.poses)
         for wk, kf in enumerate(window):
@@ -1268,7 +1293,7 @@ class MultiCameraSLAM:
                 gps_factors = ba_vio.GpsFactors(
                     kf=jnp.asarray(kfa), enu=jnp.asarray(enua),
                     t_bg=jnp.asarray(self.gps_lever_arm),
-                    sigma=jnp.full(G, 0.5, jnp.float32),
+                    sigma=jnp.full(G, self.cfg.gps_sigma, jnp.float32),
                     valid=jnp.asarray(va),
                 )
 

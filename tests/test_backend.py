@@ -280,3 +280,77 @@ def test_ba_kf_blocked_assembly_matches_generic():
         np.asarray(res_fast.poses)[1:, :3, 3] - poses_gt[1:, :3, 3]
     )
     assert err < 0.05
+
+
+def test_ba_pallas_linearize_parity():
+    """The fused Pallas linearize+payload kernel (interpret mode on CPU)
+    must reproduce the XLA blocked linearization + assembly to float32
+    reassociation tolerance (the opt-in MCSLAM_BA_PALLAS=1 path)."""
+    import jax
+
+    from mcslam_tpu.geometry import lie
+    from mcslam_tpu.ops.ba_pallas import linearize_payload_pallas
+
+    C, K, L = 3, 4, 128
+    Ok = 300  # not tile-divisible: exercises the padded tail
+    O = K * Ok
+    rng = np.random.RandomState(1)
+    rig = synthetic.make_synthetic_rig(
+        synthetic.SyntheticRigSpec(num_cams=C)
+    )
+    poses = jnp.asarray(np.stack([
+        np.asarray(lie.se3_exp(jnp.asarray(rng.randn(6) * 0.1)))
+        for _ in range(K)
+    ]).astype(np.float32))
+    lms = jnp.asarray(
+        (rng.uniform(-6, 6, (L, 3)) + [0, 0, 8]).astype(np.float32)
+    )
+    obs = ba.BAObservations(
+        kf=jnp.asarray(np.repeat(np.arange(K, dtype=np.int32), Ok)),
+        cam=jnp.asarray(rng.randint(0, C, O), jnp.int32),
+        lm=jnp.asarray(rng.randint(0, L, O), jnp.int32),
+        uv=jnp.asarray(rng.uniform(0, 640, (O, 2)).astype(np.float32)),
+        sigma2=jnp.asarray(rng.uniform(0.5, 2.0, O).astype(np.float32)),
+        valid=jnp.asarray(rng.rand(O) > 0.1),
+    )
+    problem = ba.BAProblem(
+        poses=poses, landmarks=lms,
+        lm_valid=jnp.asarray(rng.rand(L) > 0.05), obs=obs,
+        cam_T_ref=rig.cam_T_ref, fxycxy=rig.fxycxy,
+        prior_H=jnp.zeros((K * 6, K * 6)), prior_b=jnp.zeros(K * 6),
+        kf_valid=jnp.ones(K, bool),
+    )
+    r_ref, Jp_ref, Jl_ref, w_ref = ba._residuals_and_jacobians_blocked(
+        problem, 2.5
+    )
+    onehots = ba._make_onehots(problem, True)
+    sys_ref = ba._assemble(problem, r_ref, Jp_ref, Jl_ref, w_ref,
+                           onehots, True)
+
+    rTw = np.asarray(jax.vmap(lie.se3_inverse)(poses))
+    rTw12 = np.concatenate(
+        [rTw[:, :3, :3].reshape(K, 9), rTw[:, :3, 3]], axis=1
+    )
+    oh = np.asarray(obs.cam)
+    payload, r, w, Hpp, gp = linearize_payload_pallas(
+        jnp.asarray(rTw12),
+        lms[obs.lm], obs.uv,
+        jnp.asarray(np.asarray(rig.cam_T_ref)[:, :3, :3].reshape(C, 9)[oh]),
+        jnp.asarray(np.asarray(rig.cam_T_ref)[:, :3, 3][oh]),
+        jnp.asarray(np.asarray(rig.fxycxy)[oh]),
+        obs.sigma2,
+        jnp.asarray(
+            (np.asarray(obs.valid)
+             * np.asarray(problem.lm_valid)[np.asarray(obs.lm)]
+             ).astype(np.float32)
+        ),
+        tile=256, interpret=True,
+    )
+    sys_pal = ba._assemble_from_payload(problem, payload, Hpp, gp,
+                                        onehots[1])
+    for a, b in zip(sys_pal, sys_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 1e-5
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-5)

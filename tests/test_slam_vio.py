@@ -130,7 +130,7 @@ def test_gps_dummy_keyframes_between_vision_kfs():
     lms = synthetic.make_landmarks(900, seed=8, depth_range=(5.0, 16.0))
     descs = synthetic.make_descriptors(900, seed=9)
     frames = synthetic.render_feature_frames(
-        rig, poses, lms, descs, kps_per_cam=320, px_noise=1.2,
+        rig, poses, lms, descs, kps_per_cam=320, px_noise=1.6,
         desc_bit_noise=5, fps=fps, seed=10,
     )
     # GPS at intra-frame offsets (2 fixes per frame gap): timestamps that
@@ -159,7 +159,7 @@ def test_gps_dummy_keyframes_between_vision_kfs():
         cfg = SlamConfig(window_size=4, ba_obs_capacity=8192,
                          ba_lm_capacity=1024, local_map_landmarks=1024,
                          kf_translation=0.1, kf_rotation=0.08,
-                         imu_init_samples=40)
+                         imu_init_samples=40, gps_sigma=0.1)
         slam = MultiCameraSLAM(
             rig, cfg, imu_params=imu_params,
             gps_lever_arm=np.zeros(3) if with_gps else None,

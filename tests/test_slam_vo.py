@@ -74,3 +74,24 @@ def test_vo_writes_tum(tmp_path):
     # orthonormal rotations
     RtR = poses[:, :3, :3] @ np.transpose(poses[:, :3, :3], (0, 2, 1))
     np.testing.assert_allclose(RtR, np.tile(np.eye(3), (4, 1, 1)), atol=1e-4)
+
+
+def test_vision_fixed_lag_marginal_carries_over():
+    """The vision-only window must carry fixed-lag marginal information
+    across slides (reference BatchFixedLagSmoother semantics;
+    previously only the VIO path did): after enough keyframes the oldest
+    window pose is anchored by the previous solve's marginal, not a hard
+    identity clamp."""
+    slam, poses_gt = _run_sequence(num_frames=12)
+    marg = getattr(slam, "_vis_marg_prior", None)
+    assert marg is not None
+    kf_id, H = marg
+    # the stashed block belongs to a real (recent) keyframe
+    assert any(k.kf_id == kf_id for k in slam.keyframes)
+    assert H.shape == (6, 6)
+    # marginal information is symmetric positive semi-definite and
+    # carries real constraint strength (landmark evidence, not zeros)
+    assert np.abs(H - H.T).max() < 1e-4 * np.abs(H).max()
+    eig = np.linalg.eigvalsh((H + H.T) / 2)
+    assert eig[-1] > 1.0
+    assert eig[0] > -1e-3 * abs(eig[-1])
