@@ -12,6 +12,8 @@ from __future__ import annotations
 import functools
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -23,8 +25,59 @@ def gaussian_kernel(ksize: int, sigma: float) -> jnp.ndarray:
     return k / jnp.sum(k)
 
 
-def _sep_conv(img: jax.Array, k: jax.Array) -> jax.Array:
-    """Separable 2D convolution with reflect padding, batched over leading dims."""
+@functools.lru_cache(maxsize=None)
+def _band_matrix(n: int, taps: tuple) -> np.ndarray:
+    """(n, n) banded convolution matrix with reflect padding folded into
+    the band edges: out = B @ x equals conv1d(x, taps, reflect)."""
+    ksize = len(taps)
+    pad = ksize // 2
+    B = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for t in range(ksize):
+            j = i - pad + t
+            if j < 0:
+                j = -j
+            elif j >= n:
+                j = 2 * n - 2 - j
+            B[i, j] += taps[t]
+    return B
+
+
+def _sep_conv_mxu(img: jax.Array, taps: tuple) -> jax.Array:
+    """Separable conv as two banded matmuls: single-channel convs lower
+    poorly on TPU (the conv's contraction dims are size 1); an (H, H) and
+    (W, W) band matrix run on the MXU instead. `taps` must be static
+    (python floats), not traced."""
+    h, w = img.shape[-2:]
+    Bh = jnp.asarray(_band_matrix(h, taps))
+    Bw = jnp.asarray(_band_matrix(w, taps))
+    x = jnp.einsum("hi,...iw->...hw", Bh, img,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("...hw,jw->...hj", x, Bw,
+                      preferred_element_type=jnp.float32)
+
+
+def _use_mxu_conv() -> bool:
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _np_gaussian_taps(ksize: int, sigma: float) -> tuple:
+    r = (ksize - 1) / 2
+    x = np.arange(ksize, dtype=np.float64) - r
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    k = k / k.sum()
+    return tuple(float(v) for v in k)
+
+
+def _sep_conv(img: jax.Array, k: jax.Array, taps: tuple | None = None):
+    """Separable 2D convolution with reflect padding, batched over leading
+    dims. When static `taps` are given and the backend is TPU, runs as
+    banded matmuls on the MXU."""
+    if taps is not None and _use_mxu_conv():
+        return _sep_conv_mxu(img, taps)
     ksize = k.shape[0]
     pad = ksize // 2
     batch = img.shape[:-2]
@@ -46,7 +99,8 @@ def _sep_conv(img: jax.Array, k: jax.Array) -> jax.Array:
 
 
 def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Array:
-    return _sep_conv(img, gaussian_kernel(ksize, sigma))
+    return _sep_conv(img, gaussian_kernel(ksize, sigma),
+                     taps=_np_gaussian_taps(ksize, sigma))
 
 
 def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
@@ -92,8 +146,9 @@ def clahe_like(img: jax.Array, grid: int = 8, clip: float = 0.02) -> jax.Array:
     k = max(h, w) // grid | 1
     k = min(k, 63) | 1
     box = jnp.ones((k,), jnp.float32) / k
-    mean = _sep_conv(img, box)
-    sq = _sep_conv(img * img, box)
+    box_taps = (1.0 / k,) * k
+    mean = _sep_conv(img, box, taps=box_taps)
+    sq = _sep_conv(img * img, box, taps=box_taps)
     std = jnp.sqrt(jnp.maximum(sq - mean * mean, 1e-6))
     out = (img - mean) / jnp.maximum(std, clip)
     # squash back to [0,1]

@@ -34,7 +34,22 @@ def select_keypoints(
     cells = cells.reshape(gh * gw, cell * cell)
 
     k = min(per_cell, cell * cell)
-    cell_resp, cell_arg = jax.lax.top_k(cells, k)  # (G, k)
+    # per-cell top-k by iterative max+mask: k is tiny (<=4 in practice),
+    # so k passes of (max, argmax, one-hot mask) beat the sort lax.top_k
+    # lowers to on TPU
+    if k <= 8:
+        vals = cells
+        lane = jnp.arange(cells.shape[1], dtype=jnp.int32)[None, :]
+        rv, ra = [], []
+        for _ in range(k):
+            a = jnp.argmax(vals, axis=1).astype(jnp.int32)
+            rv.append(jnp.max(vals, axis=1))
+            ra.append(a)
+            vals = jnp.where(lane == a[:, None], -jnp.inf, vals)
+        cell_resp = jnp.stack(rv, axis=1)  # (G, k)
+        cell_arg = jnp.stack(ra, axis=1)
+    else:
+        cell_resp, cell_arg = jax.lax.top_k(cells, k)  # (G, k)
 
     # flat pixel coordinates of every candidate
     cy = cell_arg // cell
