@@ -109,6 +109,16 @@ def main(argv=None):
 
         gps_stream = GpsStream.from_csv(settings.raw["gps_csv"])
 
+    # dense depth reconstruction per keyframe (reference DepthReconstructor,
+    # calc_depth=1; off the ATE path — depth maps are a data product)
+    depth_dir = None
+    if settings.raw.get("calc_depth") in ("true", True) or \
+            getattr(settings, "calc_depth", False):
+        from pathlib import Path as _Path
+
+        depth_dir = _Path(settings.raw.get("depth_dir") or "depth_out")
+        depth_dir.mkdir(parents=True, exist_ok=True)
+
     n = 0
     t_start = time.time()
     while True:
@@ -121,6 +131,16 @@ def main(argv=None):
         gps_slice = gps_stream.until(ts) if gps_stream else None
         info = slam.process_frame(ff, ts, imu=imu_slice, gps=gps_slice) \
             if (imu_slice or gps_slice) else slam.process_frame(ff, ts)
+        if depth_dir is not None and info.get("keyframe") and rig.num_cams >= 2:
+            from mcslam_tpu.ops.stereo import depth_from_rig_pair
+
+            depth, dvalid = depth_from_rig_pair(
+                jnp.asarray(imgs), rig,
+                max_disp=int(settings.raw.get("depth_max_disp", 64)),
+            )
+            kf_id = slam.keyframes[-1].kf_id
+            np.save(depth_dir / f"depth_{kf_id:06d}.npy",
+                    np.where(np.asarray(dvalid), np.asarray(depth), 0.0))
         n += 1
         if n % 20 == 0:
             fps = n / (time.time() - t_start)

@@ -55,18 +55,23 @@ _CFG_DEFAULTS = {
     "imu_map_frame": "false",
     "video_streams": "",
     "debug_mode": "false",
+    # dense depth reconstruction (reference calc_depth/depth_est,
+    # ParseSettings.cpp:39-45); depth maps saved per keyframe
+    "calc_depth": "false",
+    "depth_dir": "",
+    "depth_max_disp": "64",
 }
 
 _BOOL_KEYS = {
     "ros", "parse_bag", "use_imu", "use_gps", "relocalization", "navability",
     "fast_tracking", "segmentation", "kalibr", "undistort", "radtan",
-    "imu_map_frame", "debug_mode",
+    "imu_map_frame", "debug_mode", "calc_depth",
 }
 _PATH_KEYS = {
     "images_path", "calib_file_path", "frontend_params_file",
     "backend_params_file", "vocabulary", "fbow_vocabulary", "traj_file",
     "log_file", "logs_dir", "database_path", "map_path", "bag_path",
-    "segmasks_path", "video_streams",
+    "segmasks_path", "video_streams", "depth_dir",
 }
 
 

@@ -114,11 +114,27 @@ class ImageFolderReader(DatasetReaderBase):
     within `sync_tol` (reference async camera sync, DatasetReader.cpp:275).
     """
 
+    IMG_EXTS = (".png", ".jpg", ".jpeg", ".pgm", ".bmp")
+
     def __init__(self, root, cam_dirs=None, sync_tol=0.01, frame_range=None):
         self.root = Path(root)
         if cam_dirs is None:
+            # only directories that actually hold images qualify as
+            # cameras (the dataset root may also contain output dirs —
+            # depth maps, logs — which must not be mistaken for a camera)
+            def has_images(d):
+                base = d / "data" if (d / "data").is_dir() else d
+                return any(
+                    p.suffix.lower() in self.IMG_EXTS for p in base.iterdir()
+                )
+
             cam_dirs = sorted(
-                d.name for d in self.root.iterdir() if d.is_dir()
+                d.name for d in self.root.iterdir()
+                if d.is_dir() and has_images(d)
+            )
+        if not cam_dirs:
+            raise FileNotFoundError(
+                f"no camera image directories under {self.root}"
             )
         self.cam_dirs = cam_dirs
         self.sync_tol = sync_tol

@@ -73,6 +73,8 @@ def dataset(tmp_path_factory):
         map_path=map.json
         vocabulary=vocab.npz
         database_path=db.npz
+        calc_depth=true
+        depth_dir=depth
     """))
     return root, poses
 
@@ -94,6 +96,11 @@ def test_app_runs_end_to_end(dataset):
     assert ate < 0.2, ate
     assert (root / "map.json").exists()
     assert (root / "db.npz").exists()
+    # dense depth maps saved per keyframe (reference calc_depth mode)
+    depth_files = list((root / "depth").glob("depth_*.npy"))
+    assert depth_files, "calc_depth=true produced no depth maps"
+    d = np.load(depth_files[0])
+    assert d.ndim == 2 and np.isfinite(d).all()
 
 
 def test_app_relocalization_fast_tracking_round_trip(dataset):
