@@ -1,0 +1,212 @@
+"""Sensor-ingestion half of the SLAM driver (mixin): IMU buffering +
+gravity init + preintegration spans, GPS ENU conversion + Kabsch init +
+keyframe attachment + IMU-predicted dummy keyframes (split out of
+slam.py)."""
+
+from __future__ import annotations
+
+
+import jax.numpy as jnp
+import numpy as np
+
+from mcslam_tpu.backend import imu as imu_mod
+from mcslam_tpu.geometry import alignment
+from mcslam_tpu.geometry.geodesy import EnuConverter
+
+from mcslam_tpu.keyframe import Keyframe
+
+
+class SensorsMixin:
+    # -- sensor ingestion ---------------------------------------------------
+
+    def _ingest_imu(self, imu):
+        """imu = (ts (S,), gyro (S,3), accel (S,3)) message slice."""
+        ts, gyro, accel = imu
+        for k in range(len(ts)):
+            self._imu_buf.append((float(ts[k]), gyro[k], accel[k]))
+            if self.graph_log is not None:
+                self.graph_log.imu_raw(float(ts[k]), gyro[k], accel[k])
+        if not self.imu_initialized:
+            self._imu_init_buf.extend(
+                (gyro[k], accel[k]) for k in range(len(ts))
+            )
+            # reference collects >= 200 samples before gravity alignment
+            if len(self._imu_init_buf) >= self.cfg.imu_init_samples:
+
+                g = np.stack([s[0] for s in self._imu_init_buf])
+                a = np.stack([s[1] for s in self._imu_init_buf])
+                R_wb, bias = imu_mod.init_gravity_aligned(
+                    jnp.asarray(a, jnp.float32), jnp.asarray(g, jnp.float32),
+                    jnp.ones(len(a), bool), self.imu_params,
+                )
+                self.bias = np.asarray(bias)
+                # world frame = gravity-aligned body frame at init
+                pose = np.eye(4, dtype=np.float32)
+                pose[:3, :3] = np.asarray(R_wb)
+                self.cur_pose = pose
+                self.imu_initialized = True
+                self._imu_buf = [
+                    s for s in self._imu_buf if s[0] >= 0
+                ]  # keep history
+
+    def _preintegrate_span(self, t0, t1):
+        """Preintegrate buffered IMU samples with t0 < ts <= t1."""
+
+        sel = [(t, g, a) for (t, g, a) in self._imu_buf if t0 < t <= t1]
+        if len(sel) < 3:  # reference imu_message_empty gate
+            return None
+        ts = np.array([s[0] for s in sel])
+        dts = np.diff(ts, prepend=t0)
+        dts = np.clip(dts, 1e-4, 0.1).astype(np.float32)
+        gyro = np.stack([s[1] for s in sel]).astype(np.float32)
+        accel = np.stack([s[2] for s in sel]).astype(np.float32)
+        return imu_mod.preintegrate(
+            jnp.asarray(dts), jnp.asarray(gyro), jnp.asarray(accel),
+            jnp.ones(len(sel), bool), jnp.asarray(self.bias),
+            self.imu_params,
+        )
+
+    def _ingest_gps(self, gps):
+        """gps = (ts (G,), lla (G,3)) geodetic fixes."""
+
+        ts, lla = gps
+        for k in range(len(ts)):
+            if self.enu_converter is None:
+                self.enu_converter = EnuConverter(*lla[k])
+            enu = self.enu_converter.to_enu(*lla[k])
+            self._gps_buf.append((float(ts[k]), enu))
+
+    def _try_gps_init(self):
+        """Umeyama-align buffered fixes to interpolated VIO positions
+        (reference gps_initialize_kabsch, >= 15 fix buffer)."""
+        if self.gps_initialized or len(self._gps_buf) < 15:
+            return
+        if len(self.keyframes) < 3:
+            return
+        kf_ts = np.array([k.timestamp for k in self.keyframes])
+        kf_pos = np.stack([k.world_T_ref[:3, 3] for k in self.keyframes])
+        pts_v, pts_e = [], []
+        for t, enu in self._gps_buf:
+            if t < kf_ts[0] or t > kf_ts[-1]:
+                continue
+            j = int(np.searchsorted(kf_ts, t))
+            j = min(max(j, 1), len(kf_ts) - 1)
+            a = (t - kf_ts[j - 1]) / max(kf_ts[j] - kf_ts[j - 1], 1e-6)
+            pts_v.append((1 - a) * kf_pos[j - 1] + a * kf_pos[j])
+            pts_e.append(enu)
+        if len(pts_v) < 8:
+            return
+
+        R, t, _ = alignment.kabsch(
+            jnp.asarray(np.stack(pts_v), jnp.float32),
+            jnp.asarray(np.stack(pts_e), jnp.float32),
+        )
+        self.E_T_V = np.eye(4, dtype=np.float32)
+        self.E_T_V[:3, :3] = np.asarray(R)
+        self.E_T_V[:3, 3] = np.asarray(t)
+        self.gps_initialized = True
+
+    # merge window: a GPS fix this close to a vision KF is attached to it
+    # rather than spawning a dummy KF (reference merges when within 10 ms
+    # and no IMU msgs between, Backend.cpp:2699-2741; our frame timestamps
+    # are coarser, so the window is wider)
+    GPS_MERGE_DT = 0.05
+
+    def _set_kf_gps(self, kf_id: int, enu) -> None:
+        self.kf_gps[kf_id] = enu
+        if self.graph_log is not None and self.enu_converter is not None:
+            self.graph_log.gps(kf_id, enu, self.enu_converter.ref_geodetic)
+
+    def _attach_gps_to_kf(self, kf):
+        """Attach a near-simultaneous buffered fix to this vision keyframe
+        (reference validGPSmessage gates: in-window, moved >= 0.5 m)."""
+        if not self._gps_buf:
+            return
+        best, best_t, best_dt = None, None, self.GPS_MERGE_DT
+        for t, enu in self._gps_buf:
+            dt = abs(t - kf.timestamp)
+            if dt < best_dt:
+                best, best_t, best_dt = enu, t, dt
+        if best is not None:
+            prev = getattr(self, "_gps_last_enu", None)
+            if prev is not None and np.linalg.norm(best - prev) < 0.5:
+                return
+            self._set_kf_gps(kf.kf_id, best)
+            self._gps_last_enu = best
+            self._gps_buf = [
+                (t, e) for (t, e) in self._gps_buf if t != best_t
+            ]
+
+    def _process_gps_dummies(self, t_now: float):
+        """Create IMU-predicted dummy keyframes for valid GPS fixes that
+        fall BETWEEN vision keyframes (reference FrontEnd.cpp:1452-1484 +
+        Backend::addKeyframeGPS(true), Backend.cpp:1610-1642) — without
+        them, low-rate vision or vision dropout silently discards GPS
+        information. The dummy is a pure state node: the VIO window links
+        it to its neighbors with IMU factors and to the fix with a GPS
+        factor; it carries no vision observations."""
+        if not (self.use_imu and self.imu_initialized
+                and self.gps_initialized and self.keyframes):
+            return
+
+        body_T_cam0 = np.asarray(self.rig.body_T_cam)[0]
+        inv_btc0 = np.linalg.inv(body_T_cam0)
+        consumed = []
+        for t, enu in sorted(self._gps_buf):
+            last_kf = self.keyframes[-1]
+            if t <= last_kf.timestamp or t > t_now:
+                continue
+            prev = getattr(self, "_gps_last_enu", None)
+            if prev is not None and np.linalg.norm(enu - prev) < 0.5:
+                continue  # reference: reject fixes that barely moved
+            if t - last_kf.timestamp < self.GPS_MERGE_DT:
+                # near-simultaneous with the last keyframe: merge into it
+                # (reference change_vision_kf_info, Backend.cpp:2699-2741)
+                if last_kf.kf_id not in self.kf_gps:
+                    self._set_kf_gps(last_kf.kf_id, enu)
+                    self._gps_last_enu = enu
+                    consumed.append(t)
+                continue
+            pre = self._preintegrate_span(last_kf.timestamp, t)
+            if pre is None:
+                continue  # <3 IMU samples in the gap: no constraint
+            state = imu_mod.ImuState(
+                world_T_body=jnp.asarray(
+                    last_kf.world_T_ref @ inv_btc0, jnp.float32
+                ),
+                vel=jnp.asarray(
+                    self.kf_vel.get(last_kf.kf_id, np.zeros(3)), jnp.float32
+                ),
+                bias=jnp.asarray(self.bias, jnp.float32),
+            )
+            pred = imu_mod.predict(state, pre, self.imu_params)
+            pose_ref = (
+                np.asarray(pred.world_T_body) @ body_T_cam0
+            ).astype(np.float32)
+            M = last_kf.lm_id.shape[0]
+            kf = Keyframe.dummy(
+                self.kf_counter, t, pose_ref, self.rig.num_cams, M
+            )
+            self.kf_counter += 1
+            self.keyframes.append(kf)
+            self.stats["gps_dummy_kfs"] = (
+                self.stats.get("gps_dummy_kfs", 0) + 1
+            )
+            self.kf_time[kf.kf_id] = t
+            self._kf_preints[kf.kf_id] = (last_kf.kf_id, pre)
+            self.kf_vel[kf.kf_id] = np.asarray(pred.vel, np.float32)
+            self.kf_bias[kf.kf_id] = self.bias.copy()
+            self._set_kf_gps(kf.kf_id, enu)
+            self._gps_last_enu = enu
+            consumed.append(t)
+        if consumed:
+            self._gps_buf = [
+                (t, e) for (t, e) in self._gps_buf if t not in consumed
+            ]
+            # the new state nodes need the optimizer to see them
+            self._run_window_ba()
+        # prune fixes that can never attach anymore (post-init only;
+        # the Kabsch init needs the full buffer)
+        horizon = self.keyframes[-1].timestamp - 1.0
+        self._gps_buf = [(t, e) for (t, e) in self._gps_buf if t > horizon]
+

@@ -83,285 +83,20 @@ class SlamConfig:
     gps_sigma: float = 0.5
 
 
-@jax.jit
-def _pack_kf(frame: FrameFeatures):
-    """Pack every array a Keyframe needs into ONE f32 buffer: keyframe
-    construction otherwise costs ~10 separate device->host round trips."""
-    C = frame.kp_xy_ud.shape[0]
-    M = frame.im_ray_idx.shape[0]
-    safe = jnp.maximum(frame.im_ray_idx, 0)
-    cam = jnp.arange(C, dtype=jnp.int32)[None, :]
-    ray_uv = frame.kp_xy_ud[cam, safe]  # (M, C, 2)
-    ray_sig = frame.kp_sigma2[cam, safe]  # (M, C)
-    # descriptors travel as two exact u16-in-f32 halves (bitcasting u32 to
-    # f32 risks NaN canonicalization corrupting bits in transit)
-    desc_lo = (frame.im_desc & jnp.uint32(0xFFFF)).astype(jnp.float32)
-    desc_hi = (frame.im_desc >> 16).astype(jnp.float32)
-    parts = [
-        desc_lo.reshape(-1),
-        desc_hi.reshape(-1),
-        frame.im_uv_ref.reshape(-1),
-        frame.im_anchor_cam.astype(jnp.float32),
-        frame.im_valid.astype(jnp.float32),
-        frame.im_sigma2,
-        frame.im_point3d.reshape(-1),
-        frame.im_has_depth.astype(jnp.float32),
-        frame.im_ray_idx.astype(jnp.float32).reshape(-1),
-        ray_uv.reshape(-1),
-        ray_sig.reshape(-1),
-    ]
-    return jnp.concatenate(parts)
-
-
-class Keyframe:
-    """Host-side keyframe record (small numpy arrays + landmark id table)."""
-
-    is_dummy = False  # GPS dummy keyframes override (no vision content)
-
-    @classmethod
-    def dummy(cls, kf_id, timestamp, world_T_ref, num_cams: int,
-              num_slots: int):
-        """IMU-predicted GPS keyframe with NO vision content (reference
-        dummy-KF ctor MultiCameraFrame.cpp:56-75 / insertKeyFrame overload
-        FrontEnd.cpp:1452-1484): a pure state node the window BA constrains
-        with IMU + GPS factors only."""
-        kf = cls.__new__(cls)
-        kf.kf_id = kf_id
-        kf.timestamp = timestamp
-        kf.world_T_ref = np.asarray(world_T_ref, np.float32)
-        kf.is_dummy = True
-        M, C = num_slots, num_cams
-        kf.im_desc = np.zeros((M, 8), np.uint32)
-        kf.im_uv = np.zeros((M, 2), np.float32)
-        kf.im_anchor_cam = np.zeros(M, np.int32)
-        kf.im_valid = np.zeros(M, bool)
-        kf.im_sigma2 = np.ones(M, np.float32)
-        kf.im_point3d = np.zeros((M, 3), np.float32)
-        kf.im_has_depth = np.zeros(M, bool)
-        kf.im_ray_idx = np.full((M, C), -1, np.int32)
-        kf.ray_uv = np.zeros((M, C, 2), np.float32)
-        kf.ray_sigma2 = np.ones((M, C), np.float32)
-        kf.ray_valid = np.zeros((M, C), bool)
-        kf.lm_id = np.full(M, -1, np.int32)
-        kf.d_desc = None
-        kf.d_valid = None
-        kf._d_lm_id = None
-        return kf
-
-    def __init__(self, kf_id, timestamp, world_T_ref, frame: FrameFeatures):
-        self.kf_id = kf_id
-        self.timestamp = timestamp
-        self.world_T_ref = np.asarray(world_T_ref)
-        C = frame.kp_xy_ud.shape[0]
-        M = frame.im_ray_idx.shape[0]
-        v = np.asarray(_pack_kf(frame))  # one fetch
-        o = 0
-
-        def take(n, shape=None, dtype=None):
-            nonlocal o
-            out = v[o : o + n]
-            o += n
-            if shape is not None:
-                out = out.reshape(shape)
-            if dtype is not None:
-                out = out.astype(dtype)
-            return out
-
-        lo = take(M * 8, (M, 8)).astype(np.uint32)
-        hi = take(M * 8, (M, 8)).astype(np.uint32)
-        self.im_desc = (hi << 16) | lo
-        self.im_uv = take(M * 2, (M, 2))
-        self.im_anchor_cam = take(M, dtype=np.int32)
-        self.im_valid = take(M) > 0.5
-        self.im_sigma2 = take(M)
-        self.im_point3d = take(M * 3, (M, 3))
-        self.im_has_depth = take(M) > 0.5
-        self.im_ray_idx = take(M * C, (M, C), np.int32)
-        self.ray_uv = take(M * C * 2, (M, C, 2))
-        self.ray_sigma2 = take(M * C, (M, C))
-        self.ray_valid = self.im_ray_idx >= 0
-        self.lm_id = np.full(M, -1, np.int32)
-        # device-resident copies for the tracking kernels (descriptors are
-        # already on device in the frame; re-uploading every frame costs a
-        # tunnel round trip each)
-        self.d_desc = frame.im_desc
-        self.d_valid = frame.im_valid
-        self._d_lm_id = None
-
-    def d_lm_id(self):
-        if self._d_lm_id is None:
-            import jax.numpy as _jnp
-
-            self._d_lm_id = _jnp.asarray(self.lm_id)
-        return self._d_lm_id
-
-    def lm_dirty(self):
-        """Call after mutating lm_id so the device copy refreshes lazily."""
-        self._d_lm_id = None
-
-
-# --------------------------------------------------------------------------
-# jitted kernels (static shapes)
-# --------------------------------------------------------------------------
-
-
-@jax.jit
-def _match_descriptors(desc_a, valid_a, desc_b, valid_b):
-    d = hamming.hamming_matrix(desc_a, desc_b)
-    return d
-
-
-@functools.partial(jax.jit, static_argnames=("max_dist", "ratio"))
-def _mutual_match(dist, valid_a, valid_b, max_dist: int, ratio: float):
-    return match_ops.match_mutual(
-        dist, row_mask=valid_a, col_mask=valid_b, max_dist=max_dist, ratio=ratio
-    )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_hyp", "px", "max_dist", "ratio"),
+from mcslam_tpu.keyframe import Keyframe, _pack_kf  # noqa: F401,E402
+from mcslam_tpu.tracking_kernels import (  # noqa: F401,E402
+    _local_map_step, _match_descriptors, _mutual_match,
+    _project_and_match_local, _track_step, _triangulate_pairs,
 )
-def _track_step(
-    key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
-    cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos, map_valid,
-    cam_T_ref_all, fxycxy_all, num_hyp: int, px: float, max_dist: int,
-    ratio: float,
-):
-    """Whole inter-frame tracking step on device: match -> landmark lookup
-    (device map mirror) -> robust pose (3D-3D or 2D-3D picked by lax.cond)
-    -> motion-only LM. One host fetch for everything downstream."""
-    d = hamming.hamming_matrix(cur_desc, prev_desc)
-    res = match_ops.match_mutual(
-        d, row_mask=cur_valid, col_mask=prev_valid, max_dist=max_dist,
-        ratio=ratio,
-    )
-    lm = jnp.where(res.ok, prev_lm_id[res.idx], -1)
-    safe = jnp.maximum(lm, 0)
-    with_lm = (lm >= 0) & map_valid[safe]
-    lm = jnp.where(with_lm, lm, -1)
-    X_world = map_pos[safe]
-    cTr = cam_T_ref_all[cur_anchor]
-    f = fxycxy_all[cur_anchor]
-    mask3d = with_lm & cur_has_depth
-    use3d = jnp.sum(mask3d) >= 20
-
-    def kab(_):
-        return ransac.ransac_kabsch(
-            key, cur_p3d, X_world, cur_uv, cTr, f, mask3d,
-            num_hyp=num_hyp, px_thresh=px,
-        )
-
-    def pnp(_):
-        return ransac.ransac_pnp(
-            key, X_world, cur_uv, cTr, f, with_lm,
-            num_hyp=max(num_hyp // 2, 64), px_thresh=px,
-        )
-
-    rr = jax.lax.cond(use3d, kab, pnp, None)
-    ref = pose_opt.optimize_pose(
-        rr.world_T_ref, X_world, cur_uv, cTr, f, with_lm & rr.inliers,
-        sigma2=cur_sigma2,
-    )
-    # pack EVERYTHING into one f32 vector: the host<->device tunnel charges
-    # a full round trip per fetched buffer, so one buffer = one RTT
-    M = lm.shape[0]
-    packed = jnp.concatenate([
-        ref.world_T_ref.reshape(16),
-        jnp.stack([
-            ref.num_inliers.astype(jnp.float32),
-            jnp.sum(res.ok).astype(jnp.float32),
-            with_lm.sum().astype(jnp.float32),
-            rr.ok.astype(jnp.float32),
-        ]),
-        res.ok.astype(jnp.float32),
-        res.idx.astype(jnp.float32),
-        lm.astype(jnp.float32),
-    ])
-    return packed
-
-
-@functools.partial(jax.jit, static_argnames=("image_wh", "radius", "max_dist"))
-def _local_map_step(
-    T_wr, cand_ids, cand_valid, map_pos, map_desc, im_desc, im_uv, im_anchor,
-    im_valid, im_sigma2, cam_T_ref, fxycxy, image_wh, radius: float,
-    max_dist: int,
-):
-    """Local-map tracking fully on device: gather candidate landmarks from
-    the HBM mirror, projection-gated matching, pose refine. Returns
-    (pose, lm_match ids (M,), inliers (M,)) for one host fetch."""
-    lm_pos = map_pos[cand_ids]
-    lm_desc = map_desc[cand_ids]
-    res = _project_and_match_local(
-        T_wr, lm_pos, lm_desc, cand_valid, im_desc, im_uv, im_anchor,
-        im_valid, cam_T_ref, fxycxy, image_wh, radius, max_dist,
-    )
-    lm = jnp.where(res.ok, cand_ids[res.idx], -1)
-    sel = lm >= 0
-    X_world = map_pos[jnp.maximum(lm, 0)]
-    cTr = cam_T_ref[im_anchor]
-    f = fxycxy[im_anchor]
-    ref = pose_opt.optimize_pose(
-        T_wr, X_world, im_uv, cTr, f, sel, sigma2=im_sigma2
-    )
-    lm_out = jnp.where(ref.inliers, lm, -1)
-    # single packed buffer -> single tunnel round trip
-    return jnp.concatenate([
-        ref.world_T_ref.reshape(16),
-        lm_out.astype(jnp.float32),
-        ref.inliers.astype(jnp.float32),
-    ])
-
-
-@functools.partial(jax.jit, static_argnames=("radius", "max_dist"))
-def _project_and_match_local(
-    T_wr, lm_pos, lm_desc, lm_valid, im_desc, im_uv, im_anchor, im_valid,
-    cam_T_ref, fxycxy, image_wh, radius: float, max_dist: int,
-):
-    """Project candidate landmarks into the rig and match to current
-    intra-features with a pixel-radius gate (searchLocalMap2 equivalent,
-    FrontEnd.cpp:4901)."""
-    # landmarks into every camera: (L, C, 2)
-    rTw = lie.se3_inverse(T_wr)
-    p_ref = lie.se3_apply(rTw, lm_pos)  # (L, 3)
-    p_cam = lie.se3_apply(cam_T_ref[None], p_ref[:, None])  # (L, C, 3)
-    z = p_cam[..., 2]
-    zs = jnp.where(z > 0.05, z, 1.0)
-    proj = p_cam[..., :2] / zs[..., None] * fxycxy[None, :, :2] + fxycxy[None, :, 2:]
-    w, h = image_wh
-    vis = (
-        (z > 0.05)
-        & (proj[..., 0] >= 0) & (proj[..., 0] < w)
-        & (proj[..., 1] >= 0) & (proj[..., 1] < h)
-    )  # (L, C)
-    # per current feature: its anchor camera's projection of each landmark
-    proj_a = proj[:, :, :].transpose(1, 0, 2)[im_anchor]  # (M, L, 2)
-    vis_a = vis.transpose(1, 0)[im_anchor]  # (M, L)
-    duv = proj_a - im_uv[:, None, :]
-    close = (jnp.sum(duv * duv, axis=-1) < radius * radius) & vis_a
-    dmat = hamming.hamming_matrix(im_desc, lm_desc)
-    res = match_ops.match_one_way(
-        dmat,
-        row_mask=im_valid,
-        col_mask=lm_valid,
-        max_dist=max_dist,
-        pair_mask=close,
-    )
-    return res
-
-
-@jax.jit
-def _triangulate_pairs(wTc_rays, uv_rays, f_rays, mask_rays, sigma_rays):
-    return triangulation.triangulate_and_refine(
-        wTc_rays, uv_rays, f_rays, mask_rays, sigma=sigma_rays,
-        min_z=0.1, max_z=100.0,
-    )
+from mcslam_tpu.driver_loop import LoopClosingMixin  # noqa: E402
+from mcslam_tpu.driver_sensors import SensorsMixin  # noqa: E402
+from mcslam_tpu.driver_window import WindowBAMixin  # noqa: E402
 
 
 # --------------------------------------------------------------------------
 
 
-class MultiCameraSLAM:
+class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
     def __init__(self, rig, config: SlamConfig = None, seed: int = 0,
                  vocab=None, loop_config=None, imu_params=None,
                  gps_lever_arm=None):
@@ -810,760 +545,6 @@ class MultiCameraSLAM:
         # window BA
         with self.timers.span("window_ba"):
             self._run_window_ba()
-
-    # -- loop closing ------------------------------------------------------
-
-    def _close_loop(self, kf: Keyframe, det):
-        """Merge re-observed landmarks, run SE(3) pose-graph optimization
-        over the whole keyframe trajectory, re-anchor landmarks to their
-        first-observing keyframe (the reference achieves the same global
-        correction through ISAM2 + smart-factor re-triangulation)."""
-        from mcslam_tpu.backend import pgo
-
-        # an in-flight window BA linearized at pre-loop poses is invalid
-        self._finish_pending_ba()
-        self.stats["loops"] += 1
-        self._ba_warm = False  # post-loop windows need the full LM budget
-        if self.graph_log is not None:
-            # 'k' relative pose (match_T_query) + 'm' re-observation records
-            # (reference appendLogs loop records, FrontEnd.cpp:7523-7542)
-            self.graph_log.loop_pose(kf.kf_id, det.match_kf, det.rel_pose)
-            for slot, old_lm in zip(det.query_slots, det.lm_ids):
-                self.graph_log.loop_measurement(
-                    kf.kf_id, int(kf.im_anchor_cam[slot]), int(old_lm),
-                    float(kf.im_uv[slot, 0]), float(kf.im_uv[slot, 1]),
-                )
-        # 1. merge landmark identities: the query slots re-observe OLD lms.
-        # A freshly minted duplicate may be referenced by OTHER keyframes'
-        # lm_id tables too (tracked landmarks are multi-KF), so remap
-        # cur_lm -> old_lm everywhere BEFORE freeing the slot — otherwise
-        # the free list reuses the id and stale references alias an
-        # unrelated new landmark.
-        remap = {}
-        for slot, old_lm in zip(det.query_slots, det.lm_ids):
-            cur_lm = int(kf.lm_id[slot])
-            if cur_lm >= 0 and cur_lm != old_lm:
-                remap[cur_lm] = int(old_lm)
-            kf.lm_id[slot] = old_lm
-        kf.lm_dirty()
-        if remap:
-            remap_arr = np.arange(self.map.capacity, dtype=np.int32)
-            for cur, old in remap.items():
-                remap_arr[cur] = old
-            for k in self.keyframes:
-                m = k.lm_id >= 0
-                if m.any():
-                    new_ids = remap_arr[k.lm_id[m]]
-                    if np.any(new_ids != k.lm_id[m]):
-                        k.lm_id[m] = new_ids
-                        k.lm_dirty()
-            # merge observation counts, then free the duplicate slots
-            for cur, old in remap.items():
-                self.map.n_obs[old] += self.map.n_obs[cur]
-            self._map_delete(list(remap.keys()))
-
-        # 2. pose graph: odometry edges + the loop edge — but only when the
-        # trajectory actually DISAGREES with the loop constraint. The loop
-        # edge carries its own verification noise; bending an
-        # already-consistent trajectory with it injects that noise (the
-        # reference gets this weighting implicitly by adding the loop
-        # measurements to the smart factors and letting ISAM2 re-optimize
-        # against ALL observations, Backend.cpp:1871-1901 — our landmark
-        # merge + loop-window BA below plays that role).
-        N = len(self.keyframes)
-        poses_old = np.stack([k.world_T_ref for k in self.keyframes])
-        match_pose = next(
-            k.world_T_ref for k in self.keyframes if k.kf_id == det.match_kf
-        )
-        pred_query = match_pose @ det.rel_pose  # loop-implied query pose
-        delta = np.linalg.inv(kf.world_T_ref) @ pred_query
-        d_trans = float(np.linalg.norm(delta[:3, 3]))
-        d_rot = float(
-            np.arccos(np.clip((np.trace(delta[:3, :3]) - 1) / 2, -1, 1))
-        )
-        run_pgo = (d_trans > self.cfg.loop_pgo_min_trans
-                   or d_rot > self.cfg.loop_pgo_min_rot)
-        match_idx = next(
-            i for i, k in enumerate(self.keyframes) if k.kf_id == det.match_kf
-        )
-        if run_pgo:
-            E = (N - 1) + 1
-            ei = np.arange(N - 1, dtype=np.int32)
-            ej = ei + 1
-            meas = np.einsum(
-                "nij,njk->nik", np.linalg.inv(poses_old[:-1]), poses_old[1:]
-            )
-            query_idx = N - 1
-            edge_i = np.concatenate([ei, [match_idx]]).astype(np.int32)
-            edge_j = np.concatenate([ej, [query_idx]]).astype(np.int32)
-            edge_meas = np.concatenate([meas, det.rel_pose[None]], axis=0)
-            edge_w = np.concatenate([np.ones(N - 1), [float(det.n_inliers)]])
-            graph = pgo.PoseGraph(
-                poses=jnp.asarray(poses_old, jnp.float32),
-                edge_i=jnp.asarray(edge_i),
-                edge_j=jnp.asarray(edge_j),
-                edge_meas=jnp.asarray(edge_meas, jnp.float32),
-                edge_weight=jnp.asarray(edge_w, jnp.float32),
-                edge_valid=jnp.ones(E, bool),
-                anchor=jnp.asarray(0, jnp.int32),
-            )
-            if self.rig.num_cams == 1:
-                # monocular: scale drifts too — relax over Sim(3) (the rig
-                # pipeline is metric, SE(3) suffices there)
-                poses7, scales7 = pgo.pgo_solve_sim3(graph, iters=8)
-                poses_new = np.asarray(poses7)
-                scales = np.asarray(scales7, np.float32)
-            else:
-                poses_new = np.asarray(pgo.pgo_solve(graph, iters=8))
-                scales = np.ones(N, np.float32)
-        else:
-            # trajectory already satisfies the loop constraint: no rigid
-            # bend; the merged observations + loop-window BA below still
-            # digest the loop evidence
-            poses_new = poses_old
-            scales = np.ones(N, np.float32)
-
-        # 3. re-anchor landmarks with their first-observing keyframe,
-        # applying the FULL Sim(3) correction of that keyframe:
-        #   X_new = s_i * R_new R_old^T (X_old - t_old) + t_new
-        # (SE(3) branch has s_i = 1). Dropping the scale leaves map points
-        # around scale-drifted keyframes inconsistent with the corrected
-        # trajectory (UPDATE_GATE rejections after closure).
-        valid_ids = np.nonzero(self.map.valid)[0]
-        first = self.map.first_kf[valid_ids]
-        # kf_id -> index (vision KFs are appended 1:1)
-        id2idx = {k.kf_id: i for i, k in enumerate(self.keyframes)}
-        fidx = np.array([id2idx.get(int(f), 0) for f in first])
-        R_corr = np.einsum(
-            "nij,nkj->nik",
-            poses_new[fidx, :3, :3], poses_old[fidx, :3, :3],
-        )
-        p = self.map.pos[valid_ids] - poses_old[fidx, :3, 3]
-        self.map.pos[valid_ids] = (
-            scales[fidx, None] * np.einsum("nij,nj->ni", R_corr, p)
-            + poses_new[fidx, :3, 3]
-        )
-        self.dmap.upsert(valid_ids, pos=self.map.pos[valid_ids])
-        for i, k in enumerate(self.keyframes):
-            k.world_T_ref = poses_new[i]
-        self.cur_pose = poses_new[-1].copy()
-
-        # 4. digest the loop evidence in BA (not just the rigid PGO bend):
-        # solve a window of [matched old KF] + recent KFs so the merged
-        # landmark observations constrain the optimizer directly (reference
-        # feeds loop measurements into the smart factors and lets ISAM2
-        # re-optimize, Backend.cpp:1871-1901). Gauge clamps the old KF.
-        recent = [
-            k for k in self.keyframes[-(self.cfg.window_size - 1):]
-            if k.kf_id != det.match_kf
-        ]
-        loop_window = [self.keyframes[match_idx]] + recent
-        self._solve_window(loop_window, force_sync=True, allow_vio=False)
-
-        # 5. re-triangulate landmarks from the corrected poses and prune
-        # degenerate ones — but ONLY when poses actually moved (reference
-        # UpdateVariables_SmartFactors re-triangulates landmarks of KFs
-        # that moved > 5mm/1e-6rad, Backend.cpp:3512-3749). When the
-        # trajectory was already loop-consistent, re-triangulating would
-        # REPLACE BA-refined landmark positions with noisier anchor-ray
-        # triangulations.
-        if run_pgo:
-            self._retriangulate_landmarks()
-
-    def _retriangulate_landmarks(self, min_obs: int = 2, max_rays: int = 4):
-        """Re-triangulate every landmark observed by >= min_obs keyframes
-        from its observing keyframes' anchor-camera rays; landmarks whose
-        re-triangulation is degenerate (chi2 / cheirality / parallax fail)
-        are deleted and their keyframe references cleared (reference
-        deletes landmarks triangulateSafe marks invalid,
-        Backend.cpp:3591-3745). Runs on loop closure — rare — so host-side
-        gather cost is acceptable; the triangulation itself is one batched
-        device call."""
-        lm_p, uv_p, anc_p, sig_p, kfi_p = [], [], [], [], []
-        for i, k in enumerate(self.keyframes):
-            sel = np.nonzero((k.lm_id >= 0) & k.im_valid)[0]
-            lm_p.append(k.lm_id[sel])
-            uv_p.append(k.im_uv[sel])
-            anc_p.append(k.im_anchor_cam[sel])
-            sig_p.append(k.im_sigma2[sel])
-            kfi_p.append(np.full(len(sel), i, np.int32))
-        if not lm_p:
-            return
-        lm_all = np.concatenate(lm_p)
-        keep = self.map.valid[lm_all]
-        lm_all = lm_all[keep]
-        uv_all = np.concatenate(uv_p)[keep]
-        anc_all = np.concatenate(anc_p)[keep]
-        sig_all = np.concatenate(sig_p)[keep]
-        kfi_all = np.concatenate(kfi_p)[keep]
-        if len(lm_all) == 0:
-            return
-        order = np.argsort(lm_all, kind="stable")
-        lm_s = lm_all[order]
-        uniq, starts, counts = np.unique(
-            lm_s, return_index=True, return_counts=True
-        )
-        tgt = counts >= min_obs
-        uniq, starts, counts = uniq[tgt], starts[tgt], counts[tgt]
-        n = len(uniq)
-        if n == 0:
-            return
-        R = max_rays
-        idx_sel = np.zeros((n, R), np.int64)
-        ray_mask = np.zeros((n, R), bool)
-        for row in range(n):
-            s, c = starts[row], counts[row]
-            if c <= R:
-                idx_sel[row, :c] = order[s : s + c]
-                ray_mask[row, :c] = True
-            else:
-                # widest baseline: first and last observing keyframes
-                h1 = R // 2
-                idx_sel[row, :h1] = order[s : s + h1]
-                idx_sel[row, h1:] = order[s + c - (R - h1) : s + c]
-                ray_mask[row] = True
-        poses_all = np.stack([k.world_T_ref for k in self.keyframes])
-        inv_ctr = np.linalg.inv(np.asarray(self.rig.cam_T_ref))
-        anc = anc_all[idx_sel]
-        wTc = np.einsum(
-            "nrij,nrjk->nrik", poses_all[kfi_all[idx_sel]], inv_ctr[anc]
-        ).astype(np.float32)
-        uv = uv_all[idx_sel].astype(np.float32)
-        f = np.asarray(self.rig.fxycxy)[anc].astype(np.float32)
-        sig = np.maximum(sig_all[idx_sel], 1e-3).astype(np.float32)
-        # pad rows to a power-of-two bucket so eager jit shapes stay few
-        npad = 16
-        while npad < n:
-            npad *= 2
-        def padrows(a):
-            out = np.zeros((npad,) + a.shape[1:], a.dtype)
-            out[:n] = a
-            return out
-        X, ok = _triangulate_pairs(
-            jnp.asarray(padrows(wTc)), jnp.asarray(padrows(uv)),
-            jnp.asarray(padrows(f)), jnp.asarray(padrows(ray_mask)),
-            jnp.asarray(padrows(sig)),
-        )
-        X = np.asarray(X)[:n]
-        ok = np.asarray(ok)[:n]
-        good = uniq[ok]
-        if len(good):
-            # direct write: loop corrections legitimately exceed UPDATE_GATE
-            self.map.pos[good] = X[ok]
-            self.dmap.upsert(good, pos=X[ok])
-        bad = uniq[~ok]
-        if len(bad):
-            drop = np.zeros(self.map.capacity, bool)
-            drop[bad] = True
-            for k in self.keyframes:
-                m = (k.lm_id >= 0) & drop[np.maximum(k.lm_id, 0)]
-                if m.any():
-                    k.lm_id[m] = -1
-                    k.lm_dirty()
-            self._map_delete(bad)
-
-    # -- window bundle adjustment ----------------------------------------
-
-    def _run_window_ba(self):
-        self._finish_pending_ba()  # consume the previous async solve
-        window = self.keyframes[-self.cfg.window_size:]
-        self._solve_window(window)
-
-    def _solve_window(self, window, force_sync=False, allow_vio=True):
-        """Window BA over an explicit keyframe list (gauge on window[0]).
-
-        _run_window_ba passes the trailing window; _close_loop passes
-        [matched old KF] + recent KFs so the loop's merged observations are
-        digested by the optimizer itself (reference addLoopClosure feeds
-        loop measurements into the smart factors, Backend.cpp:1871-1901)."""
-        cfg = self.cfg
-        if len(window) < 2:
-            return
-        K = cfg.window_size
-        C = self.rig.num_cams
-
-        # collect landmark ids observed by >= 2 window keyframes
-        all_ids = np.concatenate([kf.lm_id[kf.lm_id >= 0] for kf in window])
-        uniq, counts = np.unique(all_ids, return_counts=True)
-        lm_ids = uniq[(counts >= 2) & self.map.valid[uniq]]
-        if len(lm_ids) < 10:
-            return
-        lm_ids = lm_ids[: cfg.ba_lm_capacity]
-        L = cfg.ba_lm_capacity
-        # vectorized observation-table assembly (python per-slot loops cost
-        # seconds per keyframe on a 1-core host). The table is laid out in
-        # K contiguous blocks of Ok = O//K slots, one per window keyframe
-        # (kf_blocked layout): ba._assemble then reduces keyframe blocks by
-        # plain sums and computes the W cross term K-times cheaper.
-        slot_lookup = np.full(self.map.capacity, -1, np.int32)
-        slot_lookup[lm_ids] = np.arange(len(lm_ids), dtype=np.int32)
-        Ok = cfg.ba_obs_capacity // K
-        O = Ok * K  # blocked layout needs O divisible by K
-        obs_kf = np.repeat(np.arange(K, dtype=np.int32), Ok)
-        obs_cam = np.zeros(O, np.int32)
-        obs_lm = np.zeros(O, np.int32)
-        obs_uv = np.zeros((O, 2), np.float32)
-        obs_s2 = np.ones(O, np.float32)
-        obs_val = np.zeros(O, bool)
-        n_obs = 0
-        for wk, kf in enumerate(window):
-            slots = slot_lookup[np.maximum(kf.lm_id, 0)]
-            m_ok = (kf.lm_id >= 0) & (slots >= 0)
-            mm, cc = np.nonzero(m_ok[:, None] & kf.ray_valid)
-            n = min(len(mm), Ok)
-            base = wk * Ok
-            obs_cam[base:base + n] = cc[:n]
-            obs_lm[base:base + n] = slots[mm[:n]]
-            obs_uv[base:base + n] = kf.ray_uv[mm[:n], cc[:n]]
-            obs_s2[base:base + n] = np.maximum(
-                kf.ray_sigma2[mm[:n], cc[:n]], 1e-3
-            )
-            obs_val[base:base + n] = True
-            n_obs += n
-        if n_obs < 30:
-            return
-
-        obs = ba.BAObservations(
-            kf=jnp.asarray(obs_kf),
-            cam=jnp.asarray(obs_cam),
-            lm=jnp.asarray(obs_lm),
-            uv=jnp.asarray(obs_uv),
-            sigma2=jnp.asarray(obs_s2),
-            valid=jnp.asarray(obs_val),
-        )
-        poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
-        kf_valid = np.zeros(K, bool)
-        for wk, kf in enumerate(window):
-            poses[wk] = kf.world_T_ref
-            kf_valid[wk] = True
-        lms = np.zeros((L, 3), np.float32)
-        lms[: len(lm_ids)] = self.map.pos[lm_ids]
-        lm_valid = np.zeros(L, bool)
-        lm_valid[: len(lm_ids)] = True
-
-        if allow_vio and self.use_imu and self.imu_initialized:
-            self._run_window_ba_vio(window, obs, poses, kf_valid, lms,
-                                    lm_valid, lm_ids)
-            return
-
-        prior_H = np.zeros((K * 6, K * 6), np.float32)
-        # fixed-lag marginalization (vision window): anchor the oldest
-        # window pose with the SMOOTHED marginal information carried from
-        # the previous solve (reference BatchFixedLagSmoother semantics,
-        # OurFixedLagSmoother.h:109-168) instead of a hard identity clamp;
-        # gauge observability comes from the propagated old anchor plus a
-        # weak regularizer
-        vis_marg = getattr(self, "_vis_marg_prior", None)
-        if vis_marg is not None and window[0].kf_id == vis_marg[0]:
-            prior_H[:6, :6] = (
-                np.clip(vis_marg[1], -1e6, 1e6) + np.eye(6) * 1e2
-            )
-        else:
-            prior_H[:6, :6] = np.eye(6) * 1e6  # cold: clamp oldest pose
-        problem = ba.BAProblem(
-            poses=jnp.asarray(poses),
-            landmarks=jnp.asarray(lms),
-            lm_valid=jnp.asarray(lm_valid),
-            obs=obs,
-            cam_T_ref=self.rig.cam_T_ref,
-            fxycxy=self.rig.fxycxy,
-            prior_H=jnp.asarray(prior_H),
-            prior_b=jnp.zeros(K * 6, jnp.float32),
-            kf_valid=jnp.asarray(kf_valid),
-        )
-        # warm windows (previous solve landed, no loop/reinit since) are
-        # re-linearizations of an already-converged system: 2-3 LM steps
-        # per gate round suffice; cold windows get the full budget
-        iters = cfg.ba_iters if self._ba_warm else cfg.ba_iters_cold
-        result = ba.ba_solve(problem, iters=iters, kf_blocked=True)
-        self._ba_warm = True
-        # stash the marginal information of the state that becomes the
-        # oldest when the trailing window slides (consumed above)
-        if len(window) > 1 and window is not None and not force_sync:
-            self._pending_vis_marg = (window[1].kf_id, result)
-        # DEFERRED write-back: the solve runs asynchronously on device; its
-        # results are fetched at the NEXT keyframe (or at finalize/loop
-        # closure), hiding the whole BA latency behind tracking. The
-        # reference runs its backend synchronously on the main thread —
-        # nothing in the math requires that.
-        self._pending_ba = (result, lm_ids, list(window))
-        if force_sync or not cfg.async_ba:
-            self._finish_pending_ba()
-
-    def _finish_pending_ba(self):
-        pending = getattr(self, "_pending_ba", None)
-        if pending is None:
-            return
-        self._pending_ba = None
-        result, lm_ids, window = pending
-        pm = getattr(self, "_pending_vis_marg", None)
-        if pm is not None and pm[1] is result:
-            self._pending_vis_marg = None
-            blk = np.asarray(result.marginal_H)[6:12, 6:12]
-            blk = (blk + blk.T) * 0.5  # kill f32 accumulation asymmetry
-            self._vis_marg_prior = (pm[0], blk)
-        old_last = window[-1].world_T_ref.copy()
-        new_poses = np.asarray(result.poses)
-        for wk, kf in enumerate(window):
-            kf.world_T_ref = new_poses[wk]
-        new_lms = np.asarray(result.landmarks)[: len(lm_ids)]
-        self._map_update_positions(lm_ids, new_lms)
-        if self.cfg.async_ba:
-            # deferred landing: retro-correct every pose recorded since the
-            # window's last keyframe by the correction it received
-            delta = (new_poses[len(window) - 1] @ np.linalg.inv(old_last))
-            t_kf = window[-1].timestamp
-            for i in range(len(self.trajectory) - 1, -1, -1):
-                t, p = self.trajectory[i]
-                if t < t_kf:
-                    break
-                self.trajectory[i] = (t, (delta @ p).astype(np.float32))
-            self.cur_pose = (delta @ self.cur_pose).astype(np.float32)
-        else:
-            self.cur_pose = window[-1].world_T_ref.copy()
-
-    def _discard_pending_ba(self):
-        """Drop an in-flight BA (its linearization is invalidated, e.g. by a
-        loop-closure pose-graph correction)."""
-        self._pending_ba = None
-
-    def _run_window_ba_vio(self, window, obs, poses, kf_valid, lms, lm_valid,
-                           lm_ids):
-        """Visual-inertial(-GPS) window BA via ba_vio.vio_solve.
-
-        State frame conversion: SLAM stores world_T_ref(cam0); the inertial
-        state is world_T_body = world_T_ref @ inv(body_T_cam0)
-        (reference Twb = Twc * Tbc^-1, Backend.cpp:1841).
-        """
-        from mcslam_tpu.backend import ba_vio
-
-        cfg = self.cfg
-        K = cfg.window_size
-        body_T_cam0 = np.asarray(self.rig.body_T_cam)[0]  # cam0 -> body
-        inv_btc0 = np.linalg.inv(body_T_cam0)
-
-        poses_body = poses.copy()
-        vels = np.zeros((K, 3), np.float32)
-        biases = np.zeros((K, 6), np.float32)
-        for wk, kf in enumerate(window):
-            poses_body[wk] = kf.world_T_ref @ inv_btc0
-            vels[wk] = self.kf_vel.get(kf.kf_id, np.zeros(3))
-            biases[wk] = self.kf_bias.get(kf.kf_id, self.bias)
-
-        # cam_T_body extrinsics for vision residuals
-        cam_T_body = np.asarray(
-            [np.linalg.inv(np.asarray(self.rig.body_T_cam)[c])
-             for c in range(self.rig.num_cams)], np.float32,
-        )
-
-        # IMU factors between consecutive window keyframes
-        idx_of = {kf.kf_id: wk for wk, kf in enumerate(window)}
-        preints, pairs = [], []
-        for kf in window[1:]:
-            entry = self._kf_preints.get(kf.kf_id)
-            if entry is None:
-                continue
-            prev_id, pre = entry
-            if prev_id in idx_of:
-                preints.append(pre)
-                pairs.append((idx_of[prev_id], idx_of[kf.kf_id]))
-        imu_factors = None
-        if preints:
-            imu_factors = ba_vio.make_imu_factors(
-                preints, pairs, capacity=K - 1, params=self.imu_params
-            )
-
-        # GPS factors (hold until >= 3 attached fixes, reference
-        # Backend.cpp:3070-3087)
-        gps_factors = None
-        if self.use_gps and self.gps_initialized and len(self.kf_gps) >= 3:
-            g_kf, g_enu = [], []
-            for kf in window:
-                if kf.kf_id in self.kf_gps:
-                    g_kf.append(idx_of[kf.kf_id])
-                    g_enu.append(self.kf_gps[kf.kf_id])
-            if g_kf:
-                G = K
-                kfa = np.zeros(G, np.int32)
-                enua = np.zeros((G, 3), np.float32)
-                va = np.zeros(G, bool)
-                kfa[: len(g_kf)] = g_kf
-                enua[: len(g_kf)] = g_enu
-                va[: len(g_kf)] = True
-                gps_factors = ba_vio.GpsFactors(
-                    kf=jnp.asarray(kfa), enu=jnp.asarray(enua),
-                    t_bg=jnp.asarray(self.gps_lever_arm),
-                    sigma=jnp.full(G, self.cfg.gps_sigma, jnp.float32),
-                    valid=jnp.asarray(va),
-                )
-
-        N = K * ba_vio.D + 6
-        D = ba_vio.D
-        prior_H = np.zeros((N, N), np.float32)
-        prior_H[:6, :6] = np.eye(6) * 1e6  # gauge on oldest pose
-        # marginalization prior: the previous window's marginal information
-        # of the state that is now oldest (fixed-lag semantics; stabilizes
-        # velocity/bias which are weakly observable within one window)
-        marg = getattr(self, "_marg_prior", None)
-        if marg is not None and window[0].kf_id == marg[0]:
-            prior_H[6:D, 6:D] += marg[1][6:, 6:]  # vel+bias block
-        else:
-            prior_H[6:9, 6:9] = np.eye(3) * 1.0
-            # bias is weakly observable inside a short window; anchor it at
-            # the random-walk scale so it can only drift slowly (the
-            # reference gets this from ISAM2's accumulated history)
-            prior_H[9:15, 9:15] = np.eye(6) * 1e5
-        if gps_factors is None:
-            # E_T_V unobserved: clamp it
-            prior_H[K * ba_vio.D:, K * ba_vio.D:] = np.eye(6) * 1e8
-        else:
-            # weak prior keeps E_T_V rotation near its kabsch init
-            prior_H[K * ba_vio.D:, K * ba_vio.D:] = np.eye(6) * 1.0
-
-        problem = ba_vio.VioProblem(
-            poses=jnp.asarray(poses_body),
-            vels=jnp.asarray(vels),
-            biases=jnp.asarray(biases),
-            landmarks=jnp.asarray(lms),
-            lm_valid=jnp.asarray(lm_valid),
-            obs=obs,
-            cam_T_body=jnp.asarray(cam_T_body),
-            fxycxy=self.rig.fxycxy,
-            imu=imu_factors,
-            gps=gps_factors,
-            E_T_V=jnp.asarray(self.E_T_V),
-            prior_H=jnp.asarray(prior_H),
-            prior_b=jnp.zeros(N, jnp.float32),
-            kf_valid=jnp.asarray(kf_valid),
-            g_norm=self.imu_params.g_norm,
-        )
-        iters = cfg.ba_iters if self._ba_warm else cfg.ba_iters_cold
-        result = ba_vio.vio_solve(problem, iters=iters)
-        self._ba_warm = True
-
-        new_poses_body = np.asarray(result.poses)
-        new_vels = np.asarray(result.vels)
-        new_biases = np.asarray(result.biases)
-        for wk, kf in enumerate(window):
-            kf.world_T_ref = (new_poses_body[wk] @ body_T_cam0).astype(
-                np.float32
-            )
-            self.kf_vel[kf.kf_id] = new_vels[wk]
-            self.kf_bias[kf.kf_id] = new_biases[wk]
-        self.bias = new_biases[len(window) - 1]
-        if gps_factors is not None:
-            self.E_T_V = np.asarray(result.E_T_V)
-        new_lms = np.asarray(result.landmarks)[: len(lm_ids)]
-        self._map_update_positions(lm_ids, new_lms)
-        self.cur_pose = window[-1].world_T_ref.copy()
-
-        # stash the marginal information of the state that becomes oldest
-        # when the window slides next keyframe (fixed-lag marginalization)
-        if len(window) >= 2:
-            margH = np.asarray(result.marginal_H)
-            b0 = 1 * ba_vio.D  # second-oldest state block
-            blk = margH[b0 : b0 + ba_vio.D, b0 : b0 + ba_vio.D]
-            # cap the prior so stale linearizations cannot over-constrain
-            blk = np.clip(blk, -1e6, 1e6)
-            self._marg_prior = (window[1].kf_id, blk)
-
-    # -- sensor ingestion ---------------------------------------------------
-
-    def _ingest_imu(self, imu):
-        """imu = (ts (S,), gyro (S,3), accel (S,3)) message slice."""
-        ts, gyro, accel = imu
-        for k in range(len(ts)):
-            self._imu_buf.append((float(ts[k]), gyro[k], accel[k]))
-            if self.graph_log is not None:
-                self.graph_log.imu_raw(float(ts[k]), gyro[k], accel[k])
-        if not self.imu_initialized:
-            self._imu_init_buf.extend(
-                (gyro[k], accel[k]) for k in range(len(ts))
-            )
-            # reference collects >= 200 samples before gravity alignment
-            if len(self._imu_init_buf) >= self.cfg.imu_init_samples:
-                from mcslam_tpu.backend import imu as imu_mod
-
-                g = np.stack([s[0] for s in self._imu_init_buf])
-                a = np.stack([s[1] for s in self._imu_init_buf])
-                R_wb, bias = imu_mod.init_gravity_aligned(
-                    jnp.asarray(a, jnp.float32), jnp.asarray(g, jnp.float32),
-                    jnp.ones(len(a), bool), self.imu_params,
-                )
-                self.bias = np.asarray(bias)
-                # world frame = gravity-aligned body frame at init
-                pose = np.eye(4, dtype=np.float32)
-                pose[:3, :3] = np.asarray(R_wb)
-                self.cur_pose = pose
-                self.imu_initialized = True
-                self._imu_buf = [
-                    s for s in self._imu_buf if s[0] >= 0
-                ]  # keep history
-
-    def _preintegrate_span(self, t0, t1):
-        """Preintegrate buffered IMU samples with t0 < ts <= t1."""
-        from mcslam_tpu.backend import imu as imu_mod
-
-        sel = [(t, g, a) for (t, g, a) in self._imu_buf if t0 < t <= t1]
-        if len(sel) < 3:  # reference imu_message_empty gate
-            return None
-        ts = np.array([s[0] for s in sel])
-        dts = np.diff(ts, prepend=t0)
-        dts = np.clip(dts, 1e-4, 0.1).astype(np.float32)
-        gyro = np.stack([s[1] for s in sel]).astype(np.float32)
-        accel = np.stack([s[2] for s in sel]).astype(np.float32)
-        return imu_mod.preintegrate(
-            jnp.asarray(dts), jnp.asarray(gyro), jnp.asarray(accel),
-            jnp.ones(len(sel), bool), jnp.asarray(self.bias),
-            self.imu_params,
-        )
-
-    def _ingest_gps(self, gps):
-        """gps = (ts (G,), lla (G,3)) geodetic fixes."""
-        from mcslam_tpu.geometry.geodesy import EnuConverter
-
-        ts, lla = gps
-        for k in range(len(ts)):
-            if self.enu_converter is None:
-                self.enu_converter = EnuConverter(*lla[k])
-            enu = self.enu_converter.to_enu(*lla[k])
-            self._gps_buf.append((float(ts[k]), enu))
-
-    def _try_gps_init(self):
-        """Umeyama-align buffered fixes to interpolated VIO positions
-        (reference gps_initialize_kabsch, >= 15 fix buffer)."""
-        if self.gps_initialized or len(self._gps_buf) < 15:
-            return
-        if len(self.keyframes) < 3:
-            return
-        kf_ts = np.array([k.timestamp for k in self.keyframes])
-        kf_pos = np.stack([k.world_T_ref[:3, 3] for k in self.keyframes])
-        pts_v, pts_e = [], []
-        for t, enu in self._gps_buf:
-            if t < kf_ts[0] or t > kf_ts[-1]:
-                continue
-            j = int(np.searchsorted(kf_ts, t))
-            j = min(max(j, 1), len(kf_ts) - 1)
-            a = (t - kf_ts[j - 1]) / max(kf_ts[j] - kf_ts[j - 1], 1e-6)
-            pts_v.append((1 - a) * kf_pos[j - 1] + a * kf_pos[j])
-            pts_e.append(enu)
-        if len(pts_v) < 8:
-            return
-        from mcslam_tpu.geometry import alignment
-
-        R, t, _ = alignment.kabsch(
-            jnp.asarray(np.stack(pts_v), jnp.float32),
-            jnp.asarray(np.stack(pts_e), jnp.float32),
-        )
-        self.E_T_V = np.eye(4, dtype=np.float32)
-        self.E_T_V[:3, :3] = np.asarray(R)
-        self.E_T_V[:3, 3] = np.asarray(t)
-        self.gps_initialized = True
-
-    # merge window: a GPS fix this close to a vision KF is attached to it
-    # rather than spawning a dummy KF (reference merges when within 10 ms
-    # and no IMU msgs between, Backend.cpp:2699-2741; our frame timestamps
-    # are coarser, so the window is wider)
-    GPS_MERGE_DT = 0.05
-
-    def _set_kf_gps(self, kf_id: int, enu) -> None:
-        self.kf_gps[kf_id] = enu
-        if self.graph_log is not None and self.enu_converter is not None:
-            self.graph_log.gps(kf_id, enu, self.enu_converter.ref_geodetic)
-
-    def _attach_gps_to_kf(self, kf):
-        """Attach a near-simultaneous buffered fix to this vision keyframe
-        (reference validGPSmessage gates: in-window, moved >= 0.5 m)."""
-        if not self._gps_buf:
-            return
-        best, best_t, best_dt = None, None, self.GPS_MERGE_DT
-        for t, enu in self._gps_buf:
-            dt = abs(t - kf.timestamp)
-            if dt < best_dt:
-                best, best_t, best_dt = enu, t, dt
-        if best is not None:
-            prev = getattr(self, "_gps_last_enu", None)
-            if prev is not None and np.linalg.norm(best - prev) < 0.5:
-                return
-            self._set_kf_gps(kf.kf_id, best)
-            self._gps_last_enu = best
-            self._gps_buf = [
-                (t, e) for (t, e) in self._gps_buf if t != best_t
-            ]
-
-    def _process_gps_dummies(self, t_now: float):
-        """Create IMU-predicted dummy keyframes for valid GPS fixes that
-        fall BETWEEN vision keyframes (reference FrontEnd.cpp:1452-1484 +
-        Backend::addKeyframeGPS(true), Backend.cpp:1610-1642) — without
-        them, low-rate vision or vision dropout silently discards GPS
-        information. The dummy is a pure state node: the VIO window links
-        it to its neighbors with IMU factors and to the fix with a GPS
-        factor; it carries no vision observations."""
-        if not (self.use_imu and self.imu_initialized
-                and self.gps_initialized and self.keyframes):
-            return
-        from mcslam_tpu.backend import imu as imu_mod
-
-        body_T_cam0 = np.asarray(self.rig.body_T_cam)[0]
-        inv_btc0 = np.linalg.inv(body_T_cam0)
-        consumed = []
-        for t, enu in sorted(self._gps_buf):
-            last_kf = self.keyframes[-1]
-            if t <= last_kf.timestamp or t > t_now:
-                continue
-            prev = getattr(self, "_gps_last_enu", None)
-            if prev is not None and np.linalg.norm(enu - prev) < 0.5:
-                continue  # reference: reject fixes that barely moved
-            if t - last_kf.timestamp < self.GPS_MERGE_DT:
-                # near-simultaneous with the last keyframe: merge into it
-                # (reference change_vision_kf_info, Backend.cpp:2699-2741)
-                if last_kf.kf_id not in self.kf_gps:
-                    self._set_kf_gps(last_kf.kf_id, enu)
-                    self._gps_last_enu = enu
-                    consumed.append(t)
-                continue
-            pre = self._preintegrate_span(last_kf.timestamp, t)
-            if pre is None:
-                continue  # <3 IMU samples in the gap: no constraint
-            state = imu_mod.ImuState(
-                world_T_body=jnp.asarray(
-                    last_kf.world_T_ref @ inv_btc0, jnp.float32
-                ),
-                vel=jnp.asarray(
-                    self.kf_vel.get(last_kf.kf_id, np.zeros(3)), jnp.float32
-                ),
-                bias=jnp.asarray(self.bias, jnp.float32),
-            )
-            pred = imu_mod.predict(state, pre, self.imu_params)
-            pose_ref = (
-                np.asarray(pred.world_T_body) @ body_T_cam0
-            ).astype(np.float32)
-            M = last_kf.lm_id.shape[0]
-            kf = Keyframe.dummy(
-                self.kf_counter, t, pose_ref, self.rig.num_cams, M
-            )
-            self.kf_counter += 1
-            self.keyframes.append(kf)
-            self.stats["gps_dummy_kfs"] = (
-                self.stats.get("gps_dummy_kfs", 0) + 1
-            )
-            self.kf_time[kf.kf_id] = t
-            self._kf_preints[kf.kf_id] = (last_kf.kf_id, pre)
-            self.kf_vel[kf.kf_id] = np.asarray(pred.vel, np.float32)
-            self.kf_bias[kf.kf_id] = self.bias.copy()
-            self._set_kf_gps(kf.kf_id, enu)
-            self._gps_last_enu = enu
-            consumed.append(t)
-        if consumed:
-            self._gps_buf = [
-                (t, e) for (t, e) in self._gps_buf if t not in consumed
-            ]
-            # the new state nodes need the optimizer to see them
-            self._run_window_ba()
-        # prune fixes that can never attach anymore (post-init only;
-        # the Kabsch init needs the full buffer)
-        horizon = self.keyframes[-1].timestamp - 1.0
-        self._gps_buf = [(t, e) for (t, e) in self._gps_buf if t > horizon]
 
     # -- main entry -------------------------------------------------------
 

@@ -1,0 +1,174 @@
+"""Jitted device kernels of the SLAM driver: inter-frame matching + pose
+estimation, local-map projection matching, pair triangulation (split out
+of slam.py; same contracts)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mcslam_tpu.frontend import pose_opt, ransac
+from mcslam_tpu.geometry import lie, triangulation
+from mcslam_tpu.ops import hamming, match as match_ops
+
+
+# --------------------------------------------------------------------------
+# jitted kernels (static shapes)
+# --------------------------------------------------------------------------
+
+
+@jax.jit
+def _match_descriptors(desc_a, valid_a, desc_b, valid_b):
+    d = hamming.hamming_matrix(desc_a, desc_b)
+    return d
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist", "ratio"))
+def _mutual_match(dist, valid_a, valid_b, max_dist: int, ratio: float):
+    return match_ops.match_mutual(
+        dist, row_mask=valid_a, col_mask=valid_b, max_dist=max_dist, ratio=ratio
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_hyp", "px", "max_dist", "ratio"),
+)
+def _track_step(
+    key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
+    cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos, map_valid,
+    cam_T_ref_all, fxycxy_all, num_hyp: int, px: float, max_dist: int,
+    ratio: float,
+):
+    """Whole inter-frame tracking step on device: match -> landmark lookup
+    (device map mirror) -> robust pose (3D-3D or 2D-3D picked by lax.cond)
+    -> motion-only LM. One host fetch for everything downstream."""
+    d = hamming.hamming_matrix(cur_desc, prev_desc)
+    res = match_ops.match_mutual(
+        d, row_mask=cur_valid, col_mask=prev_valid, max_dist=max_dist,
+        ratio=ratio,
+    )
+    lm = jnp.where(res.ok, prev_lm_id[res.idx], -1)
+    safe = jnp.maximum(lm, 0)
+    with_lm = (lm >= 0) & map_valid[safe]
+    lm = jnp.where(with_lm, lm, -1)
+    X_world = map_pos[safe]
+    cTr = cam_T_ref_all[cur_anchor]
+    f = fxycxy_all[cur_anchor]
+    mask3d = with_lm & cur_has_depth
+    use3d = jnp.sum(mask3d) >= 20
+
+    def kab(_):
+        return ransac.ransac_kabsch(
+            key, cur_p3d, X_world, cur_uv, cTr, f, mask3d,
+            num_hyp=num_hyp, px_thresh=px,
+        )
+
+    def pnp(_):
+        return ransac.ransac_pnp(
+            key, X_world, cur_uv, cTr, f, with_lm,
+            num_hyp=max(num_hyp // 2, 64), px_thresh=px,
+        )
+
+    rr = jax.lax.cond(use3d, kab, pnp, None)
+    ref = pose_opt.optimize_pose(
+        rr.world_T_ref, X_world, cur_uv, cTr, f, with_lm & rr.inliers,
+        sigma2=cur_sigma2,
+    )
+    # pack EVERYTHING into one f32 vector: the host<->device tunnel charges
+    # a full round trip per fetched buffer, so one buffer = one RTT
+    M = lm.shape[0]
+    packed = jnp.concatenate([
+        ref.world_T_ref.reshape(16),
+        jnp.stack([
+            ref.num_inliers.astype(jnp.float32),
+            jnp.sum(res.ok).astype(jnp.float32),
+            with_lm.sum().astype(jnp.float32),
+            rr.ok.astype(jnp.float32),
+        ]),
+        res.ok.astype(jnp.float32),
+        res.idx.astype(jnp.float32),
+        lm.astype(jnp.float32),
+    ])
+    return packed
+
+
+@functools.partial(jax.jit, static_argnames=("image_wh", "radius", "max_dist"))
+def _local_map_step(
+    T_wr, cand_ids, cand_valid, map_pos, map_desc, im_desc, im_uv, im_anchor,
+    im_valid, im_sigma2, cam_T_ref, fxycxy, image_wh, radius: float,
+    max_dist: int,
+):
+    """Local-map tracking fully on device: gather candidate landmarks from
+    the HBM mirror, projection-gated matching, pose refine. Returns
+    (pose, lm_match ids (M,), inliers (M,)) for one host fetch."""
+    lm_pos = map_pos[cand_ids]
+    lm_desc = map_desc[cand_ids]
+    res = _project_and_match_local(
+        T_wr, lm_pos, lm_desc, cand_valid, im_desc, im_uv, im_anchor,
+        im_valid, cam_T_ref, fxycxy, image_wh, radius, max_dist,
+    )
+    lm = jnp.where(res.ok, cand_ids[res.idx], -1)
+    sel = lm >= 0
+    X_world = map_pos[jnp.maximum(lm, 0)]
+    cTr = cam_T_ref[im_anchor]
+    f = fxycxy[im_anchor]
+    ref = pose_opt.optimize_pose(
+        T_wr, X_world, im_uv, cTr, f, sel, sigma2=im_sigma2
+    )
+    lm_out = jnp.where(ref.inliers, lm, -1)
+    # single packed buffer -> single tunnel round trip
+    return jnp.concatenate([
+        ref.world_T_ref.reshape(16),
+        lm_out.astype(jnp.float32),
+        ref.inliers.astype(jnp.float32),
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "max_dist"))
+def _project_and_match_local(
+    T_wr, lm_pos, lm_desc, lm_valid, im_desc, im_uv, im_anchor, im_valid,
+    cam_T_ref, fxycxy, image_wh, radius: float, max_dist: int,
+):
+    """Project candidate landmarks into the rig and match to current
+    intra-features with a pixel-radius gate (searchLocalMap2 equivalent,
+    FrontEnd.cpp:4901)."""
+    # landmarks into every camera: (L, C, 2)
+    rTw = lie.se3_inverse(T_wr)
+    p_ref = lie.se3_apply(rTw, lm_pos)  # (L, 3)
+    p_cam = lie.se3_apply(cam_T_ref[None], p_ref[:, None])  # (L, C, 3)
+    z = p_cam[..., 2]
+    zs = jnp.where(z > 0.05, z, 1.0)
+    proj = p_cam[..., :2] / zs[..., None] * fxycxy[None, :, :2] + fxycxy[None, :, 2:]
+    w, h = image_wh
+    vis = (
+        (z > 0.05)
+        & (proj[..., 0] >= 0) & (proj[..., 0] < w)
+        & (proj[..., 1] >= 0) & (proj[..., 1] < h)
+    )  # (L, C)
+    # per current feature: its anchor camera's projection of each landmark
+    proj_a = proj[:, :, :].transpose(1, 0, 2)[im_anchor]  # (M, L, 2)
+    vis_a = vis.transpose(1, 0)[im_anchor]  # (M, L)
+    duv = proj_a - im_uv[:, None, :]
+    close = (jnp.sum(duv * duv, axis=-1) < radius * radius) & vis_a
+    dmat = hamming.hamming_matrix(im_desc, lm_desc)
+    res = match_ops.match_one_way(
+        dmat,
+        row_mask=im_valid,
+        col_mask=lm_valid,
+        max_dist=max_dist,
+        pair_mask=close,
+    )
+    return res
+
+
+@jax.jit
+def _triangulate_pairs(wTc_rays, uv_rays, f_rays, mask_rays, sigma_rays):
+    return triangulation.triangulate_and_refine(
+        wTc_rays, uv_rays, f_rays, mask_rays, sigma=sigma_rays,
+        min_z=0.1, max_z=100.0,
+    )
+
+
