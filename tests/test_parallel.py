@@ -142,6 +142,49 @@ def test_sharded_ba_solve_matches_single_device():
     assert err < 0.02
 
 
+def test_landmark_sharded_solve_matches_single_device():
+    """Landmark-sharded variant: map partitioned across devices, landmark
+    elimination fully local, only the pose-side system psum-reduced. Must
+    converge to the same solution as single-device ba_solve."""
+    n = 4
+    mesh = sharded_ba.make_mesh(n)
+    poses_gt, lms_gt, poses0, lms0, obs, cam_T_ref, fxycxy = _toy_problem(n)
+    K, L = poses0.shape[0], lms0.shape[0]
+    prior_H = np.zeros((K * 6, K * 6), np.float32)
+    prior_H[:6, :6] = np.eye(6) * 1e6
+
+    obs_lm = sharded_ba.shard_by_landmark(obs, L, n, pad_multiple=32)
+    sp, sl, s_inl, s_cost, s_nin = sharded_ba.sharded_ba_solve_lm(
+        mesh, jnp.asarray(poses0), jnp.asarray(lms0), jnp.ones(L, bool),
+        jnp.ones(K, bool), obs_lm, jnp.asarray(cam_T_ref),
+        jnp.asarray(fxycxy), jnp.asarray(prior_H),
+        jnp.zeros(K * 6, jnp.float32), iters=5, gate_rounds=2,
+    )
+
+    problem = ba.BAProblem(
+        poses=jnp.asarray(poses0), landmarks=jnp.asarray(lms0),
+        lm_valid=jnp.ones(L, bool), obs=obs,
+        cam_T_ref=jnp.asarray(cam_T_ref), fxycxy=jnp.asarray(fxycxy),
+        prior_H=jnp.asarray(prior_H), prior_b=jnp.zeros(K * 6, jnp.float32),
+        kf_valid=jnp.ones(K, bool),
+    )
+    ref = ba.ba_solve(problem, iters=5, gate_rounds=2)
+
+    # the permuted obs table changes f32 reduction order, and the LM
+    # accept/reject boundary amplifies tiny diffs — same basin, slightly
+    # looser tolerance than the order-preserving obs-sharded variant
+    np.testing.assert_allclose(
+        np.asarray(sp), np.asarray(ref.poses), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sl), np.asarray(ref.landmarks), rtol=8e-2, atol=2e-2
+    )
+    # same inlier population (the obs table is permuted, so compare counts)
+    assert abs(int(s_nin) - int(ref.num_inliers)) <= 3
+    err = np.linalg.norm(np.asarray(sp)[1:, :3, 3] - poses_gt[1:, :3, 3])
+    assert err < 0.02
+
+
 def test_graft_dryrun_multichip():
     import importlib.util
 
