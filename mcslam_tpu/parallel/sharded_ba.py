@@ -180,46 +180,58 @@ def sharded_ba_solve(
             Wc = jax.lax.psum(Wc, AXIS)
             return (Hpp, gp, Hll, gl, Wc), cost, r
 
-        def lm_pass(poses, lms, obs_valid):
-            # deferred accept/reject (mirrors ba_mod.ba_solve): one
-            # linearization + ONE psum round per iteration; a rejected
-            # step re-solves the carried (already reduced) system
-            sys0, c0, r0 = local_system(poses, lms, obs_valid)
-
-            def step(carry, _):
-                b_poses, b_lms, b_sys, b_cost, b_r, lam = carry
-                dp, dl = ba_mod._schur_solve(*b_sys, lam, lm_valid)
-                t_poses = lie.se3_retract(b_poses, dp.reshape(K, 6))
-                t_lms = b_lms + dl
-                sys_t, c_t, r_t = local_system(t_poses, t_lms, obs_valid)
-                improved = c_t < b_cost
-                pick = lambda a, b: jax.tree.map(
-                    lambda x, y: jnp.where(improved, x, y), a, b
-                )
-                b_poses = jnp.where(improved, t_poses, b_poses)
-                b_lms = jnp.where(improved, t_lms, b_lms)
-                b_sys = pick(sys_t, b_sys)
-                b_r = jnp.where(improved, r_t, b_r)
-                b_cost = jnp.minimum(c_t, b_cost)
-                lam = jnp.clip(
-                    jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4
-                )
-                return (b_poses, b_lms, b_sys, b_cost, b_r, lam), c_t
-
-            (poses, lms, _, cost, r, _), _ = jax.lax.scan(
-                step,
-                (poses, lms, sys0, c0, r0,
-                 jnp.asarray(init_lambda, jnp.float32)),
-                None, length=iters,
-            )
-            return poses, lms, cost, r
-
-        obs_valid = o_valid
-        cost = jnp.asarray(0.0, jnp.float32)
-        for _ in range(gate_rounds):
-            poses, landmarks, cost, r = lm_pass(poses, landmarks, obs_valid)
+        # single scan with the chi2 gate applied IN-SCAN every `iters`
+        # steps from the carried residuals (mirrors ba_mod.ba_solve):
+        # one linearization + ONE psum round per iteration, plus one
+        # extra scalar psum at gate boundaries for the re-weighted cost
+        def gate(r, base_valid):
             chi2 = jnp.sum(r * r, axis=-1) / jnp.maximum(o_sig2, 1e-6)
-            obs_valid = obs_valid & (chi2 < chi2_thresh)
+            return base_valid & (chi2 < chi2_thresh)
+
+        def recost(r, obs_valid):
+            rn = jnp.linalg.norm(r, axis=-1)
+            w_h = jnp.where(rn <= huber_px, 1.0,
+                            huber_px / jnp.maximum(rn, 1e-9))
+            w = (w_h / jnp.maximum(o_sig2, 1e-6)
+                 * obs_valid.astype(r.dtype)
+                 * lm_valid[o_lm].astype(r.dtype)
+                 * kf_valid[o_kf].astype(r.dtype))
+            return jax.lax.psum(jnp.sum(w * jnp.sum(r * r, -1)), AXIS)
+
+        total = iters * gate_rounds
+        sys0, c0, r0 = local_system(poses, landmarks, o_valid)
+
+        def step(carry, idx):
+            b_poses, b_lms, b_sys, b_cost, b_r, lam, obs_valid = carry
+            do_gate = (idx % iters == 0) & (idx > 0)
+            gated = gate(b_r, o_valid)
+            obs_valid = jnp.where(do_gate, gated, obs_valid)
+            b_cost = jnp.where(do_gate, recost(b_r, obs_valid), b_cost)
+            dp, dl = ba_mod._schur_solve(*b_sys, lam, lm_valid)
+            t_poses = lie.se3_retract(b_poses, dp.reshape(K, 6))
+            t_lms = b_lms + dl
+            sys_t, c_t, r_t = local_system(t_poses, t_lms, obs_valid)
+            improved = c_t < b_cost
+            pick = lambda a, b: jax.tree.map(
+                lambda x, y: jnp.where(improved, x, y), a, b
+            )
+            b_poses = jnp.where(improved, t_poses, b_poses)
+            b_lms = jnp.where(improved, t_lms, b_lms)
+            b_sys = pick(sys_t, b_sys)
+            b_r = jnp.where(improved, r_t, b_r)
+            b_cost = jnp.minimum(c_t, b_cost)
+            lam = jnp.clip(
+                jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4
+            )
+            return (b_poses, b_lms, b_sys, b_cost, b_r, lam, obs_valid), c_t
+
+        (poses, landmarks, _, cost, r, _, obs_valid), _ = jax.lax.scan(
+            step,
+            (poses, landmarks, sys0, c0, r0,
+             jnp.asarray(init_lambda, jnp.float32), o_valid),
+            jnp.arange(total),
+        )
+        obs_valid = gate(r, o_valid)
 
         num_inliers = jax.lax.psum(
             jnp.sum(obs_valid).astype(jnp.int32), AXIS
@@ -374,43 +386,55 @@ def sharded_ba_solve_lm(
             dl = dl * lmv_loc[:, None]
             return dp, dl
 
-        def lm_pass(poses, lms, obs_valid):
-            sys0, c0, r0 = local_system(poses, lms, obs_valid)
-
-            def step(carry, _):
-                b_poses, b_lms, b_sys, b_cost, b_r, lam = carry
-                dp, dl = schur_local(b_sys, lam)
-                t_poses = lie.se3_retract(b_poses, dp.reshape(K, 6))
-                t_lms = b_lms + dl
-                sys_t, c_t, r_t = local_system(t_poses, t_lms, obs_valid)
-                improved = c_t < b_cost
-                pick = lambda a, b: jax.tree.map(
-                    lambda x, y: jnp.where(improved, x, y), a, b
-                )
-                b_poses = jnp.where(improved, t_poses, b_poses)
-                b_lms = jnp.where(improved, t_lms, b_lms)
-                b_sys = pick(sys_t, b_sys)
-                b_r = jnp.where(improved, r_t, b_r)
-                b_cost = jnp.minimum(c_t, b_cost)
-                lam = jnp.clip(
-                    jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4
-                )
-                return (b_poses, b_lms, b_sys, b_cost, b_r, lam), c_t
-
-            (poses, lms, _, cost, r, _), _ = jax.lax.scan(
-                step,
-                (poses, lms, sys0, c0, r0,
-                 jnp.asarray(init_lambda, jnp.float32)),
-                None, length=iters,
-            )
-            return poses, lms, cost, r
-
-        obs_valid = o_valid
-        cost = jnp.asarray(0.0, jnp.float32)
-        for _ in range(gate_rounds):
-            poses, lms_loc, cost, r = lm_pass(poses, lms_loc, obs_valid)
+        # single scan with the in-scan chi2 gate (mirrors ba_mod.ba_solve)
+        def gate(r, base_valid):
             chi2 = jnp.sum(r * r, axis=-1) / jnp.maximum(o_sig2, 1e-6)
-            obs_valid = obs_valid & (chi2 < chi2_thresh)
+            return base_valid & (chi2 < chi2_thresh)
+
+        def recost(r, obs_valid):
+            rn = jnp.linalg.norm(r, axis=-1)
+            w_h = jnp.where(rn <= huber_px, 1.0,
+                            huber_px / jnp.maximum(rn, 1e-9))
+            w = (w_h / jnp.maximum(o_sig2, 1e-6)
+                 * obs_valid.astype(r.dtype)
+                 * lmv_loc[lm_local].astype(r.dtype)
+                 * kf_valid[o_kf].astype(r.dtype))
+            return jax.lax.psum(jnp.sum(w * jnp.sum(r * r, -1)), AXIS)
+
+        total = iters * gate_rounds
+        sys0, c0, r0 = local_system(poses, lms_loc, o_valid)
+
+        def step(carry, idx):
+            b_poses, b_lms, b_sys, b_cost, b_r, lam, obs_valid = carry
+            do_gate = (idx % iters == 0) & (idx > 0)
+            gated = gate(b_r, o_valid)
+            obs_valid = jnp.where(do_gate, gated, obs_valid)
+            b_cost = jnp.where(do_gate, recost(b_r, obs_valid), b_cost)
+            dp, dl = schur_local(b_sys, lam)
+            t_poses = lie.se3_retract(b_poses, dp.reshape(K, 6))
+            t_lms = b_lms + dl
+            sys_t, c_t, r_t = local_system(t_poses, t_lms, obs_valid)
+            improved = c_t < b_cost
+            pick = lambda a, b: jax.tree.map(
+                lambda x, y: jnp.where(improved, x, y), a, b
+            )
+            b_poses = jnp.where(improved, t_poses, b_poses)
+            b_lms = jnp.where(improved, t_lms, b_lms)
+            b_sys = pick(sys_t, b_sys)
+            b_r = jnp.where(improved, r_t, b_r)
+            b_cost = jnp.minimum(c_t, b_cost)
+            lam = jnp.clip(
+                jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4
+            )
+            return (b_poses, b_lms, b_sys, b_cost, b_r, lam, obs_valid), c_t
+
+        (poses, lms_loc, _, cost, r, _, obs_valid), _ = jax.lax.scan(
+            step,
+            (poses, lms_loc, sys0, c0, r0,
+             jnp.asarray(init_lambda, jnp.float32), o_valid),
+            jnp.arange(total),
+        )
+        obs_valid = gate(r, o_valid)
 
         num_inliers = jax.lax.psum(
             jnp.sum(obs_valid).astype(jnp.int32), AXIS

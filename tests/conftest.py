@@ -22,3 +22,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite spends most of its wall time
+# re-compiling identical XLA programs across pytest processes on this
+# 1-core machine; cached programs cut a full run several-fold.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mcslam_jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
