@@ -124,6 +124,12 @@ class LoopClosingMixin:
             # digest the loop evidence
             poses_new = poses_old
             scales = np.ones(N, np.float32)
+        if run_pgo:
+            # the PGO bend moved keyframes: marginal priors linearized at
+            # the pre-loop poses are stale — drop them (the next window
+            # falls back to the gauge clamp and rebuilds the marginal)
+            self._vis_marg_prior = None
+            self._marg_prior = None
 
         # 3. re-anchor landmarks with their first-observing keyframe,
         # applying the FULL Sim(3) correction of that keyframe:

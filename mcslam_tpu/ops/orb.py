@@ -329,7 +329,7 @@ def extract_orb_rig(
         x = x.reshape(L, C, *x.shape[1:]) if x.ndim == 2 else x
         return jnp.moveaxis(x, 1, 0).reshape(C, L * maxb, *x.shape[3:])
 
-    return Keypoints(
+    kp = Keypoints(
         xy=merge(xy0.reshape(L, C, maxb, 2)),
         response=merge(resp),
         angle=merge(ang),
@@ -338,6 +338,23 @@ def extract_orb_rig(
         desc=merge(desc.reshape(L, C, maxb, 8)),
         valid=merge(valid),
     )
+    # compact the L*maxb slots (only <= num_points valid, the rest are
+    # per-level quota padding) back to num_points: downstream distance
+    # matrices are quadratic in the slot count, so shipping padding costs
+    # (L*maxb/num_points)^2 on the intra matmuls
+    M = kp.valid.shape[1]
+    if M > num_points:
+        prio = jnp.where(kp.valid, kp.response + 1e3, -1.0)
+        _, top = jax.lax.top_k(prio, num_points)  # (C, num_points)
+        take = lambda a: jnp.take_along_axis(
+            a, top.reshape(C, num_points, *([1] * (a.ndim - 2))), axis=1
+        )
+        kp = Keypoints(
+            xy=take(kp.xy), response=take(kp.response), angle=take(kp.angle),
+            octave=take(kp.octave), sigma2=take(kp.sigma2),
+            desc=take(kp.desc), valid=take(kp.valid),
+        )
+    return kp
 
 
 def extract_orb(img: jax.Array, **kwargs) -> Keypoints:
