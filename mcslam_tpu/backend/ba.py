@@ -476,6 +476,8 @@ def ba_solve(
         w = (
             w_h / jnp.maximum(problem.obs.sigma2, 1e-6)
             * obs_valid.astype(r.dtype)
+            * problem.lm_valid[problem.obs.lm].astype(r.dtype)
+            * problem.kf_valid[problem.obs.kf].astype(r.dtype)
         )
         return jnp.sum(w * jnp.sum(r * r, axis=-1))
 

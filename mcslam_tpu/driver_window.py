@@ -127,12 +127,33 @@ class WindowBAMixin:
         # re-linearizations of an already-converged system: 2-3 LM steps
         # per gate round suffice; cold windows get the full budget
         iters = cfg.ba_iters if self._ba_warm else cfg.ba_iters_cold
-        result = ba.ba_solve(problem, iters=iters, kf_blocked=True)
-        self._ba_warm = True
-        # stash the marginal information of the state that becomes the
-        # oldest when the trailing window slides (consumed above)
-        if len(window) > 1 and window is not None and not force_sync:
-            self._pending_vis_marg = (window[1].kf_id, result)
+        if getattr(self, "mesh", None) is not None:
+            # multi-chip: observation-sharded solve across the mesh
+            # (normal equations psum-reduced over ICI); same solver
+            # semantics, no marginal output — the window anchor falls
+            # back to the gauge clamp
+            from mcslam_tpu.parallel import sharded_ba as sb
+
+            obs_sh = sb.shard_observations(self.mesh, problem.obs)
+            sp, sl, s_inl, s_cost, s_nin = sb.sharded_ba_solve(
+                self.mesh, problem.poses, problem.landmarks,
+                problem.lm_valid, problem.kf_valid, obs_sh,
+                problem.cam_T_ref, problem.fxycxy, problem.prior_H,
+                problem.prior_b, iters=iters,
+            )
+            result = ba.BAResult(
+                poses=sp, landmarks=sl, obs_inliers=s_inl, cost=s_cost,
+                num_inliers=s_nin,
+                marginal_H=jnp.zeros((K * 6, K * 6), jnp.float32),
+            )
+            self._ba_warm = True
+        else:
+            result = ba.ba_solve(problem, iters=iters, kf_blocked=True)
+            self._ba_warm = True
+            # stash the marginal information of the state that becomes
+            # the oldest when the trailing window slides (consumed above)
+            if len(window) > 1 and not force_sync:
+                self._pending_vis_marg = (window[1].kf_id, result)
         # DEFERRED write-back: the solve runs asynchronously on device; its
         # results are fetched at the NEXT keyframe (or at finalize/loop
         # closure), hiding the whole BA latency behind tracking. The

@@ -99,9 +99,13 @@ from mcslam_tpu.driver_window import WindowBAMixin  # noqa: E402
 class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
     def __init__(self, rig, config: SlamConfig = None, seed: int = 0,
                  vocab=None, loop_config=None, imu_params=None,
-                 gps_lever_arm=None):
+                 gps_lever_arm=None, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh — window BA solves run
+        observation-sharded across it (parallel.sharded_ba) instead of on
+        one chip; everything else is unchanged."""
         self.rig = rig
         self.cfg = config or SlamConfig()
+        self.mesh = mesh
         self.map = LandmarkMap()
         from mcslam_tpu.mapping.device_map import DeviceMap
 

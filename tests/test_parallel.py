@@ -207,3 +207,37 @@ def test_graft_entry_compiles():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert all(np.all(np.isfinite(np.asarray(o))) for o in out[:1])
+
+
+def test_driver_with_mesh_sharded_ba():
+    """The SLAM driver itself runs its window solves across a device mesh
+    when constructed with one — the product-surface multi-chip path, not
+    just the standalone solver."""
+    from mcslam_tpu.data import synthetic
+    from mcslam_tpu.frontend import frame as frame_mod
+    from mcslam_tpu.slam import INITIALIZED, MultiCameraSLAM, SlamConfig
+    from mcslam_tpu.utils import metrics
+
+    mesh = sharded_ba.make_mesh(8)
+    rig = synthetic.make_synthetic_rig(
+        synthetic.SyntheticRigSpec(num_cams=3, baseline=0.2)
+    )
+    poses = synthetic.smooth_trajectory(8, radius=5.0, step_angle=0.03)
+    lms_w = synthetic.make_landmarks(700, seed=1, depth_range=(5.0, 14.0))
+    descs = synthetic.make_descriptors(700, seed=2)
+    frames = synthetic.render_feature_frames(
+        rig, poses, lms_w, descs, kps_per_cam=300, seed=3
+    )
+    cfg = SlamConfig(window_size=4, ba_obs_capacity=4096, ba_lm_capacity=512,
+                     local_map_landmarks=1024, kf_translation=0.2)
+    slam = MultiCameraSLAM(rig, cfg, mesh=mesh)
+    for f in frames:
+        ff = frame_mod.build_frame_from_keypoints(
+            jnp.asarray(f.uv), jnp.asarray(f.desc), jnp.asarray(f.valid),
+            rig, max_intra=768,
+        )
+        slam.process_frame(ff, f.timestamp)
+    assert slam.state == INITIALIZED
+    ts, est = slam.trajectory_arrays()
+    ate = metrics.ate_rmse(est, poses)
+    assert ate < 0.08, ate
