@@ -67,7 +67,13 @@ def main(argv=None):
         except Exception as e:  # noqa: BLE001 - report and continue VO-only
             print(f"[mc_slam_app] vocabulary load failed: {e}", file=sys.stderr)
 
-    slam = MultiCameraSLAM(rig, slam_cfg, vocab=vocab)
+    mesh = None
+    n_mesh = int(settings.raw.get("mesh_devices", 0) or 0)
+    if n_mesh > 1:
+        from mcslam_tpu.parallel.sharded_ba import make_mesh
+
+        mesh = make_mesh(n_mesh)
+    slam = MultiCameraSLAM(rig, slam_cfg, vocab=vocab, mesh=mesh)
 
     # map-reuse session (reference relocal app mode, mc_slam_app.cpp:347-521):
     # relocalization=true loads the saved map + BoW DB and localizes against

@@ -60,6 +60,9 @@ _CFG_DEFAULTS = {
     "calc_depth": "false",
     "depth_dir": "",
     "depth_max_disp": "64",
+    # multi-chip: shard window-BA solves across this many devices
+    # (0 = single chip)
+    "mesh_devices": "0",
 }
 
 _BOOL_KEYS = {
