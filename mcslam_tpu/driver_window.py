@@ -49,7 +49,21 @@ class WindowBAMixin:
         # plain sums and computes the W cross term K-times cheaper.
         slot_lookup = np.full(self.map.capacity, -1, np.int32)
         slot_lookup[lm_ids] = np.arange(len(lm_ids), dtype=np.int32)
-        Ok = cfg.ba_obs_capacity // K
+        # dynamic capacity tiers: real windows are usually much sparser
+        # than the configured maximum, and every stage of the solve scales
+        # with O — pick the smallest power-of-two per-keyframe block that
+        # fits this window's densest keyframe (a handful of compiled
+        # variants instead of one worst-case shape)
+        need_ok = 0
+        for kf in window:
+            slots = slot_lookup[np.maximum(kf.lm_id, 0)]
+            m_ok = (kf.lm_id >= 0) & (slots >= 0)
+            need_ok = max(need_ok, int((m_ok[:, None] & kf.ray_valid).sum()))
+        Ok_max = cfg.ba_obs_capacity // K
+        Ok = 256
+        while Ok < need_ok and Ok < Ok_max:
+            Ok *= 2
+        Ok = min(Ok, Ok_max)
         O = Ok * K  # blocked layout needs O divisible by K
         obs_kf = np.repeat(np.arange(K, dtype=np.int32), Ok)
         obs_cam = np.zeros(O, np.int32)
