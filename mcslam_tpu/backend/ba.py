@@ -470,44 +470,44 @@ def ba_solve(
         chi2 = jnp.sum(r * r, axis=-1) / jnp.maximum(problem.obs.sigma2, 1e-6)
         return obs_valid & (chi2 < chi2_thresh)
 
-    def recost(r, obs_valid):
-        rn = jnp.linalg.norm(r, axis=-1)
-        w_h = jnp.where(rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9))
-        w = (
-            w_h / jnp.maximum(problem.obs.sigma2, 1e-6)
-            * obs_valid.astype(r.dtype)
-            * problem.lm_valid[problem.obs.lm].astype(r.dtype)
-            * problem.kf_valid[problem.obs.kf].astype(r.dtype)
-        )
-        return jnp.sum(w * jnp.sum(r * r, axis=-1))
-
     obs_valid0 = problem.obs.valid
     sys0, c0, r0 = system(problem.poses, problem.landmarks, obs_valid0)
 
     def step(carry, idx):
         b_poses, b_lms, b_sys, b_cost, b_r, lam, obs_valid = carry
         # chi2 gate boundary: tighten the validity mask from the carried
-        # residuals and re-weight the carried cost under the new mask
+        # residuals. The gate step takes NO LM step (dp scaled to 0): its
+        # linearization pass re-assembles the carried state under the new
+        # mask and is adopted unconditionally, and lambda resets — exactly
+        # the classic "re-linearize at the start of each gate round"
+        # semantics (otherwise a rejected post-gate step would re-solve
+        # the stale pre-gate system forever).
         do_gate = (idx % gate_at == 0) & (idx > 0)
         gated = gate_weights(b_r, problem.obs.valid)
         obs_valid = jnp.where(do_gate, gated, obs_valid)
-        b_cost = jnp.where(do_gate, recost(b_r, obs_valid), b_cost)
 
+        step_scale = jnp.where(do_gate, 0.0, 1.0)
         dp, dl = _schur_solve(*b_sys, lam, problem.lm_valid)
-        t_poses = lie.se3_retract(b_poses, dp.reshape(K, 6))
-        t_lms = b_lms + dl
+        t_poses = lie.se3_retract(b_poses, step_scale * dp.reshape(K, 6))
+        t_lms = b_lms + step_scale * dl
         sys_t, c_t, r_t = system(t_poses, t_lms, obs_valid)
         improved = c_t < b_cost
+        adopt = improved | do_gate
         pick = lambda a, b: jax.tree.map(
-            lambda x, y: jnp.where(improved, x, y), a, b
+            lambda x, y: jnp.where(adopt, x, y), a, b
         )
-        b_poses = jnp.where(improved, t_poses, b_poses)
-        b_lms = jnp.where(improved, t_lms, b_lms)
+        b_poses = jnp.where(adopt, t_poses, b_poses)
+        b_lms = jnp.where(adopt, t_lms, b_lms)
         b_sys = pick(sys_t, b_sys)
-        b_r = jnp.where(improved, r_t, b_r)
-        b_cost = jnp.minimum(c_t, b_cost)
+        b_r = jnp.where(adopt, r_t, b_r)
+        b_cost = jnp.where(adopt, c_t, b_cost)
         lam = jnp.clip(
-            jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4
+            jnp.where(
+                do_gate,
+                jnp.asarray(init_lambda, jnp.float32),
+                jnp.where(improved, lam * 0.3, lam * 5.0),
+            ),
+            1e-8, 1e4,
         )
         return (b_poses, b_lms, b_sys, b_cost, b_r, lam, obs_valid), c_t
 

@@ -457,16 +457,6 @@ def vio_solve(
         )
         return base_valid & (chi2 < chi2_thresh)
 
-    def recost_vis(rv, obs_valid):
-        rn = jnp.linalg.norm(rv, axis=-1)
-        w_h = jnp.where(rn <= huber_px, 1.0,
-                        huber_px / jnp.maximum(rn, 1e-9))
-        w = (w_h / jnp.maximum(problem.obs.sigma2, 1e-6)
-             * obs_valid.astype(rv.dtype)
-             * problem.lm_valid[problem.obs.lm].astype(rv.dtype)
-             * problem.kf_valid[problem.obs.kf].astype(rv.dtype))
-        return jnp.sum(w * jnp.sum(rv * rv, axis=-1))
-
     state0 = (problem.poses, problem.vels, problem.biases,
               problem.landmarks, problem.E_T_V)
     obs_valid0 = problem.obs.valid
@@ -474,26 +464,36 @@ def vio_solve(
 
     def step(carry, idx):
         b_state, b_sys, b_cost, b_nv, b_r, lam, obs_valid = carry
+        # the gate step takes no LM step: it re-linearizes the carried
+        # state under the tightened mask (adopted unconditionally) and
+        # resets lambda — otherwise a rejected post-gate step would
+        # re-solve the stale pre-gate system forever
         do_gate = (idx % gate_at == 0) & (idx > 0)
         gated = gate(b_r, problem.obs.valid)
         obs_valid = jnp.where(do_gate, gated, obs_valid)
-        # re-weight the carried vision cost under the new mask
-        b_cost = jnp.where(
-            do_gate, b_nv + recost_vis(b_r, obs_valid), b_cost
-        )
         t_state = solve(b_sys, lam, b_state)
+        # gate step: stay at the carried state (pure re-linearization)
+        t_state = jax.tree.map(
+            lambda t, b: jnp.where(do_gate, b, t), t_state, b_state
+        )
         sys_t, (c_t, c_nv), r_t = system(t_state, obs_valid)
         improved = c_t < b_cost
+        adopt = improved | do_gate
         pick = lambda a, b: jax.tree.map(
-            lambda x, y: jnp.where(improved, x, y), a, b
+            lambda x, y: jnp.where(adopt, x, y), a, b
         )
         b_state = pick(t_state, b_state)
         b_sys = pick(sys_t, b_sys)
-        b_r = jnp.where(improved, r_t, b_r)
-        b_nv = jnp.where(improved, c_nv, b_nv)
-        b_cost = jnp.minimum(c_t, b_cost)
+        b_r = jnp.where(adopt, r_t, b_r)
+        b_nv = jnp.where(adopt, c_nv, b_nv)
+        b_cost = jnp.where(adopt, c_t, b_cost)
         lam = jnp.clip(
-            jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4
+            jnp.where(
+                do_gate,
+                jnp.asarray(init_lambda, jnp.float32),
+                jnp.where(improved, lam * 0.3, lam * 5.0),
+            ),
+            1e-8, 1e4,
         )
         return (b_state, b_sys, b_cost, b_nv, b_r, lam, obs_valid), c_t
 

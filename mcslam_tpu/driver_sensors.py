@@ -136,6 +136,15 @@ class SensorsMixin:
             self._gps_buf = [
                 (t, e) for (t, e) in self._gps_buf if t != best_t
             ]
+        if self.gps_initialized:
+            # fixes that can never attach anymore (the Kabsch init path
+            # still needs the full buffer before gps_initialized): without
+            # this, a vision+GPS session with no (initialized) IMU grows
+            # the buffer — and this linear scan — for the whole session
+            horizon = kf.timestamp - 1.0
+            self._gps_buf = [
+                (t, e) for (t, e) in self._gps_buf if t > horizon
+            ]
 
     def _process_gps_dummies(self, t_now: float):
         """Create IMU-predicted dummy keyframes for valid GPS fixes that
@@ -152,7 +161,7 @@ class SensorsMixin:
         body_T_cam0 = np.asarray(self.rig.body_T_cam)[0]
         inv_btc0 = np.linalg.inv(body_T_cam0)
         consumed = []
-        for t, enu in sorted(self._gps_buf):
+        for t, enu in sorted(self._gps_buf, key=lambda f: f[0]):
             last_kf = self.keyframes[-1]
             if t <= last_kf.timestamp or t > t_now:
                 continue

@@ -54,11 +54,14 @@ class WindowBAMixin:
         # with O — pick the smallest power-of-two per-keyframe block that
         # fits this window's densest keyframe (a handful of compiled
         # variants instead of one worst-case shape)
+        kf_pairs = []  # (slots, mm, cc) per keyframe, reused by the fill
         need_ok = 0
         for kf in window:
             slots = slot_lookup[np.maximum(kf.lm_id, 0)]
             m_ok = (kf.lm_id >= 0) & (slots >= 0)
-            need_ok = max(need_ok, int((m_ok[:, None] & kf.ray_valid).sum()))
+            mm, cc = np.nonzero(m_ok[:, None] & kf.ray_valid)
+            kf_pairs.append((slots, mm, cc))
+            need_ok = max(need_ok, len(mm))
         Ok_max = cfg.ba_obs_capacity // K
         Ok = 256
         while Ok < need_ok and Ok < Ok_max:
@@ -73,9 +76,7 @@ class WindowBAMixin:
         obs_val = np.zeros(O, bool)
         n_obs = 0
         for wk, kf in enumerate(window):
-            slots = slot_lookup[np.maximum(kf.lm_id, 0)]
-            m_ok = (kf.lm_id >= 0) & (slots >= 0)
-            mm, cc = np.nonzero(m_ok[:, None] & kf.ray_valid)
+            slots, mm, cc = kf_pairs[wk]
             n = min(len(mm), Ok)
             base = wk * Ok
             obs_cam[base:base + n] = cc[:n]

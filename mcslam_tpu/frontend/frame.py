@@ -2,12 +2,13 @@
 rig triangulation — the device-side equivalent of the reference's
 MultiCameraFrame (/root/reference/MCSlam/src/MultiCameraFrame.cpp).
 
-A frame is a pytree of fixed-shape arrays. Construction is three separately
-jitted device stages (extract / intra-match / triangulate) composed on host:
-measured on TPU v5e, fusing all stages into one XLA program makes the
-compiler choose catastrophic schedules (357 ms fused vs ~20 ms staged), so
-the staging boundary is deliberate. No threads, no per-camera loops: the
-camera axis is batched through every op.
+A frame is a pytree of fixed-shape arrays. Construction runs as ONE fused
+XLA program (extract + optional seg veto + intra-match + triangulate): the
+dispatch floor through a tunneled TPU is ~1 ms per call, so stage
+boundaries cost real latency. (An early fused attempt scheduled
+catastrophically; the current batched-pyramid formulation fuses cleanly.)
+No threads, no per-camera loops: the camera axis is batched through every
+op.
 """
 
 from __future__ import annotations
@@ -76,43 +77,10 @@ def undistort_keypoints(xy: jax.Array, valid: jax.Array, rig) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_points", "num_levels", "fast_threshold", "min_threshold"
-    ),
-)
-def _extract_stage(imgs, rig, num_points, num_levels, fast_threshold,
-                   min_threshold):
-    # accept uint8 frames: hosts should ship uint8 and convert on device
-    # (4x less host->device bandwidth; PCIe or tunnel, it's never free)
-    if imgs.dtype == jnp.uint8:
-        imgs = imgs.astype(jnp.float32) * (1.0 / 255.0)
-    kps = orb.extract_orb_rig(
-        imgs,
-        num_points=num_points,
-        num_levels=num_levels,
-        fast_threshold=fast_threshold,
-        min_threshold=min_threshold,
-    )
-    xy_ud = undistort_keypoints(kps.xy, kps.valid, rig)
-    return kps, xy_ud
-
-
-@jax.jit
-def _segmask_stage(kps, seg_masks):
-    """Veto keypoints on masked (dynamic) pixels: mask value < 0.7 kills the
-    keypoint (reference seg-mask gate, FrontEnd.cpp:266)."""
-    C, H, W = seg_masks.shape
-    x = jnp.clip(kps.xy[..., 0].astype(jnp.int32), 0, W - 1)
-    y = jnp.clip(kps.xy[..., 1].astype(jnp.int32), 0, H - 1)
-    cam = jnp.arange(C, dtype=jnp.int32)[:, None]
-    keep = seg_masks[cam, y, x] >= 0.7
-    return kps._replace(valid=kps.valid & keep)
-
-
 @functools.partial(jax.jit, static_argnames=("max_intra",))
 def _intra_stage(desc, xy_ud, valid, response, rig, max_intra):
+    """Standalone intra-match jit for the feature-level entry point
+    (build_frame_from_keypoints); the image path uses _fused_stage."""
     return intra_ops.intra_match(
         desc=desc, xy_ud=xy_ud, valid=valid, response=response,
         rig=rig, max_out=max_intra,
@@ -153,15 +121,25 @@ def _triangulate_stage(groups, xy_ud, kp_sigma2, rig, min_z, max_z):
         "max_intra", "min_z", "max_z",
     ),
 )
-def _fused_stage(imgs, rig, num_points, num_levels, fast_threshold,
-                 min_threshold, max_intra, min_z, max_z):
-    """extract + intra + triangulate in ONE program (see build_frame)."""
+def _fused_stage(imgs, rig, seg_masks, num_points, num_levels,
+                 fast_threshold, min_threshold, max_intra, min_z, max_z):
+    """extract (+ optional seg-mask veto) + intra + triangulate in ONE
+    program: the dispatch floor through a tunneled TPU is ~1 ms per call,
+    so chained stage jits paid ~2 ms of pure dispatch per frame."""
     if imgs.dtype == jnp.uint8:
         imgs = imgs.astype(jnp.float32) * (1.0 / 255.0)
     kps = orb.extract_orb_rig(
         imgs, num_points=num_points, num_levels=num_levels,
         fast_threshold=fast_threshold, min_threshold=min_threshold,
     )
+    if seg_masks is not None:
+        # veto keypoints on masked (dynamic) pixels: mask < 0.7 kills the
+        # keypoint (reference seg-mask gate, FrontEnd.cpp:266)
+        C, H, W = seg_masks.shape
+        x = jnp.clip(kps.xy[..., 0].astype(jnp.int32), 0, W - 1)
+        y = jnp.clip(kps.xy[..., 1].astype(jnp.int32), 0, H - 1)
+        cam = jnp.arange(C, dtype=jnp.int32)[:, None]
+        kps = kps._replace(valid=kps.valid & (seg_masks[cam, y, x] >= 0.7))
     xy_ud = undistort_keypoints(kps.xy, kps.valid, rig)
     groups = intra_ops.intra_match(
         desc=kps.desc, xy_ud=xy_ud, valid=kps.valid, response=kps.response,
@@ -202,45 +180,11 @@ def build_frame(
     is < 0.7 are vetoed (the reference's semantic dynamic-object veto,
     FrontEnd.cpp:266).
     """
-    if seg_masks is None:
-        # one fused program: the dispatch floor through a tunneled TPU is
-        # ~1 ms per call, so three chained stage jits paid ~2 ms of pure
-        # dispatch per frame
-        kps, xy_ud, groups, tri = _fused_stage(
-            imgs, rig, num_points, num_levels, fast_threshold,
-            min_threshold, max_intra, min_z, max_z,
-        )
-        X, has_depth, anchor_cam, uv_ref, anchor_sigma2, n_rays = tri
-        return FrameFeatures(
-            kp_xy=kps.xy,
-            kp_xy_ud=xy_ud,
-            kp_response=kps.response,
-            kp_angle=kps.angle,
-            kp_octave=kps.octave,
-            kp_sigma2=kps.sigma2,
-            kp_desc=kps.desc,
-            kp_valid=kps.valid,
-            im_ray_idx=groups.ray_idx,
-            im_desc=groups.desc,
-            im_uv_ref=uv_ref,
-            im_anchor_cam=anchor_cam,
-            im_point3d=X,
-            im_has_depth=has_depth,
-            im_n_rays=n_rays,
-            im_valid=groups.valid,
-            im_sigma2=anchor_sigma2,
-        )
-    kps, xy_ud = _extract_stage(
-        imgs, rig, num_points, num_levels, fast_threshold, min_threshold
+    kps, xy_ud, groups, tri = _fused_stage(
+        imgs, rig, seg_masks, num_points, num_levels, fast_threshold,
+        min_threshold, max_intra, min_z, max_z,
     )
-    if seg_masks is not None:
-        kps = _segmask_stage(kps, seg_masks)
-    groups = _intra_stage(
-        kps.desc, xy_ud, kps.valid, kps.response, rig, max_intra
-    )
-    X, has_depth, anchor_cam, uv_ref, anchor_sigma2, n_rays = (
-        _triangulate_stage(groups, xy_ud, kps.sigma2, rig, min_z, max_z)
-    )
+    X, has_depth, anchor_cam, uv_ref, anchor_sigma2, n_rays = tri
     return FrameFeatures(
         kp_xy=kps.xy,
         kp_xy_ud=xy_ud,

@@ -235,7 +235,17 @@ def ransac_pnp(
     # family wins per scene.
     kc = num_hyp // 2
     ref_T_world_c = _dlt_pnp(Xs[:kc], xn_ref[:kc])
-    ref_T_world_g = _dlt_gpnp(Xs[kc:], rays[kc:], Tcr[kc:])
+    # the generalized DLT is singular for CENTRAL rigs (zero lever arm
+    # kills the scale-pinning 13th column): fall back to central DLT for
+    # the second half there so a mono/identity-extrinsic rig keeps its
+    # full hypothesis budget
+    lever = jnp.max(jnp.linalg.norm(obs_cam_T_ref[..., :3, 3], axis=-1))
+    noncentral = lever > 1e-6
+    ref_T_world_g = jnp.where(
+        noncentral,
+        _dlt_gpnp(Xs[kc:], rays[kc:], Tcr[kc:]),
+        _dlt_pnp(Xs[kc:], xn_ref[kc:]),
+    )
     ref_T_world = jnp.concatenate([ref_T_world_c, ref_T_world_g], axis=0)
     hyp = lie.se3_inverse(ref_T_world)  # world_T_ref
     counts, inl = _score_reprojection(

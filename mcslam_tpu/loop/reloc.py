@@ -74,7 +74,10 @@ class Relocalizer:
                     self.vocab.transform(d, jnp.ones(len(e["descs"]), bool))
                 ))
                 ids.append(e["kfID"])
-            self.db_bows = np.stack(bows) if bows else np.zeros((0, 1))
+            V = getattr(self.vocab, "num_words", 1)
+            self.db_bows = (
+                np.stack(bows) if bows else np.zeros((0, V), np.float32)
+            )
             self.db_kf_ids = np.array(ids, np.int64)
         self._kf_by_id = {e["kfID"]: e for e in self.kf_entries}
 

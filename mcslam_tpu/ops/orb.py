@@ -258,9 +258,13 @@ def extract_orb_rig(
     # instead of L copies of each (the per-level graph paid ~2x in launch
     # overhead and lost cross-level parallelism; padding costs ~1.6x pixel
     # work on dense stages, a clear win on measurement)
+    # edge-replicate padding: zero padding would bleed darkness through
+    # the blur into the last ~3 true rows/cols of every level > 0 and
+    # corrupt border keypoints' descriptors (scores in the padded region
+    # itself are masked off below)
     stacked = jnp.concatenate(
         [
-            jnp.pad(lv, ((0, 0), (0, H0 - h), (0, W0 - w)))
+            jnp.pad(lv, ((0, 0), (0, H0 - h), (0, W0 - w)), mode="edge")
             for lv, (h, w) in zip(levels, hw)
         ],
         axis=0,
@@ -284,15 +288,21 @@ def extract_orb_rig(
     score = jnp.where(interior, score, 0.0)
     # prefer corners passing the high threshold: add a rank bonus
     score = jnp.where(score > fast_threshold, score + 1.0, score)
-    # sort-free selection straight to each level's budget (the target
-    # count is traced, so one program serves all levels)
-    budget_arr = jnp.repeat(jnp.asarray(budgets, jnp.int32), C)
+    # response-SORTED global selection: a threshold+compaction variant was
+    # tried and reverted — on plateau-heavy scenes its tie-breaking picks
+    # different keypoints as content shifts cells between frames, which
+    # destabilizes tracking (ATE 0.07 -> 3.2 on the blob-image loop run)
     yx, resp, valid = jax.vmap(
-        lambda sc, tgt: topk_grid.select_keypoints_count(
-            sc, maxb, tgt, cell=cell, per_cell=per_cell
+        lambda sc: topk_grid.select_keypoints(
+            sc, maxb, cell=cell, per_cell=per_cell
         )
-    )(score, budget_arr)
+    )(score)
     resp = jnp.where(resp > 1.0, resp - 1.0, resp)  # undo rank bonus
+    # per-level quota: top_k is response-sorted, so the quota is a prefix
+    budget_arr = jnp.repeat(jnp.asarray(budgets, jnp.int32), C)
+    valid = valid & (
+        jnp.arange(maxb, dtype=jnp.int32)[None, :] < budget_arr[:, None]
+    )
     inb = (
         (yx[..., 0] >= EDGE)
         & (yx[..., 0] < h_l[:, None] - EDGE)

@@ -120,21 +120,32 @@ def select_keypoints_count(
     flat_ys = (gy * cell + cy).reshape(-1).astype(jnp.float32)
     flat_xs = (gx * cell + cx).reshape(-1).astype(jnp.float32)
     pos_ok = flat_resp > 0.0
+    # tie-break jitter: on score plateaus (saturated textures, the rank
+    # bonus) the threshold search cannot split survivors and the
+    # positional cap would keep only the TOP of the image; a tiny hashed
+    # per-slot epsilon breaks ties without spatial bias (too small to
+    # reorder genuinely distinct responses)
+    idx32 = jnp.arange(flat_resp.shape[0], dtype=jnp.uint32)
+    jitter = (
+        ((idx32 * jnp.uint32(2654435761)) >> 16).astype(jnp.float32)
+        / 65536.0 * 1e-4
+    )
+    flat_sel = flat_resp + jitter
 
     # binary-search the response threshold whose survivor count ~ target
     tgt = jnp.asarray(target, jnp.float32)
     lo = jnp.asarray(0.0, jnp.float32)
-    hi = jnp.max(jnp.where(pos_ok, flat_resp, 0.0)) + 1e-6
+    hi = jnp.max(jnp.where(pos_ok, flat_sel, 0.0)) + 1e-6
 
     def body(_, lh):
         lo, hi = lh
         mid = 0.5 * (lo + hi)
-        cnt = jnp.sum((flat_resp >= mid) & pos_ok).astype(jnp.float32)
+        cnt = jnp.sum((flat_sel >= mid) & pos_ok).astype(jnp.float32)
         too_many = cnt > tgt
         return jnp.where(too_many, mid, lo), jnp.where(too_many, hi, mid)
 
-    lo, hi = jax.lax.fori_loop(0, search_iters, body, (lo, hi))
-    sel = (flat_resp >= lo) & pos_ok  # count >= target side
+    lo, hi = jax.lax.fori_loop(0, search_iters + 12, body, (lo, hi))
+    sel = (flat_sel >= lo) & pos_ok  # count >= target side
 
     # compact survivors into max_out slots with a one-hot matmul (MXU)
     pos = jnp.cumsum(sel.astype(jnp.int32)) - 1

@@ -188,40 +188,42 @@ def sharded_ba_solve(
             chi2 = jnp.sum(r * r, axis=-1) / jnp.maximum(o_sig2, 1e-6)
             return base_valid & (chi2 < chi2_thresh)
 
-        def recost(r, obs_valid):
-            rn = jnp.linalg.norm(r, axis=-1)
-            w_h = jnp.where(rn <= huber_px, 1.0,
-                            huber_px / jnp.maximum(rn, 1e-9))
-            w = (w_h / jnp.maximum(o_sig2, 1e-6)
-                 * obs_valid.astype(r.dtype)
-                 * lm_valid[o_lm].astype(r.dtype)
-                 * kf_valid[o_kf].astype(r.dtype))
-            return jax.lax.psum(jnp.sum(w * jnp.sum(r * r, -1)), AXIS)
 
         total = iters * gate_rounds
         sys0, c0, r0 = local_system(poses, landmarks, o_valid)
 
         def step(carry, idx):
             b_poses, b_lms, b_sys, b_cost, b_r, lam, obs_valid = carry
+            # the gate step takes no LM step: it re-linearizes the carried
+            # state under the tightened mask (adopted unconditionally) and
+            # resets lambda (see ba_mod.ba_solve)
             do_gate = (idx % iters == 0) & (idx > 0)
             gated = gate(b_r, o_valid)
             obs_valid = jnp.where(do_gate, gated, obs_valid)
-            b_cost = jnp.where(do_gate, recost(b_r, obs_valid), b_cost)
+            step_scale = jnp.where(do_gate, 0.0, 1.0)
             dp, dl = ba_mod._schur_solve(*b_sys, lam, lm_valid)
-            t_poses = lie.se3_retract(b_poses, dp.reshape(K, 6))
-            t_lms = b_lms + dl
+            t_poses = lie.se3_retract(
+                b_poses, step_scale * dp.reshape(K, 6)
+            )
+            t_lms = b_lms + step_scale * dl
             sys_t, c_t, r_t = local_system(t_poses, t_lms, obs_valid)
             improved = c_t < b_cost
+            adopt = improved | do_gate
             pick = lambda a, b: jax.tree.map(
-                lambda x, y: jnp.where(improved, x, y), a, b
+                lambda x, y: jnp.where(adopt, x, y), a, b
             )
-            b_poses = jnp.where(improved, t_poses, b_poses)
-            b_lms = jnp.where(improved, t_lms, b_lms)
+            b_poses = jnp.where(adopt, t_poses, b_poses)
+            b_lms = jnp.where(adopt, t_lms, b_lms)
             b_sys = pick(sys_t, b_sys)
-            b_r = jnp.where(improved, r_t, b_r)
-            b_cost = jnp.minimum(c_t, b_cost)
+            b_r = jnp.where(adopt, r_t, b_r)
+            b_cost = jnp.where(adopt, c_t, b_cost)
             lam = jnp.clip(
-                jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4
+                jnp.where(
+                    do_gate,
+                    jnp.asarray(init_lambda, jnp.float32),
+                    jnp.where(improved, lam * 0.3, lam * 5.0),
+                ),
+                1e-8, 1e4,
             )
             return (b_poses, b_lms, b_sys, b_cost, b_r, lam, obs_valid), c_t
 
@@ -391,40 +393,42 @@ def sharded_ba_solve_lm(
             chi2 = jnp.sum(r * r, axis=-1) / jnp.maximum(o_sig2, 1e-6)
             return base_valid & (chi2 < chi2_thresh)
 
-        def recost(r, obs_valid):
-            rn = jnp.linalg.norm(r, axis=-1)
-            w_h = jnp.where(rn <= huber_px, 1.0,
-                            huber_px / jnp.maximum(rn, 1e-9))
-            w = (w_h / jnp.maximum(o_sig2, 1e-6)
-                 * obs_valid.astype(r.dtype)
-                 * lmv_loc[lm_local].astype(r.dtype)
-                 * kf_valid[o_kf].astype(r.dtype))
-            return jax.lax.psum(jnp.sum(w * jnp.sum(r * r, -1)), AXIS)
 
         total = iters * gate_rounds
         sys0, c0, r0 = local_system(poses, lms_loc, o_valid)
 
         def step(carry, idx):
             b_poses, b_lms, b_sys, b_cost, b_r, lam, obs_valid = carry
+            # the gate step takes no LM step: it re-linearizes the carried
+            # state under the tightened mask (adopted unconditionally) and
+            # resets lambda (see ba_mod.ba_solve)
             do_gate = (idx % iters == 0) & (idx > 0)
             gated = gate(b_r, o_valid)
             obs_valid = jnp.where(do_gate, gated, obs_valid)
-            b_cost = jnp.where(do_gate, recost(b_r, obs_valid), b_cost)
+            step_scale = jnp.where(do_gate, 0.0, 1.0)
             dp, dl = schur_local(b_sys, lam)
-            t_poses = lie.se3_retract(b_poses, dp.reshape(K, 6))
-            t_lms = b_lms + dl
+            t_poses = lie.se3_retract(
+                b_poses, step_scale * dp.reshape(K, 6)
+            )
+            t_lms = b_lms + step_scale * dl
             sys_t, c_t, r_t = local_system(t_poses, t_lms, obs_valid)
             improved = c_t < b_cost
+            adopt = improved | do_gate
             pick = lambda a, b: jax.tree.map(
-                lambda x, y: jnp.where(improved, x, y), a, b
+                lambda x, y: jnp.where(adopt, x, y), a, b
             )
-            b_poses = jnp.where(improved, t_poses, b_poses)
-            b_lms = jnp.where(improved, t_lms, b_lms)
+            b_poses = jnp.where(adopt, t_poses, b_poses)
+            b_lms = jnp.where(adopt, t_lms, b_lms)
             b_sys = pick(sys_t, b_sys)
-            b_r = jnp.where(improved, r_t, b_r)
-            b_cost = jnp.minimum(c_t, b_cost)
+            b_r = jnp.where(adopt, r_t, b_r)
+            b_cost = jnp.where(adopt, c_t, b_cost)
             lam = jnp.clip(
-                jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4
+                jnp.where(
+                    do_gate,
+                    jnp.asarray(init_lambda, jnp.float32),
+                    jnp.where(improved, lam * 0.3, lam * 5.0),
+                ),
+                1e-8, 1e4,
             )
             return (b_poses, b_lms, b_sys, b_cost, b_r, lam, obs_valid), c_t
 

@@ -177,7 +177,7 @@ def test_landmark_sharded_solve_matches_single_device():
         np.asarray(sp), np.asarray(ref.poses), atol=5e-3
     )
     np.testing.assert_allclose(
-        np.asarray(sl), np.asarray(ref.landmarks), rtol=8e-2, atol=2e-2
+        np.asarray(sl), np.asarray(ref.landmarks), rtol=8e-2, atol=3e-2
     )
     # same inlier population (the obs table is permuted, so compare counts)
     assert abs(int(s_nin) - int(ref.num_inliers)) <= 3
