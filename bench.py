@@ -136,7 +136,7 @@ def main():
         lambda i: stage_b(key, ff1 if i % 2 else ff0, ff0 if i % 2 else ff1,
                           Xw_prev)[0].sum()
     )
-    t_c = timeit(lambda i: solve(problem).poses.sum(), n=10)
+    t_c = timeit(lambda i: solve(problem).poses.sum(), n=10, reps=5)
 
     kf_interval = 4  # BA runs on keyframes only (~every 4th frame)
     per_frame = t_a + t_b + t_c / kf_interval
