@@ -203,3 +203,61 @@ def test_gps_dummy_keyframes_between_vision_kfs():
     ate_g = metrics.ate_rmse(est_g[k0:], gt[k0:])
     ate_v = metrics.ate_rmse(est_v[k0:], gt[k0:])
     assert ate_g < ate_v, (ate_g, ate_v)
+
+
+def test_gps_duplicate_timestamps_and_bounded_buffer():
+    """Review regressions: (a) duplicated GPS timestamps must not crash
+    the dummy-KF scan (tuple sort used to fall through to comparing numpy
+    arrays); (b) a vision+GPS session WITHOUT IMU must keep the GPS buffer
+    bounded (the attach-path horizon prune)."""
+    fps = 20.0
+    rig, poses, imu_ts, gyro, accel, frames, gps = _vio_sequence(
+        num_frames=16, with_gps=True, seed=11
+    )
+    gps_t, gps_lla = gps
+    # duplicate every fix's timestamp (same t, slightly different lla)
+    gps_t2 = np.concatenate([gps_t, gps_t])
+    gps_lla2 = np.concatenate([gps_lla, gps_lla + 1e-7])
+    order = np.argsort(gps_t2, kind="stable")
+    gps_t2, gps_lla2 = gps_t2[order], gps_lla2[order]
+
+    # (a) with IMU: exercises the dummy-KF sorted() path
+    cfg = SlamConfig(window_size=4, ba_obs_capacity=8192,
+                     ba_lm_capacity=1024, local_map_landmarks=1024,
+                     kf_translation=0.1, kf_rotation=0.08,
+                     imu_init_samples=40)
+    slam = MultiCameraSLAM(rig, cfg,
+                           imu_params=ImuParams(accel_noise=2e-3,
+                                                gyro_noise=2e-4),
+                           gps_lever_arm=np.zeros(3))
+    for k, f in enumerate(frames):
+        t = k / fps
+        t_prev = (k - 1) / fps if k else -1.0
+        sel = (imu_ts > t_prev) & (imu_ts <= t)
+        gsel = (gps_t2 > t_prev) & (gps_t2 <= t)
+        ff = frame_mod.build_frame_from_keypoints(
+            jnp.asarray(f.uv), jnp.asarray(f.desc), jnp.asarray(f.valid),
+            rig, max_intra=1024,
+        )
+        slam.process_frame(
+            ff, f.timestamp, imu=(imu_ts[sel], gyro[sel], accel[sel]),
+            gps=(gps_t2[gsel], gps_lla2[gsel]),
+        )
+    assert slam.state == INITIALIZED  # no crash through the duplicate sort
+
+    # (b) no IMU: the buffer must stay bounded by the horizon prune once
+    # GPS is initialized
+    slam2 = MultiCameraSLAM(rig, cfg, gps_lever_arm=np.zeros(3))
+    for k, f in enumerate(frames):
+        t = k / fps
+        t_prev = (k - 1) / fps if k else -1.0
+        gsel = (gps_t2 > t_prev) & (gps_t2 <= t)
+        ff = frame_mod.build_frame_from_keypoints(
+            jnp.asarray(f.uv), jnp.asarray(f.desc), jnp.asarray(f.valid),
+            rig, max_intra=1024,
+        )
+        slam2.process_frame(ff, f.timestamp,
+                            gps=(gps_t2[gsel], gps_lla2[gsel]))
+    if slam2.gps_initialized:
+        # bounded: at most ~1s of fixes (2 per frame duplicated => <= ~50)
+        assert len(slam2._gps_buf) <= 60, len(slam2._gps_buf)
