@@ -47,15 +47,19 @@ class DeviceMap:
         self.capacity = capacity
         self.pos = jnp.zeros((capacity, 3), jnp.float32)
         self.desc = jnp.zeros((capacity, 8), jnp.uint32)
+        self.normal = jnp.zeros((capacity, 3), jnp.float32)
         self.valid = jnp.zeros(capacity, bool)
 
-    def upsert(self, ids, pos=None, desc=None, valid=None):
+    def upsert(self, ids, pos=None, desc=None, valid=None, normal=None):
         ids = np.asarray(ids, np.int32)
         if len(ids) == 0:
             return
         if pos is not None:
             i, v = _pad_ids(ids, np.asarray(pos, np.float32))
             self.pos = self.pos.at[jnp.asarray(i)].set(jnp.asarray(v))
+        if normal is not None:
+            i, v = _pad_ids(ids, np.asarray(normal, np.float32))
+            self.normal = self.normal.at[jnp.asarray(i)].set(jnp.asarray(v))
         if desc is not None:
             i, v = _pad_ids(ids, np.asarray(desc, np.uint32))
             self.desc = self.desc.at[jnp.asarray(i)].set(jnp.asarray(v))

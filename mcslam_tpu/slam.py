@@ -188,7 +188,7 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
     # host map + device mirror kept in lockstep
     def _map_insert(self, pos, desc, normal, kf_id):
         ids = self.map.insert(pos, desc, normal, kf_id)
-        self.dmap.upsert(ids, pos=pos, desc=desc, valid=True)
+        self.dmap.upsert(ids, pos=pos, desc=desc, valid=True, normal=normal)
         return ids
 
     def _map_update_positions(self, ids, new_pos):
@@ -402,7 +402,7 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         packed = _local_map_step(
             jnp.asarray(pose), jnp.asarray(cand_pad),
             jnp.asarray(np.arange(L) < n),
-            self.dmap.pos, self.dmap.desc,
+            self.dmap.pos, self.dmap.desc, self.dmap.normal,
             frame.im_desc, frame.im_uv_ref, frame.im_anchor_cam,
             frame.im_valid, frame.im_sigma2,
             self.rig.cam_T_ref, self.rig.fxycxy, self.rig.image_size,

@@ -97,18 +97,20 @@ def _track_step(
 
 @functools.partial(jax.jit, static_argnames=("image_wh", "radius", "max_dist"))
 def _local_map_step(
-    T_wr, cand_ids, cand_valid, map_pos, map_desc, im_desc, im_uv, im_anchor,
-    im_valid, im_sigma2, cam_T_ref, fxycxy, image_wh, radius: float,
-    max_dist: int,
+    T_wr, cand_ids, cand_valid, map_pos, map_desc, map_normal, im_desc,
+    im_uv, im_anchor, im_valid, im_sigma2, cam_T_ref, fxycxy, image_wh,
+    radius: float, max_dist: int,
 ):
     """Local-map tracking fully on device: gather candidate landmarks from
     the HBM mirror, projection-gated matching, pose refine. Returns
     (pose, lm_match ids (M,), inliers (M,)) for one host fetch."""
     lm_pos = map_pos[cand_ids]
     lm_desc = map_desc[cand_ids]
+    lm_normal = map_normal[cand_ids]
     res = _project_and_match_local(
         T_wr, lm_pos, lm_desc, cand_valid, im_desc, im_uv, im_anchor,
         im_valid, cam_T_ref, fxycxy, image_wh, radius, max_dist,
+        lm_normal=lm_normal,
     )
     lm = jnp.where(res.ok, cand_ids[res.idx], -1)
     sel = lm >= 0
@@ -131,10 +133,12 @@ def _local_map_step(
 def _project_and_match_local(
     T_wr, lm_pos, lm_desc, lm_valid, im_desc, im_uv, im_anchor, im_valid,
     cam_T_ref, fxycxy, image_wh, radius: float, max_dist: int,
+    lm_normal=None, min_view_cos: float = 0.5,
 ):
     """Project candidate landmarks into the rig and match to current
-    intra-features with a pixel-radius gate (searchLocalMap2 equivalent,
-    FrontEnd.cpp:4901)."""
+    intra-features with frustum + pixel-radius + viewing-normal gates
+    (searchLocalMap2 equivalent, FrontEnd.cpp:4901: landmarks are only
+    matched when the current viewing ray agrees with the stored normal)."""
     # landmarks into every camera: (L, C, 2)
     rTw = lie.se3_inverse(T_wr)
     p_ref = lie.se3_apply(rTw, lm_pos)  # (L, 3)
@@ -148,6 +152,17 @@ def _project_and_match_local(
         & (proj[..., 0] >= 0) & (proj[..., 0] < w)
         & (proj[..., 1] >= 0) & (proj[..., 1] < h)
     )  # (L, C)
+    if lm_normal is not None:
+        # viewing-normal gate: ray from the rig center to the landmark
+        # must agree with the running-average normal (reference
+        # Landmark::updateNormal + searchLocalMap2 cone check)
+        view = lm_pos - T_wr[:3, 3][None]
+        view = view / jnp.maximum(
+            jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9
+        )
+        has_n = jnp.linalg.norm(lm_normal, axis=-1) > 1e-6
+        cosv = jnp.sum(view * lm_normal, axis=-1)
+        vis = vis & (((cosv > min_view_cos) | ~has_n))[:, None]
     # per current feature: its anchor camera's projection of each landmark
     proj_a = proj[:, :, :].transpose(1, 0, 2)[im_anchor]  # (M, L, 2)
     vis_a = vis.transpose(1, 0)[im_anchor]  # (M, L)
