@@ -122,6 +122,24 @@ class Keyframe:
             self._d_lm_id = jnp.asarray(self.lm_id)
         return self._d_lm_id
 
+    def device_desc(self):
+        """Device-resident (desc, valid) — lazily re-uploaded if released."""
+        if self.d_desc is None:
+            self.d_desc = jnp.asarray(self.im_desc)
+            self.d_valid = jnp.asarray(self.im_valid)
+        return self.d_desc, self.d_valid
+
+    def release_device(self):
+        """Free this keyframe's device-resident copies (reference
+        FrontEnd::reset frees images/descriptors of KF(n-4),
+        FrontEnd.cpp:1255-1277): only the tracking reference keyframe is
+        read on device, so older keyframes' HBM copies are dead weight —
+        without this a long session accumulates ~70 KB of HBM per
+        keyframe. Host arrays stay (loop closure / BA read those)."""
+        self.d_desc = None
+        self.d_valid = None
+        self._d_lm_id = None
+
     def lm_dirty(self):
         """Call after mutating lm_id so the device copy refreshes lazily."""
         self._d_lm_id = None

@@ -354,7 +354,7 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
                 self._next_key(), frame.im_desc, frame.im_valid,
                 frame.im_uv_ref, frame.im_anchor_cam, frame.im_sigma2,
                 frame.im_point3d, frame.im_has_depth,
-                kf.d_desc, kf.d_valid,
+                *kf.device_desc(),
                 kf.d_lm_id(), self.dmap.pos, self.dmap.valid,
                 self.rig.cam_T_ref, self.rig.fxycxy,
                 cfg.ransac_hyps, cfg.ransac_px, cfg.inter_max_dist,
@@ -504,6 +504,12 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         self.keyframes.append(kf)
         self.kf_counter += 1
         self.stats["keyframes"] += 1
+        # memory bounding (reference FrontEnd::reset frees KF(n-4)'s
+        # images/descriptors): keyframes that left the tracking horizon
+        # release their device-resident copies; host arrays stay for loop
+        # closure / window BA
+        for old in self.keyframes[: -(self.cfg.window_size + 2)]:
+            old.release_device()
 
         # inertial bookkeeping: preintegrate the span since the previous KF
         if self.use_imu and self.imu_initialized:
