@@ -86,13 +86,19 @@ def main(argv=None):
                 file=sys.stderr,
             )
             return 2
+        map_path = settings.raw.get("map_path")
+        db_path = settings.raw.get("database_path")
+        if not map_path or not db_path:
+            print(
+                "[mc_slam_app] relocalization=true needs map_path and "
+                "database_path in the config",
+                file=sys.stderr,
+            )
+            return 2
         from mcslam_tpu.loop.reloc import Relocalizer
         from mcslam_tpu.loop.tracking import FastTracker
 
-        reloc = Relocalizer(
-            vocab, rig, settings.raw["map_path"],
-            settings.raw["database_path"],
-        )
+        reloc = Relocalizer(vocab, rig, map_path, db_path)
         tracker = FastTracker(reloc) if settings.fast_tracking else None
         slam.enable_relocalization(reloc, tracker)
 

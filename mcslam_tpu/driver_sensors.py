@@ -160,8 +160,14 @@ class SensorsMixin:
 
         body_T_cam0 = np.asarray(self.rig.body_T_cam)[0]
         inv_btc0 = np.linalg.inv(body_T_cam0)
-        consumed = []
-        for t, enu in sorted(self._gps_buf, key=lambda f: f[0]):
+        # consumed fixes are tracked by buffer index, not timestamp —
+        # distinct fixes may legitimately share a timestamp
+        consumed: set[int] = set()
+        order = sorted(
+            range(len(self._gps_buf)), key=lambda i: self._gps_buf[i][0]
+        )
+        for bi in order:
+            t, enu = self._gps_buf[bi]
             last_kf = self.keyframes[-1]
             if t <= last_kf.timestamp or t > t_now:
                 continue
@@ -174,7 +180,7 @@ class SensorsMixin:
                 if last_kf.kf_id not in self.kf_gps:
                     self._set_kf_gps(last_kf.kf_id, enu)
                     self._gps_last_enu = enu
-                    consumed.append(t)
+                    consumed.add(bi)
                 continue
             pre = self._preintegrate_span(last_kf.timestamp, t)
             if pre is None:
@@ -207,10 +213,10 @@ class SensorsMixin:
             self.kf_bias[kf.kf_id] = self.bias.copy()
             self._set_kf_gps(kf.kf_id, enu)
             self._gps_last_enu = enu
-            consumed.append(t)
+            consumed.add(bi)
         if consumed:
             self._gps_buf = [
-                (t, e) for (t, e) in self._gps_buf if t not in consumed
+                f for i, f in enumerate(self._gps_buf) if i not in consumed
             ]
             # the new state nodes need the optimizer to see them
             self._run_window_ba()

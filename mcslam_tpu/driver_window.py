@@ -13,6 +13,26 @@ from mcslam_tpu.backend import ba_vio
 from mcslam_tpu.backend import ba
 
 
+def _schur_marginal(H: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """Marginal information of the H[lo:hi] block with every OTHER block
+    marginalized out (Schur complement). Taking the diagonal block directly
+    would condition on the other window states — overstating certainty —
+    rather than marginalizing them (reference CalculateMarginalFactors
+    computes the true marginal the same way)."""
+    n = H.shape[0]
+    keep = np.zeros(n, bool)
+    keep[lo:hi] = True
+    Haa = H[np.ix_(keep, keep)]
+    Hab = H[np.ix_(keep, ~keep)]
+    Hbb = H[np.ix_(~keep, ~keep)]
+    # padded window slots contribute zero rows; regularize before solving
+    Hbb = Hbb + np.eye(Hbb.shape[0], dtype=H.dtype) * 1e-4
+    try:
+        return Haa - Hab @ np.linalg.solve(Hbb, Hab.T)
+    except np.linalg.LinAlgError:
+        return Haa
+
+
 class WindowBAMixin:
     # -- window bundle adjustment ----------------------------------------
 
@@ -187,7 +207,7 @@ class WindowBAMixin:
         pm = getattr(self, "_pending_vis_marg", None)
         if pm is not None and pm[1] is result:
             self._pending_vis_marg = None
-            blk = np.asarray(result.marginal_H)[6:12, 6:12]
+            blk = _schur_marginal(np.asarray(result.marginal_H), 6, 12)
             blk = (blk + blk.T) * 0.5  # kill f32 accumulation asymmetry
             self._vis_marg_prior = (pm[0], blk)
         old_last = window[-1].world_T_ref.copy()
@@ -347,9 +367,11 @@ class WindowBAMixin:
         # stash the marginal information of the state that becomes oldest
         # when the window slides next keyframe (fixed-lag marginalization)
         if len(window) >= 2:
-            margH = np.asarray(result.marginal_H)
             b0 = 1 * ba_vio.D  # second-oldest state block
-            blk = margH[b0 : b0 + ba_vio.D, b0 : b0 + ba_vio.D]
+            blk = _schur_marginal(
+                np.asarray(result.marginal_H), b0, b0 + ba_vio.D
+            )
+            blk = (blk + blk.T) * 0.5
             # cap the prior so stale linearizations cannot over-constrain
             blk = np.clip(blk, -1e6, 1e6)
             self._marg_prior = (window[1].kf_id, blk)

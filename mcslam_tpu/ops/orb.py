@@ -161,23 +161,6 @@ def compute_descriptors_patch(
     return hamming.pack_bits(sel.astype(jnp.uint32))
 
 
-def orientation_maps(img: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Dense IC-angle moment maps (kept for API parity / diagnostics; the
-    extraction pipeline uses patch_orientation instead)."""
-    kx, ky = (np.asarray(a) for a in _circle_weights())
-    k = np.stack([kx, ky])[:, None]
-    batch = img.shape[:-2]
-    h, w = img.shape[-2:]
-    x = img.reshape((-1, 1, h, w))
-    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NCHW", "OIHW", "NCHW"))
-    out = jax.lax.conv_general_dilated(
-        x, jnp.asarray(k), (1, 1), "SAME", dimension_numbers=dn,
-        precision=jax.lax.Precision.DEFAULT,
-    )
-    out = out.reshape(batch + (2, h, w))
-    return out[..., 0, :, :], out[..., 1, :, :]
-
-
 def compute_descriptors(
     blurred: jax.Array,
     xy: jax.Array,
@@ -218,8 +201,10 @@ def _level_budget(total: int, num_levels: int, scale: float) -> tuple:
 
 
 def _use_pallas() -> bool:
+    # the Pallas kernels here are written for the TPU memory model; any
+    # other backend (cpu, gpu) takes the XLA path
     try:
-        return jax.default_backend() != "cpu"
+        return jax.default_backend() == "tpu"
     except Exception:  # noqa: BLE001
         return False
 

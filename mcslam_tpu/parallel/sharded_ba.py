@@ -18,7 +18,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mcslam_tpu.backend import ba as ba_mod
@@ -72,7 +71,7 @@ def sharded_lm_step(
     K = poses.shape[0]
 
     @functools.partial(
-        shard_map,
+        jax.shard_map,
         mesh=mesh,
         in_specs=(
             P(), P(), P(), P(),  # poses, landmarks, lm_valid, kf_valid
@@ -80,7 +79,7 @@ def sharded_lm_step(
             P(), P(), P(), P(),  # cam_T_ref, fxycxy, prior_H, prior_b
         ),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def step(poses, landmarks, lm_valid, kf_valid,
              o_kf, o_cam, o_lm, o_uv, o_sig2, o_valid,
@@ -146,7 +145,7 @@ def sharded_ba_solve(
     K = poses.shape[0]
 
     @functools.partial(
-        shard_map,
+        jax.shard_map,
         mesh=mesh,
         in_specs=(
             P(), P(), P(), P(),  # poses, landmarks, lm_valid, kf_valid
@@ -154,7 +153,7 @@ def sharded_ba_solve(
             P(), P(), P(), P(),  # cam_T_ref, fxycxy, prior_H, prior_b
         ),
         out_specs=(P(), P(), P(AXIS), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def solve(poses, landmarks, lm_valid, kf_valid,
               o_kf, o_cam, o_lm, o_uv, o_sig2, o_valid,
@@ -327,7 +326,7 @@ def sharded_ba_solve_lm(
     n_dev = mesh.devices.size
 
     @functools.partial(
-        shard_map,
+        jax.shard_map,
         mesh=mesh,
         in_specs=(
             P(), P(AXIS), P(AXIS), P(),  # poses, landmarks, lm_valid, kf_valid
@@ -335,7 +334,7 @@ def sharded_ba_solve_lm(
             P(), P(), P(), P(),
         ),
         out_specs=(P(), P(AXIS), P(AXIS), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def solve(poses, lms_loc, lmv_loc, kf_valid,
               o_kf, o_cam, o_lm, o_uv, o_sig2, o_valid,

@@ -58,6 +58,11 @@ class SlamConfig:
     new_lm_min_parallax_cos: float = 0.99998
     min_z: float = 0.5
     max_z: float = 60.0
+    # monocular bootstrap (reference baseline gate FrontEnd.cpp:2633 and
+    # median-depth scale normalization :2783-2790); the disparity gate is in
+    # pixels and should scale with image resolution
+    mono_init_min_disparity_px: float = 25.0
+    mono_init_scale: float = 4.0
     # window BA
     window_size: int = 6
     ba_iters: int = 3  # per gate round (x2 rounds); warm-started windows
@@ -269,7 +274,7 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         # map (reference baseline gate, FrontEnd.cpp:2633); KEEP the anchor
         # so the baseline keeps growing
         med_disp = float(np.median(np.linalg.norm((uv1 - uv0)[ok], axis=-1)))
-        if med_disp < 25.0:
+        if med_disp < self.cfg.mono_init_min_disparity_px:
             return False
         xn1 = (uv1 - f0[2:]) / f0[:2]
         xn0 = (uv0 - f0[2:]) / f0[:2]
@@ -311,7 +316,7 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
             [X, np.ones((M, 1), np.float32)], axis=1
         ).T).T[:, 2]
         med = np.median(depths[good])
-        scale = 4.0 / max(med, 1e-6)
+        scale = self.cfg.mono_init_scale / max(med, 1e-6)
         X = X * scale
         pose1[:3, 3] = pose0[:3, 3] + (pose1[:3, 3] - pose0[:3, 3]) * scale
 
@@ -442,6 +447,13 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         vd = self.map.pos[lm_match[sel]] - pose[:3, 3]
         vd /= np.maximum(np.linalg.norm(vd, axis=-1, keepdims=True), 1e-9)
         self.map.add_observation(lm_match[sel], kf.kf_id, vd)
+        # keep the device mirror's viewing normal at the running average —
+        # the local-map cone gate reads dmap.normal, and a stale
+        # first-observation ray rejects valid matches on revisits
+        if sel.any():
+            self.dmap.upsert(
+                lm_match[sel], normal=self.map.normal[lm_match[sel]]
+            )
 
         # new landmarks from rig depth (un-matched intra features with 3D)
         has_depth = np.asarray(frame.im_has_depth)
