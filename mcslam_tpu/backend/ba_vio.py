@@ -158,8 +158,15 @@ def _retract_state(pose, vel, bias, xi):
     )
 
 
-def _assemble_vio(problem: VioProblem, huber_px: float):
-    """Full dense pose-side system (K*D+6) + landmark blocks for Schur."""
+def _assemble_vio(problem: VioProblem, huber_px: float,
+                  kf_blocked: bool = False):
+    """Full dense pose-side system (K*D+6) + landmark blocks for Schur.
+
+    kf_blocked: the caller guarantees the observation table is laid out in
+    K contiguous blocks of size O//K with obs.kf[o] == o // (O//K) (the
+    SLAM driver's native layout). The vision block then assembles through
+    ba._assemble's one-hot/block-sum path — per-observation scatter-adds
+    lower to sorts on TPU and dominated the VIO iteration."""
     K = problem.poses.shape[0]
     L = problem.landmarks.shape[0]
     N = K * D + 6  # +6 for E_T_V
@@ -184,24 +191,44 @@ def _assemble_vio(problem: VioProblem, huber_px: float):
     H = jnp.zeros((N, N), jnp.float32)
     g = jnp.zeros(N, jnp.float32)
 
-    # scatter vision pose blocks into the dense system at offsets kf*D
-    Hpp_blocks = jnp.einsum("ori,orj->oij", Jpw, Jp)  # (O, 6, 6)
-    gp_blocks = jnp.einsum("ori,or->oi", Jpw, r)  # (O, 6)
-    # index helper: rows kf*D .. kf*D+6
-    row0 = obs.kf * D
-    ii = row0[:, None, None] + jnp.arange(6)[None, :, None]
-    jj = row0[:, None, None] + jnp.arange(6)[None, None, :]
-    H = H.at[ii, jj].add(Hpp_blocks)
-    g = g.at[row0[:, None] + jnp.arange(6)[None, :]].add(gp_blocks)
+    if kf_blocked:
+        # one-hot / block-sum assembly (MXU) via ba._assemble, then embed
+        # the (K*6)-system into the (K*D+6) dense layout with STATIC
+        # slice updates (python loop over K — tiny, fixed)
+        Hpp_d, gp6, Hll, gl, Wc_blk = ba_mod._assemble(
+            vis_problem, r, Jp, Jl, w, kf_blocked=True
+        )
+        Wc = jnp.zeros((N, L, 3))
+        for k in range(K):
+            H = jax.lax.dynamic_update_slice(
+                H, Hpp_d[k * 6:(k + 1) * 6, k * 6:(k + 1) * 6],
+                (k * D, k * D),
+            )
+            g = jax.lax.dynamic_update_slice(g, gp6[k * 6:(k + 1) * 6],
+                                             (k * D,))
+            Wc = jax.lax.dynamic_update_slice(Wc, Wc_blk[k], (k * D, 0, 0))
+    else:
+        # scatter vision pose blocks into the dense system at offsets kf*D
+        Hpp_blocks = jnp.einsum("ori,orj->oij", Jpw, Jp)  # (O, 6, 6)
+        gp_blocks = jnp.einsum("ori,or->oi", Jpw, r)  # (O, 6)
+        # index helper: rows kf*D .. kf*D+6
+        row0 = obs.kf * D
+        ii = row0[:, None, None] + jnp.arange(6)[None, :, None]
+        jj = row0[:, None, None] + jnp.arange(6)[None, None, :]
+        H = H.at[ii, jj].add(Hpp_blocks)
+        g = g.at[row0[:, None] + jnp.arange(6)[None, :]].add(gp_blocks)
 
-    # landmark blocks
-    Jlw = Jl * w[:, None, None]
-    Hll = jnp.zeros((L, 3, 3)).at[obs.lm].add(
-        jnp.einsum("ori,orj->oij", Jlw, Jl))
-    gl = jnp.zeros((L, 3)).at[obs.lm].add(jnp.einsum("ori,or->oi", Jlw, r))
-    Wc = jnp.zeros((N, L, 3))
-    WcB = jnp.einsum("ori,orj->oij", Jpw, Jl)  # (O, 6, 3)
-    Wc = Wc.at[row0[:, None] + jnp.arange(6)[None, :], obs.lm[:, None]].add(WcB)
+        # landmark blocks
+        Jlw = Jl * w[:, None, None]
+        Hll = jnp.zeros((L, 3, 3)).at[obs.lm].add(
+            jnp.einsum("ori,orj->oij", Jlw, Jl))
+        gl = jnp.zeros((L, 3)).at[obs.lm].add(
+            jnp.einsum("ori,or->oi", Jlw, r))
+        Wc = jnp.zeros((N, L, 3))
+        WcB = jnp.einsum("ori,orj->oij", Jpw, Jl)  # (O, 6, 3)
+        Wc = Wc.at[
+            row0[:, None] + jnp.arange(6)[None, :], obs.lm[:, None]
+        ].add(WcB)
 
     # ---- IMU factors ----
     if problem.imu is not None:
@@ -394,7 +421,7 @@ def _vio_cost(problem: VioProblem, huber_px: float):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "gate_rounds")
+    jax.jit, static_argnames=("iters", "gate_rounds", "kf_blocked")
 )
 def vio_solve(
     problem: VioProblem,
@@ -403,6 +430,7 @@ def vio_solve(
     init_lambda: float = 1e-4,
     chi2_thresh: float = 5.991,
     gate_rounds: int = 2,
+    kf_blocked: bool = False,
 ) -> VioResult:
     K = problem.poses.shape[0]
     L = problem.landmarks.shape[0]
@@ -418,7 +446,9 @@ def vio_solve(
             poses=poses, vels=vels, biases=biases, landmarks=lms,
             E_T_V=ETV, obs=problem.obs._replace(valid=obs_valid),
         )
-        H, g, Hll, gl, Wc, (rv, wv), cost = _assemble_vio(p, huber_px)
+        H, g, Hll, gl, Wc, (rv, wv), cost = _assemble_vio(
+            p, huber_px, kf_blocked
+        )
         cost_vis = jnp.sum(wv * jnp.sum(rv * rv, axis=-1))
         # (total, non-vision part): the gate re-weights only the vision
         # term, so the non-vision part is carried separately

@@ -7,7 +7,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from mcslam_tpu.backend import pgo
+from mcslam_tpu.backend import ba, pgo
 
 from mcslam_tpu.geometry import lie, triangulation
 from mcslam_tpu.tracking_kernels import _triangulate_pairs
@@ -177,6 +177,178 @@ class LoopClosingMixin:
         # triangulations.
         if run_pgo:
             self._retriangulate_landmarks()
+            # 6. GLOBAL BA: the PGO bend is a rigid approximation; jointly
+            # re-optimize ALL keyframes and landmarks so residual
+            # inconsistency outside the loop window is paid down (the
+            # reference's ISAM2 re-optimizes the entire graph on closure,
+            # Backend.cpp:3060-3267). Sharded across the device mesh when
+            # one is configured — this is the multi-chip flagship workload.
+            if self.cfg.global_ba:
+                self._run_global_ba()
+
+    def _run_global_ba(self):
+        """Full-trajectory BA over every vision keyframe and every landmark
+        seen by >= 2 of them (reference: ISAM2 keeps the whole graph
+        consistent on every update, Backend.cpp:3060-3267; our windowed
+        backend needs this explicit global solve after loop closures).
+
+        Cost is capped by an even keyframe subsample
+        (cfg.global_ba_max_kfs) whose correction is propagated to skipped
+        keyframes from their nearest optimized neighbor. With a mesh, the
+        solve runs LANDMARK-SHARDED over the devices (landmark elimination
+        fully local; only the pose-side system rides ICI)."""
+        cfg = self.cfg
+        vis = [k for k in self.keyframes if not k.is_dummy]
+        if len(vis) < 3:
+            return
+        if len(vis) > cfg.global_ba_max_kfs:
+            step = (len(vis) - 1) / (cfg.global_ba_max_kfs - 1)
+            sel_idx = sorted({round(i * step) for i in
+                              range(cfg.global_ba_max_kfs)})
+        else:
+            sel_idx = list(range(len(vis)))
+        sel = [vis[i] for i in sel_idx]
+        K = len(sel)
+        # pad K to a power-of-two bucket (masked via kf_valid + pose
+        # clamps): every distinct K otherwise compiles a fresh executable
+        # per closure
+        Kb = 8
+        while Kb < K:
+            Kb *= 2
+        Kb = min(Kb, max(cfg.global_ba_max_kfs, 8))
+
+        all_ids = np.concatenate([k.lm_id[k.lm_id >= 0] for k in sel])
+        uniq, counts = np.unique(all_ids, return_counts=True)
+        keep = (counts >= 2) & self.map.valid[uniq]
+        uniq, counts = uniq[keep], counts[keep]
+        if len(uniq) < 30:
+            return
+        if len(uniq) > cfg.global_ba_lm_capacity:
+            # keep the most-observed landmarks (they constrain most poses)
+            order = np.argsort(-counts, kind="stable")
+            uniq = uniq[order[: cfg.global_ba_lm_capacity]]
+        lm_ids = np.sort(uniq)
+        # L bucket: power of two, divisible by any mesh size
+        L = 256
+        while L < len(lm_ids):
+            L *= 2
+        L = min(L, cfg.global_ba_lm_capacity)
+        lm_ids = lm_ids[:L]
+
+        slot_lookup = np.full(self.map.capacity, -1, np.int32)
+        slot_lookup[lm_ids] = np.arange(len(lm_ids), dtype=np.int32)
+        kf_pairs = []
+        need_ok = 0
+        for kf in sel:
+            slots = slot_lookup[np.maximum(kf.lm_id, 0)]
+            m_ok = (kf.lm_id >= 0) & (slots >= 0)
+            mm, cc = np.nonzero(m_ok[:, None] & kf.ray_valid)
+            kf_pairs.append((slots, mm, cc))
+            need_ok = max(need_ok, len(mm))
+        Ok = 64
+        while Ok < need_ok and Ok < cfg.global_ba_obs_per_kf:
+            Ok *= 2
+        Ok = min(Ok, cfg.global_ba_obs_per_kf)
+        O = Ok * Kb
+        obs_kf = np.repeat(np.arange(Kb, dtype=np.int32), Ok)
+        obs_cam = np.zeros(O, np.int32)
+        obs_lm = np.zeros(O, np.int32)
+        obs_uv = np.zeros((O, 2), np.float32)
+        obs_s2 = np.ones(O, np.float32)
+        obs_val = np.zeros(O, bool)
+        n_obs = 0
+        for wk, kf in enumerate(sel):
+            slots, mm, cc = kf_pairs[wk]
+            n = min(len(mm), Ok)
+            base = wk * Ok
+            obs_cam[base:base + n] = cc[:n]
+            obs_lm[base:base + n] = slots[mm[:n]]
+            obs_uv[base:base + n] = kf.ray_uv[mm[:n], cc[:n]]
+            obs_s2[base:base + n] = np.maximum(
+                kf.ray_sigma2[mm[:n], cc[:n]], 1e-3
+            )
+            obs_val[base:base + n] = True
+            n_obs += n
+        if n_obs < 60:
+            return
+
+        obs = ba.BAObservations(
+            kf=jnp.asarray(obs_kf), cam=jnp.asarray(obs_cam),
+            lm=jnp.asarray(obs_lm), uv=jnp.asarray(obs_uv),
+            sigma2=jnp.asarray(obs_s2), valid=jnp.asarray(obs_val),
+        )
+        poses_old = np.tile(np.eye(4, dtype=np.float32), (Kb, 1, 1))
+        poses_old[:K] = np.stack(
+            [k.world_T_ref for k in sel]
+        ).astype(np.float32)
+        kf_valid = np.zeros(Kb, bool)
+        kf_valid[:K] = True
+        lms = np.zeros((L, 3), np.float32)
+        lms[: len(lm_ids)] = self.map.pos[lm_ids]
+        lm_valid = np.zeros(L, bool)
+        lm_valid[: len(lm_ids)] = True
+        prior_H = np.zeros((Kb * 6, Kb * 6), np.float32)
+        prior_H[:6, :6] = np.eye(6) * 1e6  # gauge on the first keyframe
+        for pk in range(K, Kb):  # clamp padded slots (keep H nonsingular)
+            prior_H[pk * 6:(pk + 1) * 6, pk * 6:(pk + 1) * 6] = (
+                np.eye(6) * 1e6
+            )
+
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            from mcslam_tpu.parallel import sharded_ba as sb
+
+            n_dev = mesh.devices.size
+            obs_lm_grouped = sb.shard_by_landmark(obs, L, n_dev)
+            sp, sl, _, _, _ = sb.sharded_ba_solve_lm(
+                mesh, jnp.asarray(poses_old), jnp.asarray(lms),
+                jnp.asarray(lm_valid), jnp.asarray(kf_valid),
+                obs_lm_grouped, self.rig.cam_T_ref, self.rig.fxycxy,
+                jnp.asarray(prior_H), jnp.zeros(Kb * 6, jnp.float32),
+                iters=cfg.global_ba_iters,
+            )
+        else:
+            problem = ba.BAProblem(
+                poses=jnp.asarray(poses_old), landmarks=jnp.asarray(lms),
+                lm_valid=jnp.asarray(lm_valid), obs=obs,
+                cam_T_ref=self.rig.cam_T_ref, fxycxy=self.rig.fxycxy,
+                prior_H=jnp.asarray(prior_H),
+                prior_b=jnp.zeros(Kb * 6, jnp.float32),
+                kf_valid=jnp.asarray(kf_valid),
+            )
+            result = ba.ba_solve(
+                problem, iters=cfg.global_ba_iters, kf_blocked=True
+            )
+            sp, sl = result.poses, result.landmarks
+
+        new_poses = np.asarray(sp)[:K]
+        new_lms = np.asarray(sl)[: len(lm_ids)]
+        # write back selected keyframes; propagate each skipped keyframe by
+        # its nearest optimized neighbor's correction
+        corr = {}
+        for j, i in enumerate(sel_idx):
+            corr[i] = (
+                new_poses[j] @ np.linalg.inv(poses_old[j])
+            ).astype(np.float32)
+            vis[i].world_T_ref = new_poses[j]
+        if len(sel_idx) < len(vis):
+            sel_arr = np.asarray(sel_idx)
+            for i, k in enumerate(vis):
+                if i in corr:
+                    continue
+                nearest = int(sel_arr[np.argmin(np.abs(sel_arr - i))])
+                k.world_T_ref = (
+                    corr[nearest] @ k.world_T_ref
+                ).astype(np.float32)
+        # landmarks: direct write (global corrections legitimately exceed
+        # the incremental UPDATE_GATE)
+        self.map.pos[lm_ids] = new_lms
+        self.dmap.upsert(lm_ids, pos=new_lms)
+        self.cur_pose = self.keyframes[-1].world_T_ref.copy()
+        self.stats["global_ba"] = self.stats.get("global_ba", 0) + 1
+        # marginal priors are linearized at pre-global-BA poses
+        self._vis_marg_prior = None
+        self._marg_prior = None
 
     def _retriangulate_landmarks(self, min_obs: int = 2, max_rays: int = 4):
         """Re-triangulate every landmark observed by >= min_obs keyframes

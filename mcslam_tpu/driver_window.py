@@ -207,7 +207,15 @@ class WindowBAMixin:
         pm = getattr(self, "_pending_vis_marg", None)
         if pm is not None and pm[1] is result:
             self._pending_vis_marg = None
-            blk = _schur_marginal(np.asarray(result.marginal_H), 6, 12)
+            # CONDITIONAL block, deliberately (not the Schur marginal): in
+            # a pure-odometry chain the oldest pose has no absolute
+            # information, so the anchor prior doubles as the gauge; the
+            # "over-confident" conditional block holds it. Measured on the
+            # image-level loop session: Schur marginal + gauge floor
+            # worsens ATE 0.08 -> 0.14. The VIO path below keeps the true
+            # Schur marginal for its vel/bias block, where over-constraint
+            # is the real failure mode.
+            blk = np.asarray(result.marginal_H)[6:12, 6:12]
             blk = (blk + blk.T) * 0.5  # kill f32 accumulation asymmetry
             self._vis_marg_prior = (pm[0], blk)
         old_last = window[-1].world_T_ref.copy()
@@ -345,7 +353,9 @@ class WindowBAMixin:
             g_norm=self.imu_params.g_norm,
         )
         iters = cfg.ba_iters if self._ba_warm else cfg.ba_iters_cold
-        result = ba_vio.vio_solve(problem, iters=iters)
+        # the driver builds observations in the kf-blocked layout — the
+        # VIO vision block assembles via one-hot block sums, not scatters
+        result = ba_vio.vio_solve(problem, iters=iters, kf_blocked=True)
         self._ba_warm = True
 
         new_poses_body = np.asarray(result.poses)

@@ -47,6 +47,13 @@ class LoopConfig:
     ransac_px: float = 5.0
     max_dist: int = 64
     ratio: float = 0.85
+    # 17-pt 2D-2D fallback when the landmark-based absolute-pose check
+    # cannot run (too few surviving landmarks — e.g. distant scenery where
+    # triangulation was thin). Reference checkEssentialMatrix,
+    # LoopCloser.cpp:353-446. Needs a non-central rig for metric scale.
+    seventeen_fallback: bool = True
+    seventeen_min_inliers: int = 30
+    seventeen_scale_hi: float = 10.0  # |t| ceiling [m] for loop separation
 
 
 @dataclasses.dataclass
@@ -208,6 +215,13 @@ class LoopCloser:
         lm = np.where((lm >= 0) & lm_map.valid[np.maximum(lm, 0)], lm, -1)
         n = int((lm >= 0).sum())
         if n < cfg.min_matches:
+            if int((old_kf.lm_id >= 0).sum()) < cfg.min_matches:
+                # the landmark check CANNOT run (the old KF never had
+                # enough landmarks — e.g. distant scenery with thin
+                # triangulation): fall back to the 2D-2D 17-pt check.
+                # If the old KF has landmarks but matching failed, that is
+                # evidence against the candidate — reject instead.
+                return self._verify_seventeen(query_kf, old_kf, d)
             return LoopDetection(False, query_kf.kf_id, old_kf.kf_id)
 
         M = len(ok)
@@ -225,6 +239,9 @@ class LoopCloser:
             min_inliers=cfg.min_inliers,
         )
         if not bool(rr.ok):
+            # the landmark path RAN and rejected: that is evidence against
+            # the candidate — do not re-litigate with the weaker 2D-2D
+            # check (precision first; reference uses one mode per config)
             return LoopDetection(False, query_kf.kf_id, old_kf.kf_id)
         ref = pose_opt.optimize_pose(
             rr.world_T_ref, jnp.asarray(X_world), jnp.asarray(query_kf.im_uv),
@@ -247,4 +264,62 @@ class LoopCloser:
             lm_ids=lm[inl],
             query_slots=np.nonzero(inl)[0],
             n_inliers=n_inl,
+        )
+
+    def _verify_seventeen(self, query_kf, old_kf, d) -> LoopDetection:
+        """2D-2D fallback verification: non-central relative pose between
+        the two rigs from descriptor matches alone — no surviving
+        landmarks needed (reference checkEssentialMatrix, the 17-pt loop
+        check, LoopCloser.cpp:353-446). Only available on non-central rigs
+        (metric scale needs the lever arm)."""
+        from mcslam_tpu.frontend import seventeen
+
+        cfg = self.cfg
+        fail = LoopDetection(False, query_kf.kf_id, old_kf.kf_id)
+        if not cfg.seventeen_fallback or not seventeen.is_noncentral(self.rig):
+            return fail
+        res = match_ops.match_mutual(
+            d,
+            row_mask=jnp.asarray(query_kf.im_valid),
+            col_mask=jnp.asarray(old_kf.im_valid),
+            max_dist=cfg.max_dist,
+            ratio=cfg.ratio,
+        )
+        ok = np.asarray(res.ok)
+        idx = np.asarray(res.idx)
+        if ok.sum() < max(cfg.min_matches, 17):
+            return fail
+        # frame1 = old KF, frame2 = query -> rel_T = old_T_query (metric)
+        uv1 = old_kf.im_uv[idx]
+        a1 = old_kf.im_anchor_cam[idx]
+        f1, o1 = seventeen.plucker_rays(
+            jnp.asarray(uv1), jnp.asarray(a1), self.rig
+        )
+        f2, o2 = seventeen.plucker_rays(
+            jnp.asarray(query_kf.im_uv), jnp.asarray(query_kf.im_anchor_cam),
+            self.rig,
+        )
+        mean_f = float(np.mean(np.asarray(self.rig.fxycxy)[:, 0]))
+        thr = float(2.0 * (1.0 - np.cos(cfg.ransac_px / mean_f)))
+        sr = seventeen.ransac_seventeen(
+            self._next_key(), f1, o1, f2, o2, jnp.asarray(ok),
+            angle_thresh=thr, min_inliers=cfg.seventeen_min_inliers,
+            scale_hi=cfg.seventeen_scale_hi,
+        )
+        if not bool(sr.ok):
+            return fail
+        rel = np.asarray(sr.rel_T)  # old_T_query
+        world_T_query = (old_kf.world_T_ref @ rel).astype(np.float32)
+        inl = np.asarray(sr.inliers) & ok
+        lm = np.where(inl, old_kf.lm_id[idx], -1)
+        sel = lm >= 0
+        return LoopDetection(
+            detected=True,
+            query_kf=query_kf.kf_id,
+            match_kf=old_kf.kf_id,
+            rel_pose=rel,
+            world_T_query=world_T_query,
+            lm_ids=lm[sel],
+            query_slots=np.nonzero(sel)[0],
+            n_inliers=int(sr.num_inliers),
         )

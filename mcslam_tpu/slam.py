@@ -63,6 +63,14 @@ class SlamConfig:
     # pixels and should scale with image resolution
     mono_init_min_disparity_px: float = 25.0
     mono_init_scale: float = 4.0
+    # 17-pt (non-central relative pose) rig bootstrap: used when intra
+    # depth is too thin to triangulate (distant scenery) but the rig has a
+    # real lever arm (reference poseFromSeventeenPt, FrontEnd.cpp:4532)
+    init17_min_inliers: int = 40
+    init17_min_landmarks: int = 30
+    init17_max_z: float = 400.0  # distant-scene seed landmarks
+    init17_scale_hi: float = 3.0  # |t| search ceiling [m] between init frames
+    init17_min_baseline_frac: float = 0.5  # x kf_translation, reference :2633
     # window BA
     window_size: int = 6
     ba_iters: int = 3  # per gate round (x2 rounds); warm-started windows
@@ -76,6 +84,16 @@ class SlamConfig:
     loop_pgo_min_rot: float = 0.05
     # suppress repeat closures for this many keyframes after one fires
     loop_cooldown_kfs: int = 8
+    # global BA after a loop-closure bend: jointly re-optimize ALL
+    # keyframes + landmarks (reference ISAM2 re-optimizes the entire graph
+    # on closure, Backend.cpp:3060-3267); landmark-sharded across the mesh
+    # when one is configured
+    global_ba: bool = True
+    global_ba_max_kfs: int = 64  # even subsample cap; skipped KFs get the
+    #   nearest optimized neighbor's correction
+    global_ba_lm_capacity: int = 8192
+    global_ba_obs_per_kf: int = 512
+    global_ba_iters: int = 10
     # failure handling
     max_track_failures: int = 2  # reference num_trials_to_track
     # async backend: defer BA write-back to the next keyframe (hides the
@@ -92,6 +110,7 @@ from mcslam_tpu.keyframe import Keyframe, _pack_kf  # noqa: F401,E402
 from mcslam_tpu.tracking_kernels import (  # noqa: F401,E402
     _local_map_step, _match_descriptors, _mutual_match,
     _project_and_match_local, _track_step, _triangulate_pairs,
+    _triangulate_pairs_far,
 )
 from mcslam_tpu.driver_loop import LoopClosingMixin  # noqa: E402
 from mcslam_tpu.driver_sensors import SensorsMixin  # noqa: E402
@@ -220,6 +239,14 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         has_depth = np.asarray(frame.im_has_depth)
         n3d = int(has_depth.sum())
         if n3d < 30:
+            from mcslam_tpu.frontend import seventeen
+
+            if self.rig.num_cams >= 2 and seventeen.is_noncentral(self.rig):
+                # rig staring at distant scenery: no intra parallax, but
+                # the lever arm still pins metric scale through the
+                # non-central relative pose (reference default
+                # PoseEstimation SEVENTEEN_PT path)
+                return self._initialize_rig_17pt(frame, timestamp)
             return self._initialize_mono(frame, timestamp)
         pose = self.cur_pose  # identity or reinit seed
         kf = Keyframe(self.kf_counter, timestamp, pose, frame)
@@ -339,6 +366,116 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         self._mono_pending = None
         # polish the seed map immediately: a bad RANSAC draw otherwise
         # poisons everything downstream (two-view BA over the init pair)
+        self._run_window_ba()
+        self.cur_pose = kf1.world_T_ref.copy()
+        if self.use_imu:
+            for kf, t in ((kf0, pts_t), (kf1, timestamp)):
+                self.kf_time[kf.kf_id] = t
+                self.kf_vel[kf.kf_id] = np.zeros(3, np.float32)
+                self.kf_bias[kf.kf_id] = self.bias.copy()
+        return True
+
+    def _initialize_rig_17pt(self, frame: FrameFeatures, timestamp: float) -> bool:
+        """Two-frame rig bootstrap via non-central relative pose: when the
+        scene is too distant for intra-camera triangulation, the 17-pt
+        family recovers prev_T_cur with METRIC translation from 2D-2D
+        matches (reference poseFromSeventeenPt, FrontEnd.cpp:4532, used by
+        initialization at :2583), and the seed map comes from two-frame
+        triangulation with a relaxed depth ceiling."""
+        from mcslam_tpu.frontend import seventeen
+
+        cfg = self.cfg
+        pending = getattr(self, "_pending17", None)
+        if pending is None:
+            self._pending17 = (frame, timestamp, self.cur_pose.copy())
+            return False
+        pf, pts_t, p_pose = pending
+
+        dist = _match_descriptors(
+            frame.im_desc, frame.im_valid, pf.im_desc, pf.im_valid
+        )
+        res = _mutual_match(
+            dist, frame.im_valid, pf.im_valid,
+            cfg.inter_max_dist, cfg.inter_ratio,
+        )
+        ok = np.asarray(res.ok)
+        idx = np.asarray(res.idx)
+        if ok.sum() < cfg.min_inter_matches:
+            self._pending17 = (frame, timestamp, self.cur_pose.copy())
+            return False
+
+        uv1 = np.asarray(pf.im_uv_ref)[idx]
+        a1 = np.asarray(pf.im_anchor_cam)[idx]
+        uv2 = np.asarray(frame.im_uv_ref)
+        a2 = np.asarray(frame.im_anchor_cam)
+        f1, o1 = seventeen.plucker_rays(
+            jnp.asarray(uv1), jnp.asarray(a1), self.rig
+        )
+        f2, o2 = seventeen.plucker_rays(
+            jnp.asarray(uv2), jnp.asarray(a2), self.rig
+        )
+        mean_f = float(np.mean(np.asarray(self.rig.fxycxy)[:, 0]))
+        thr = float(2.0 * (1.0 - np.cos(3.0 / mean_f)))
+        sr = seventeen.ransac_seventeen(
+            self._next_key(), f1, o1, f2, o2, jnp.asarray(ok),
+            angle_thresh=thr, min_inliers=cfg.init17_min_inliers,
+            scale_hi=cfg.init17_scale_hi,
+        )
+        if not bool(sr.ok):
+            self._pending17 = (frame, timestamp, self.cur_pose.copy())
+            return False
+        rel = np.asarray(sr.rel_T)  # prev_T_cur
+        # baseline gate (reference initialization, FrontEnd.cpp:2633): a
+        # near-zero baseline gives an unconditioned seed map — KEEP the
+        # anchor so the baseline keeps growing
+        if (
+            np.linalg.norm(rel[:3, 3])
+            < cfg.init17_min_baseline_frac * cfg.kf_translation
+        ):
+            return False
+        pose0 = p_pose
+        pose1 = (pose0 @ rel).astype(np.float32)
+        inl = np.asarray(sr.inliers) & ok
+
+        M = len(ok)
+        ref_T_cam = np.linalg.inv(np.asarray(self.rig.cam_T_ref))
+        wTc0 = pose0 @ ref_T_cam[a1]
+        wTc1 = pose1 @ ref_T_cam[a2]
+        wTc = np.stack([wTc0, wTc1], axis=1).astype(np.float32)
+        uv2s = np.stack([uv1, uv2], axis=1).astype(np.float32)
+        fmat = np.asarray(self.rig.fxycxy)
+        fx2 = np.stack([fmat[a1], fmat[a2]], axis=1).astype(np.float32)
+        mask2 = np.broadcast_to(inl[:, None], (M, 2))
+        X, tri_ok = _triangulate_pairs_far(
+            jnp.asarray(wTc), jnp.asarray(uv2s), jnp.asarray(fx2),
+            jnp.asarray(mask2), jnp.ones((M, 2), jnp.float32),
+            cfg.min_z, cfg.init17_max_z,
+        )
+        X = np.asarray(X)
+        good = np.asarray(tri_ok) & inl
+        if good.sum() < cfg.init17_min_landmarks:
+            self._pending17 = (frame, timestamp, self.cur_pose.copy())
+            return False
+
+        kf0 = Keyframe(self.kf_counter, pts_t, pose0, pf)
+        self.kf_counter += 1
+        kf1 = Keyframe(self.kf_counter, timestamp, pose1, frame)
+        self.kf_counter += 1
+        sel = np.nonzero(good)[0]
+        desc = np.asarray(frame.im_desc)[sel]
+        vd = X[sel] - pose1[:3, 3]
+        vd /= np.maximum(np.linalg.norm(vd, axis=-1, keepdims=True), 1e-9)
+        ids = self._map_insert(X[sel], desc, vd, kf1.kf_id)
+        kf1.lm_id[sel] = ids
+        kf0.lm_id[idx[sel]] = ids
+        kf0.lm_dirty(); kf1.lm_dirty()
+        self.keyframes.extend([kf0, kf1])
+        self.state = INITIALIZED
+        self.stats["keyframes"] += 2
+        self.stats["init_17pt"] = self.stats.get("init_17pt", 0) + 1
+        self.cur_pose = pose1
+        self._pending17 = None
+        # polish the seed immediately (two-view BA over the init pair)
         self._run_window_ba()
         self.cur_pose = kf1.world_T_ref.copy()
         if self.use_imu:

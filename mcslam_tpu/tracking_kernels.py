@@ -187,3 +187,15 @@ def _triangulate_pairs(wTc_rays, uv_rays, f_rays, mask_rays, sigma_rays):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("min_z", "max_z"))
+def _triangulate_pairs_far(wTc_rays, uv_rays, f_rays, mask_rays, sigma_rays,
+                           min_z: float, max_z: float):
+    """Pair triangulation with a caller-chosen depth ceiling (the 17-pt
+    distant-scene bootstrap seeds landmarks well beyond the tracking-time
+    100 m cap)."""
+    return triangulation.triangulate_and_refine(
+        wTc_rays, uv_rays, f_rays, mask_rays, sigma=sigma_rays,
+        min_z=min_z, max_z=max_z,
+    )
+
+
