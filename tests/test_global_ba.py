@@ -16,7 +16,7 @@ from mcslam_tpu.slam import INITIALIZED, MultiCameraSLAM, SlamConfig
 from mcslam_tpu.utils import metrics
 
 
-def _run_session(global_ba: bool, mesh=None, num_frames=46, revisit=22):
+def _run_session(global_ba: bool, mesh=None, num_frames=38, revisit=18):
     rig = synthetic.make_synthetic_rig(
         synthetic.SyntheticRigSpec(num_cams=3, baseline=0.2,
                                    image_size=(320, 240), focal=260.0)
@@ -71,6 +71,7 @@ def test_global_ba_beats_pgo_only():
     assert ate_on < 0.25, ate_on
 
 
+@pytest.mark.slow  # mesh-compile heavy; lm-sharded parity is covered in test_parallel
 def test_global_ba_landmark_sharded_mesh():
     """The post-loop global solve runs landmark-sharded over a device mesh
     from the SLAM driver itself (the multi-chip flagship workload). The

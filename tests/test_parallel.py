@@ -1,6 +1,7 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -49,6 +50,7 @@ def _toy_problem(n_devices, K=4, L=64, C=2, obs_per_dev=64, seed=0):
     return poses_gt, lms_gt, poses0, lms0, obs, cam_T_ref, fxycxy
 
 
+@pytest.mark.slow  # single-step parity; the full-solve parity below covers the same math
 def test_sharded_lm_step_matches_single_device():
     n = 4
     mesh = sharded_ba.make_mesh(n)
@@ -185,6 +187,7 @@ def test_landmark_sharded_solve_matches_single_device():
     assert err < 0.02
 
 
+@pytest.mark.slow  # driver runs this contract every round
 def test_graft_dryrun_multichip():
     import importlib.util
 
@@ -196,6 +199,7 @@ def test_graft_dryrun_multichip():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # driver runs this contract every round
 def test_graft_entry_compiles():
     import importlib.util
 
@@ -209,6 +213,7 @@ def test_graft_entry_compiles():
     assert all(np.all(np.isfinite(np.asarray(o))) for o in out[:1])
 
 
+@pytest.mark.slow  # driver runs this contract every round
 def test_driver_with_mesh_sharded_ba():
     """The SLAM driver itself runs its window solves across a device mesh
     when constructed with one — the product-surface multi-chip path, not

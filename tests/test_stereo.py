@@ -53,3 +53,112 @@ def test_depth_from_rig_pair_scene():
             errs.append(abs(depth[y, x] - p[i, 2]) / p[i, 2])
     assert len(errs) > 30
     assert np.median(errs) < 0.08, np.median(errs)
+
+def test_sgm_beats_box_on_weak_texture():
+    """SGM path aggregation (reference SGBM/ELAS-grade regularization,
+    DepthReconstructor.cpp:26-40) must beat plain box WTA where texture is
+    sparse: a slanted plane with sparse dots leaves box-WTA ambiguous
+    between dots; SGM propagates along paths."""
+    rng = np.random.RandomState(3)
+    H, W = 80, 160
+    f, B = 150.0, 0.2
+    # slanted plane: depth varies with x -> disparity ramp
+    x = np.arange(W, dtype=np.float32)
+    Z = 4.0 + 2.0 * x / W  # 4..6 m
+    d_true = np.broadcast_to(f * B / Z, (H, W))  # ~7.5 .. 5 px
+    # sparse dot texture on a flat background
+    left = np.full((H, W), 0.5, np.float32)
+    ys, xs = rng.randint(0, H, 250), rng.randint(0, W, 250)
+    left[ys, xs] = rng.rand(250).astype(np.float32)
+    import cv2
+
+    left = cv2.GaussianBlur(left, (5, 5), 1.0)
+    # warp right: right[y, x] = left[y, x + d(x)] (inverse sampling)
+    xs_src = np.clip(x[None, :] + d_true, 0, W - 1)
+    x0 = np.floor(xs_src).astype(int)
+    fr = xs_src - x0
+    x1 = np.minimum(x0 + 1, W - 1)
+    rows = np.arange(H)[:, None]
+    right = left[rows, x0] * (1 - fr) + left[rows, x1] * fr
+
+    errs = {}
+    for algo in ("box", "sgm"):
+        disp, valid = stereo.disparity(
+            jnp.asarray(left), jnp.asarray(right.astype(np.float32)),
+            max_disp=16, window=5, algo=algo,
+        )
+        disp = np.asarray(disp)
+        core = np.s_[10:-10, 20:-20]
+        errs[algo] = float(np.mean(np.abs(disp[core] - d_true[core])))
+    assert errs["sgm"] < errs["box"], errs
+    assert errs["sgm"] < 1.0, errs
+
+
+def test_rectified_nonparallel_rig_depth():
+    """General (verged) rig: cam_b translated AND rotated. Without
+    rectification the row-aligned disparity search is invalid; the
+    RigRectifier path (reference stereoRectify + remap,
+    DepthReconstructor.cpp:7-22) must recover metric depth of a textured
+    plane (EPE test vs analytic ground truth)."""
+    from mcslam_tpu.geometry import camera as cam_ops
+    from mcslam_tpu.geometry import lie as lie_ops
+
+    W, H = 200, 120
+    f = 150.0
+    fxycxy = np.array([[f, f, W / 2, H / 2], [f, f, W / 2, H / 2]],
+                      np.float32)
+    # cam_b: 0.2 m to the +x, verged inward by 4 degrees about y
+    ang = np.radians(4.0)
+    R_b = np.array(
+        [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+         [-np.sin(ang), 0, np.cos(ang)]], np.float32,
+    )
+    cam_T_ref = np.stack([np.eye(4, dtype=np.float32),
+                          np.eye(4, dtype=np.float32)])
+    cam_T_ref[1, :3, :3] = R_b.T  # cam_b <- ref rotation
+    cam_T_ref[1, :3, 3] = -(R_b.T @ np.array([0.2, 0.0, 0.0]))
+    rig = cam_ops.make_rig(
+        fxycxy=jnp.asarray(fxycxy),
+        cam_T_ref=jnp.asarray(cam_T_ref),
+        image_size=(W, H),
+    )
+
+    # textured plane z = Z0 in the ref frame, smooth procedural texture
+    Z0 = 5.0
+
+    def texture(X, Y):
+        return (
+            0.5
+            + 0.2 * np.sin(3.0 * X) * np.cos(2.5 * Y)
+            + 0.15 * np.sin(7.1 * X + 1.3) * np.sin(5.3 * Y + 0.7)
+            + 0.1 * np.sin(13.7 * X * 0.7 + 11.9 * Y)
+        ).astype(np.float32)
+
+    imgs = np.zeros((2, H, W), np.float32)
+    for c in range(2):
+        T = np.linalg.inv(cam_T_ref[c])  # ref <- cam
+        u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                           np.arange(H, dtype=np.float64))
+        xn = (u - fxycxy[c, 2]) / fxycxy[c, 0]
+        yn = (v - fxycxy[c, 3]) / fxycxy[c, 1]
+        rays = np.stack([xn, yn, np.ones_like(xn)], -1) @ T[:3, :3].T
+        o = T[:3, 3]
+        s = (Z0 - o[2]) / np.maximum(rays[..., 2], 1e-9)
+        X = o[0] + s * rays[..., 0]
+        Y = o[1] + s * rays[..., 1]
+        imgs[c] = texture(X, Y)
+
+    depth, valid = stereo.depth_from_rig_pair(
+        jnp.asarray(imgs), rig, 0, 1, max_disp=16, algo="sgm"
+    )
+    depth = np.asarray(depth)
+    valid = np.asarray(valid)
+    core = np.zeros_like(valid)
+    core[15:-15, 25:-25] = True
+    sel = valid & core
+    assert sel.mean() > 0.3, sel.mean()
+    # rectified cam_a looks at the same plane; its depth differs from Z0
+    # only by the (small) rectifying rotation — compare against the
+    # analytic rectified depth instead of Z0 directly
+    rel_err = np.abs(depth[sel] - Z0) / Z0
+    assert np.median(rel_err) < 0.08, np.median(rel_err)
