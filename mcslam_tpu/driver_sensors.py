@@ -77,8 +77,16 @@ class SensorsMixin:
             self._gps_buf.append((float(ts[k]), enu))
 
     def _try_gps_init(self):
-        """Umeyama-align buffered fixes to interpolated VIO positions
-        (reference gps_initialize_kabsch, >= 15 fix buffer)."""
+        """Align buffered fixes to interpolated VIO positions (reference
+        gps_initialize_kabsch, >= 15 fix buffer).
+
+        With a gravity-aligned (IMU-initialized) world frame, both frames
+        share the up axis, so the true E_T_V rotation is a pure yaw: fit
+        yaw + translation only (a full 3-DoF Kabsch on a short near-linear
+        track is degenerate about the track direction — the garbage
+        roll/pitch then fights the vision factors and diverges the window
+        solve). Without IMU, fall back to full Kabsch but require
+        non-planar-degenerate geometry first."""
         if self.gps_initialized or len(self._gps_buf) < 15:
             return
         if len(self.keyframes) < 3:
@@ -96,14 +104,37 @@ class SensorsMixin:
             pts_e.append(enu)
         if len(pts_v) < 8:
             return
+        V = np.stack(pts_v).astype(np.float64)
+        E = np.stack(pts_e).astype(np.float64)
+        Vc = V - V.mean(axis=0)
+        Ec = E - E.mean(axis=0)
 
-        R, t, _ = alignment.kabsch(
-            jnp.asarray(np.stack(pts_v), jnp.float32),
-            jnp.asarray(np.stack(pts_e), jnp.float32),
-        )
+        gravity_aligned = self.use_imu and self.imu_initialized
+        if gravity_aligned:
+            # horizontal spread must dominate the noise for yaw to be
+            # observable
+            ext = 2.0 * np.linalg.norm(Vc[:, :2], axis=1).max()
+            if ext < 3.0 * self.cfg.gps_sigma:
+                return
+            # 2D Procrustes: yaw from the xy cross-covariance
+            M = Ec[:, :2].T @ Vc[:, :2]
+            yaw = np.arctan2(M[1, 0] - M[0, 1], M[0, 0] + M[1, 1])
+            c, s = np.cos(yaw), np.sin(yaw)
+            R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        else:
+            # full Kabsch needs 3D shape: second singular value of the
+            # centered cloud above the noise floor
+            sv = np.linalg.svd(Vc, compute_uv=False)
+            if sv[1] < 3.0 * self.cfg.gps_sigma:
+                return
+            Rj, tj, _ = alignment.kabsch(
+                jnp.asarray(V, jnp.float32), jnp.asarray(E, jnp.float32)
+            )
+            R = np.asarray(Rj, np.float64)
+        t = E.mean(axis=0) - R @ V.mean(axis=0)
         self.E_T_V = np.eye(4, dtype=np.float32)
-        self.E_T_V[:3, :3] = np.asarray(R)
-        self.E_T_V[:3, 3] = np.asarray(t)
+        self.E_T_V[:3, :3] = R.astype(np.float32)
+        self.E_T_V[:3, 3] = t.astype(np.float32)
         self.gps_initialized = True
 
     # merge window: a GPS fix this close to a vision KF is attached to it
@@ -129,7 +160,9 @@ class SensorsMixin:
                 best, best_t, best_dt = enu, t, dt
         if best is not None:
             prev = getattr(self, "_gps_last_enu", None)
-            if prev is not None and np.linalg.norm(best - prev) < 0.5:
+            if (prev is not None
+                    and np.linalg.norm(best - prev)
+                    < self.cfg.gps_min_move):
                 return
             self._set_kf_gps(kf.kf_id, best)
             self._gps_last_enu = best
@@ -172,7 +205,8 @@ class SensorsMixin:
             if t <= last_kf.timestamp or t > t_now:
                 continue
             prev = getattr(self, "_gps_last_enu", None)
-            if prev is not None and np.linalg.norm(enu - prev) < 0.5:
+            if (prev is not None
+                    and np.linalg.norm(enu - prev) < self.cfg.gps_min_move):
                 continue  # reference: reject fixes that barely moved
             if t - last_kf.timestamp < self.GPS_MERGE_DT:
                 # near-simultaneous with the last keyframe: merge into it

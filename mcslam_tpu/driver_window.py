@@ -312,8 +312,16 @@ class WindowBAMixin:
             # E_T_V unobserved: clamp it
             prior_H[K * ba_vio.D:, K * ba_vio.D:] = np.eye(6) * 1e8
         else:
-            # weak prior keeps E_T_V rotation near its kabsch init
-            prior_H[K * ba_vio.D:, K * ba_vio.D:] = np.eye(6) * 1.0
+            # weak prior keeps E_T_V near its init; with a gravity-aligned
+            # world (IMU), ENU and VIO share the up axis, so E_T_V
+            # roll/pitch is structurally zero — pin it hard (a short
+            # near-linear GPS track cannot observe it, and letting it float
+            # lets GPS fight the vision factors; see _try_gps_init)
+            e0 = K * ba_vio.D
+            prior_H[e0:, e0:] = np.eye(6) * 1.0
+            if self.use_imu and self.imu_initialized:
+                prior_H[e0, e0] = 1e8  # roll
+                prior_H[e0 + 1, e0 + 1] = 1e8  # pitch
 
         problem = ba_vio.VioProblem(
             poses=jnp.asarray(poses_body),

@@ -118,11 +118,12 @@ def _triangulate_stage(groups, xy_ud, kp_sigma2, rig, min_z, max_z):
     jax.jit,
     static_argnames=(
         "num_points", "num_levels", "fast_threshold", "min_threshold",
-        "max_intra", "min_z", "max_z",
+        "max_intra", "min_z", "max_z", "angle_bins", "approx_topk",
     ),
 )
 def _fused_stage(imgs, rig, seg_masks, num_points, num_levels,
-                 fast_threshold, min_threshold, max_intra, min_z, max_z):
+                 fast_threshold, min_threshold, max_intra, min_z, max_z,
+                 angle_bins=orb.ANGLE_BINS, approx_topk=False):
     """extract (+ optional seg-mask veto) + intra + triangulate in ONE
     program: the dispatch floor through a tunneled TPU is ~1 ms per call,
     so chained stage jits paid ~2 ms of pure dispatch per frame."""
@@ -131,6 +132,7 @@ def _fused_stage(imgs, rig, seg_masks, num_points, num_levels,
     kps = orb.extract_orb_rig(
         imgs, num_points=num_points, num_levels=num_levels,
         fast_threshold=fast_threshold, min_threshold=min_threshold,
+        angle_bins=angle_bins, approx_topk=approx_topk,
     )
     if seg_masks is not None:
         # veto keypoints on masked (dynamic) pixels: mask < 0.7 kills the
@@ -167,6 +169,8 @@ def build_frame(
     min_z: float = 0.5,
     max_z: float = 40.0,
     seg_masks: jax.Array | None = None,
+    angle_bins: int = orb.ANGLE_BINS,
+    approx_topk: bool = False,
 ) -> FrameFeatures:
     """(C, H, W) float images in [0,1] -> FrameFeatures.
 
@@ -182,7 +186,7 @@ def build_frame(
     """
     kps, xy_ud, groups, tri = _fused_stage(
         imgs, rig, seg_masks, num_points, num_levels, fast_threshold,
-        min_threshold, max_intra, min_z, max_z,
+        min_threshold, max_intra, min_z, max_z, angle_bins, approx_topk,
     )
     X, has_depth, anchor_cam, uv_ref, anchor_sigma2, n_rays = tri
     return FrameFeatures(

@@ -132,6 +132,7 @@ def compute_descriptors_patch(
     patches: jax.Array,  # (N, PATCH, PATCH)
     center_in_patch: jax.Array,  # (N, 2) float (y, x) of kp within patch
     angle: jax.Array,  # (N,)
+    angle_bins: int = ANGLE_BINS,
 ) -> jax.Array:
     """Steered BRIEF-256 as an MXU matmul -> (N, 8) packed uint32.
 
@@ -140,7 +141,7 @@ def compute_descriptors_patch(
     bits depend only on the SIGN of an intensity difference, and image
     intensities are O(1).
     """
-    D = jnp.asarray(_steered_bit_matrices()).astype(jnp.bfloat16)
+    D = jnp.asarray(_steered_bit_matrices(angle_bins)).astype(jnp.bfloat16)
     n = patches.shape[0]
     flat = patches.reshape(n, PATCH * PATCH).astype(jnp.bfloat16)
     diffs = jax.lax.dot_general(
@@ -152,11 +153,11 @@ def compute_descriptors_patch(
     # compare into the matmul epilogue — the (N, bins*256) intermediate
     # materializes as 1-byte bools instead of f32 (4x less HBM traffic,
     # the dominant cost of this stage)
-    bits_all = (diffs > 0).reshape(n, ANGLE_BINS, 256)
+    bits_all = (diffs > 0).reshape(n, angle_bins, 256)
     two_pi = 2.0 * np.pi
     b = jnp.round(
-        (jnp.mod(angle, two_pi) / two_pi) * ANGLE_BINS
-    ).astype(jnp.int32) % ANGLE_BINS
+        (jnp.mod(angle, two_pi) / two_pi) * angle_bins
+    ).astype(jnp.int32) % angle_bins
     sel = jnp.take_along_axis(bits_all, b[:, None, None], axis=1)[:, 0, :]
     return hamming.pack_bits(sel.astype(jnp.uint32))
 
@@ -218,6 +219,8 @@ def extract_orb_rig(
     min_threshold: float = 7.0 / 255.0,
     cell: int = 16,
     per_cell: int = 4,
+    angle_bins: int = ANGLE_BINS,
+    approx_topk: bool = False,
 ) -> Keypoints:
     """Camera-batched multi-scale ORB: imgs (C, H, W) float32 in [0, 1] ->
     Keypoints with leading camera axis. The rig axis replaces the
@@ -279,7 +282,7 @@ def extract_orb_rig(
     # destabilizes tracking (ATE 0.07 -> 3.2 on the blob-image loop run)
     yx, resp, valid = jax.vmap(
         lambda sc: topk_grid.select_keypoints(
-            sc, maxb, cell=cell, per_cell=per_cell
+            sc, maxb, cell=cell, per_cell=per_cell, approx=approx_topk
         )
     )(score)
     resp = jnp.where(resp > 1.0, resp - 1.0, resp)  # undo rank bonus
@@ -306,7 +309,9 @@ def extract_orb_rig(
         patches, origin = jax.vmap(extract_patches)(blurred, yx)
     center = (yx - origin).astype(jnp.float32)
     ang = jax.vmap(patch_orientation)(patches, yx, origin)
-    desc = jax.vmap(compute_descriptors_patch)(patches, center, ang)
+    desc = jax.vmap(
+        lambda p, c, a: compute_descriptors_patch(p, c, a, angle_bins)
+    )(patches, center, ang)
 
     # (L*C, maxb, ...) -> (C, L*maxb, ...) with level-0 coordinate scaling
     s_lvl = jnp.asarray(

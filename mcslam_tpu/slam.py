@@ -104,6 +104,10 @@ class SlamConfig:
     # GPS position measurement sigma [m] (reference reads it from the
     # backend params yaml)
     gps_sigma: float = 0.5
+    # minimum ENU displacement [m] before a new fix is accepted (reference
+    # validGPSmessage "moved >= 0.5 m" gate — car scale; indoor/small-scale
+    # rigs must lower it or nearly every fix is rejected)
+    gps_min_move: float = 0.5
 
 
 from mcslam_tpu.keyframe import Keyframe, _pack_kf  # noqa: F401,E402

@@ -156,10 +156,14 @@ def test_gps_dummy_keyframes_between_vision_kfs():
     vision_ks = list(range(0, num_frames, step))
 
     def run(with_gps):
+        # gps_min_move at scene scale: the fixes are ~3 cm apart; the
+        # reference's 0.5 m car-scale default would reject nearly all of
+        # them (and silently turn the GPS factors off)
         cfg = SlamConfig(window_size=4, ba_obs_capacity=8192,
                          ba_lm_capacity=1024, local_map_landmarks=1024,
                          kf_translation=0.1, kf_rotation=0.08,
-                         imu_init_samples=40, gps_sigma=0.1)
+                         imu_init_samples=40, gps_sigma=0.1,
+                         gps_min_move=0.02)
         slam = MultiCameraSLAM(
             rig, cfg, imu_params=imu_params,
             gps_lever_arm=np.zeros(3) if with_gps else None,
