@@ -374,6 +374,64 @@ def analytic_circle_imu(
     return poses, ts, gyro, accel
 
 
+def pan_shake_imu(
+    num_frames: int,
+    fps: float = 10.0,
+    rate_hz: float = 200.0,
+    amp: float = 0.2,  # rad pan amplitude
+    shake_hz: float = 1.7,
+    accel_noise: float = 0.0,
+    gyro_noise: float = 0.0,
+    gravity: float = 9.81,
+    stationary_s: float = 0.5,
+    seed: int = 6,
+):
+    """Fixed-position pan oscillation (rotation about body +y) with EXACT
+    IMU. The direction reversals are aggressive enough that a
+    constant-velocity pose prediction misses by ~2x the per-frame rotation
+    right after every reversal, while preintegrated-IMU prediction follows
+    them — the discriminating workload for IMU-predicted fast tracking
+    (reference imu_integrator->predict, FrontEnd.cpp:1570).
+
+    theta(t) = amp * sin(2*pi*shake_hz*(t - stationary_s)) for
+    t > stationary_s, else 0. Returns (poses (F,4,4), imu_ts, gyro, accel)
+    in the same conventions as analytic_circle_imu (gravity -z world, body
+    starts axis-aligned so frame 0 is gravity-aligned).
+    """
+    rng = np.random.RandomState(seed)
+    g_world = np.array([0.0, 0.0, -gravity])
+    t0 = stationary_s
+    w = 2.0 * np.pi * shake_hz
+
+    def roty(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+
+    def state(t):
+        t1 = t - t0
+        th = amp * np.sin(w * t1) if t1 > 0 else 0.0
+        dth = amp * w * np.cos(w * t1) if t1 > 0 else 0.0
+        return roty(th), dth
+
+    poses = np.zeros((num_frames, 4, 4), np.float32)
+    for k in range(num_frames):
+        R, _ = state(k / fps)
+        poses[k, :3, :3] = R
+        poses[k, 3, 3] = 1.0
+
+    total_t = (num_frames - 1) / fps
+    dt = 1.0 / rate_hz
+    n = int(round(total_t / dt))
+    ts = (np.arange(n) + 0.5) * dt
+    gyro = np.zeros((n, 3))
+    accel = np.zeros((n, 3))
+    for i, t in enumerate(ts):
+        R, dth = state(t)
+        gyro[i] = np.array([0.0, dth, 0.0]) + rng.randn(3) * gyro_noise
+        accel[i] = R.T @ (-g_world) + rng.randn(3) * accel_noise
+    return poses, ts, gyro, accel
+
+
 def circle_velocity(t, radius=4.0, omega=0.3, stationary_s=0.0, ramp_s=0.0):
     """Closed-form world velocity of analytic_circle_imu at time t."""
     th, dth, _ = _circle_profile(t, omega, stationary_s, max(ramp_s, 1e-9))

@@ -40,10 +40,13 @@ class SensorsMixin:
                     jnp.ones(len(a), bool), self.imu_params,
                 )
                 self.bias = np.asarray(bias)
-                # world frame = gravity-aligned body frame at init
-                pose = np.eye(4, dtype=np.float32)
-                pose[:3, :3] = np.asarray(R_wb)
-                self.cur_pose = pose
+                if self.relocalizer is None:
+                    # world frame = gravity-aligned body frame at init
+                    # (in map-reuse mode the world frame comes from the
+                    # loaded map — don't clobber the localized pose)
+                    pose = np.eye(4, dtype=np.float32)
+                    pose[:3, :3] = np.asarray(R_wb)
+                    self.cur_pose = pose
                 self.imu_initialized = True
                 self._imu_buf = [
                     s for s in self._imu_buf if s[0] >= 0

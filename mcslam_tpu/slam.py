@@ -153,6 +153,8 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         self.fast_tracker = None
         self._reloc_localized = False
         self._reloc_delta = np.eye(4, dtype=np.float32)
+        self._reloc_prev_ts = None  # last fast-tracked frame timestamp
+        self._reloc_vel = np.zeros(3, np.float32)  # world-frame velocity
         # optional streaming graph_logs writer (attach_graph_log): imu_raw /
         # g / k / m records are written as they happen (the reference
         # streams them from appendLogs/appendIMUValue/appendGPSValue)
@@ -737,10 +739,7 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
                              info: dict) -> dict:
         pose = None
         if self._reloc_localized and self.fast_tracker is not None:
-            # constant-velocity prediction (the reference predicts with the
-            # IMU integrator when available; the motion model is its
-            # vision-only equivalent)
-            pred = (self.cur_pose @ self._reloc_delta).astype(np.float32)
+            pred = self._predict_reloc_pose(timestamp)
             with self.timers.span("fast_track"):
                 pose = self.fast_tracker.track(frame, pred)
             if pose is not None:
@@ -751,12 +750,18 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
             if pose is not None:
                 self.stats["relocalizations"] += 1
                 self._reloc_delta = np.eye(4, dtype=np.float32)
+                self._reloc_vel = np.zeros(3, np.float32)
         if pose is not None:
             pose = np.asarray(pose, np.float32)
             if self._reloc_localized:
                 self._reloc_delta = (
                     np.linalg.inv(self.cur_pose) @ pose
                 ).astype(np.float32)
+                if self._reloc_prev_ts is not None:
+                    dt = max(timestamp - self._reloc_prev_ts, 1e-3)
+                    self._reloc_vel = (
+                        (pose[:3, 3] - self.cur_pose[:3, 3]) / dt
+                    ).astype(np.float32)
             self.cur_pose = pose
             self._reloc_localized = True
             self.state = INITIALIZED
@@ -768,8 +773,39 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
             self.state = REINITIALIZING
         info["state"] = self.state
         info["relocalized"] = pose is not None
+        self._reloc_prev_ts = timestamp
         self._record_pose(timestamp)
         return info
+
+    def _predict_reloc_pose(self, timestamp: float) -> np.ndarray:
+        """Pose prior for fast tracking. With IMU configured and
+        gravity-initialized, dead-reckon from the last tracked pose with the
+        preintegrator (reference imu_integrator->predict, FrontEnd.cpp:1570,
+        driven from mc_slam_app.cpp:480); otherwise the constant-velocity
+        motion model. Assumes the loaded map's world frame is gravity-aligned
+        (true for maps built by a VIO session), which makes the gravity term
+        of the prediction valid."""
+        if (self.use_imu and self.imu_initialized
+                and self._reloc_prev_ts is not None):
+            pre = self._preintegrate_span(self._reloc_prev_ts, timestamp)
+            if pre is not None:
+                from mcslam_tpu.backend import imu as imu_mod
+
+                body_T_cam0 = np.asarray(self.rig.body_T_cam)[0]
+                wTb = (self.cur_pose @ np.linalg.inv(body_T_cam0)).astype(
+                    np.float32
+                )
+                state = imu_mod.ImuState(
+                    world_T_body=jnp.asarray(wTb),
+                    vel=jnp.asarray(self._reloc_vel),
+                    bias=jnp.asarray(self.bias),
+                )
+                pred_state = imu_mod.predict(state, pre, self.imu_params)
+                return np.asarray(
+                    np.asarray(pred_state.world_T_body) @ body_T_cam0,
+                    np.float32,
+                )
+        return (self.cur_pose @ self._reloc_delta).astype(np.float32)
 
     def process_frame(self, frame: FrameFeatures, timestamp: float,
                       imu=None, gps=None) -> dict:

@@ -235,3 +235,97 @@ def test_fast_tracking_after_reloc(tmp_path, small_vocab):
     assert refined is not None
     err = np.linalg.norm(refined[:3, 3] - expected[:3, 3])
     assert err < 0.05, err
+
+
+def test_imu_predicted_fast_tracking_survives_shake(tmp_path, small_vocab):
+    """Aggressive pan reversals break the constant-velocity prediction
+    (per-frame rotation error > FastTracker's 20 px match radius) but the
+    preintegrated-IMU prediction follows them (reference
+    imu_integrator->predict fast tracking, FrontEnd.cpp:1570,
+    mc_slam_app.cpp:480)."""
+    from mcslam_tpu.backend.imu import ImuParams
+    from mcslam_tpu.loop.reloc import Relocalizer
+    from mcslam_tpu.loop.tracking import FastTracker
+
+    rig = synthetic.make_synthetic_rig(
+        synthetic.SyntheticRigSpec(num_cams=3, baseline=0.2)
+    )
+    lms = synthetic.make_landmarks(900, seed=31, depth_range=(5.0, 16.0))
+    descs = synthetic.make_descriptors(900, seed=32)
+
+    # ---- session 1: map build over a slow pan sweep starting at
+    # identity (so the map frame IS the gravity-aligned world frame) ----
+    def roty4(a):
+        T = np.eye(4, dtype=np.float32)
+        c, s = np.cos(a), np.sin(a)
+        T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        return T
+
+    sweep = [0.0, -0.07, -0.14, -0.2, -0.12, -0.04, 0.05, 0.13, 0.2, 0.1]
+    map_poses = np.stack([roty4(a) for a in sweep])
+    map_frames = synthetic.render_feature_frames(
+        rig, map_poses, lms, descs, kps_per_cam=320, px_noise=0.3,
+        desc_bit_noise=5, fps=10.0, seed=33,
+    )
+    cfg = SlamConfig(window_size=4, ba_obs_capacity=8192, ba_lm_capacity=1024,
+                     local_map_landmarks=1024, kf_translation=0.2,
+                     kf_rotation=0.04)
+    slam = MultiCameraSLAM(rig, cfg, vocab=small_vocab)
+    for f in map_frames:
+        ff = frame_mod.build_frame_from_keypoints(
+            jnp.asarray(f.uv), jnp.asarray(f.desc), jnp.asarray(f.valid),
+            rig, max_intra=1024,
+        )
+        slam.process_frame(ff, f.timestamp)
+    assert slam.state == INITIALIZED
+    assert slam.stats["keyframes"] >= 3
+    map_path = tmp_path / "shake_map.json"
+    db_path = tmp_path / "shake_db.npz"
+    slam.finalize()
+    mapio.save_map_json(map_path, slam.keyframes, slam.map)
+    slam.looper.save_database(db_path)
+
+    # ---- session 2: aggressive pan shake with exact IMU ----
+    fps = 10.0
+    shake_poses, imu_ts, gyro, accel = synthetic.pan_shake_imu(
+        num_frames=16, fps=fps, amp=0.2, shake_hz=1.7, stationary_s=0.5,
+        accel_noise=2e-3, gyro_noise=2e-4, seed=34,
+    )
+    shake_frames = synthetic.render_feature_frames(
+        rig, shake_poses, lms, descs, kps_per_cam=320, px_noise=0.3,
+        desc_bit_noise=5, fps=fps, seed=35,
+    )
+
+    def run(with_imu):
+        params = ImuParams(accel_noise=2e-3, gyro_noise=2e-4) \
+            if with_imu else None
+        cfg2 = SlamConfig(window_size=4, ba_obs_capacity=8192,
+                          ba_lm_capacity=1024, local_map_landmarks=1024,
+                          imu_init_samples=40)
+        s2 = MultiCameraSLAM(rig, cfg2, imu_params=params)
+        s2.enable_relocalization(
+            Relocalizer(small_vocab, rig, map_path, db_path),
+            FastTracker(Relocalizer(small_vocab, rig, map_path, db_path)),
+        )
+        for k, f in enumerate(shake_frames):
+            t_prev = (k - 1) / fps if k else -1.0
+            sel = (imu_ts > t_prev) & (imu_ts <= f.timestamp)
+            ff = frame_mod.build_frame_from_keypoints(
+                jnp.asarray(f.uv), jnp.asarray(f.desc), jnp.asarray(f.valid),
+                rig, max_intra=1024,
+            )
+            s2.process_frame(
+                ff, f.timestamp,
+                imu=(imu_ts[sel], gyro[sel], accel[sel]) if with_imu
+                else None,
+            )
+        return s2.stats
+
+    stats_imu = run(True)
+    stats_cv = run(False)
+    # IMU prediction holds fast tracking through the shake; constant
+    # velocity repeatedly loses it (falls back to global relocalization)
+    assert stats_imu["fast_tracked"] >= 10, stats_imu
+    assert stats_cv["fast_tracked"] <= stats_imu["fast_tracked"] - 4, (
+        stats_cv, stats_imu,
+    )
