@@ -133,16 +133,34 @@ def main(argv=None):
 
     n = 0
     t_start = time.time()
+    # Software pipelining: frame N+1's build program is enqueued (JAX
+    # dispatch is asynchronous) BEFORE frame N's tracking is processed, so
+    # the device is never idle during the host-side tracking decisions /
+    # result fetch of frame N. The build has no dependency on SLAM state,
+    # so reordering is sound. (The reference overlaps the same stages with
+    # its per-camera extraction threads, FrontEnd.cpp extractFeaturesParallel.)
+    pending = None  # (ff, ts, imgs) of the not-yet-processed frame
     while True:
-        nxt = reader.get_next()
-        if nxt is None or (args.max_frames and n >= args.max_frames):
-            break
-        imgs, ts = nxt
-        ff = build_frame(jnp.asarray(imgs), rig, **extract_cfg)
-        imu_slice = imu_stream.until(ts) if imu_stream else None
-        gps_slice = gps_stream.until(ts) if gps_stream else None
-        info = slam.process_frame(ff, ts, imu=imu_slice, gps=gps_slice) \
-            if (imu_slice or gps_slice) else slam.process_frame(ff, ts)
+        n_queued = n + (1 if pending is not None else 0)
+        nxt = None if (args.max_frames and n_queued >= args.max_frames) \
+            else reader.get_next()
+        if nxt is not None:
+            imgs, ts = nxt
+            ff = build_frame(jnp.asarray(imgs), rig, **extract_cfg)
+        else:
+            imgs = ff = ts = None
+        if pending is None:
+            if ff is None:
+                break
+            pending = (ff, ts, imgs)
+            continue
+        p_ff, p_ts, p_imgs = pending
+        pending = (ff, ts, imgs) if ff is not None else None
+        imu_slice = imu_stream.until(p_ts) if imu_stream else None
+        gps_slice = gps_stream.until(p_ts) if gps_stream else None
+        info = slam.process_frame(p_ff, p_ts, imu=imu_slice, gps=gps_slice) \
+            if (imu_slice or gps_slice) else slam.process_frame(p_ff, p_ts)
+        imgs = p_imgs
         if depth_dir is not None and info.get("keyframe") and rig.num_cams >= 2:
             from mcslam_tpu.ops.stereo import depth_from_rig_pair
 

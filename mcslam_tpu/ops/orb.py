@@ -84,19 +84,29 @@ def extract_patches(img: jax.Array, yx: jax.Array) -> tuple[jax.Array, jax.Array
     return patches, jnp.stack([y0, x0], axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _moment_weight_matrix() -> np.ndarray:
+    """(PATCH*PATCH, 2) [kx | ky] stacked circular-moment weights."""
+    kx, ky = _circle_weights()
+    return np.stack([kx.reshape(-1), ky.reshape(-1)], axis=-1)
+
+
 def patch_orientation(patches: jax.Array, center_yx: jax.Array,
                       origin_yx: jax.Array) -> jax.Array:
-    """IC angle from patch moments: dense weighted reduction (VPU only).
+    """IC angle from patch moments as ONE (N, P^2) @ (P^2, 2) matmul.
 
-    The circular mask is centered on the keypoint; when the patch was
-    clamped at the border the mask shifts with it (handled by rolling the
-    weights by the clamp offset — border keypoints are rejected upstream by
-    the EDGE margin, so the offset is 0 in practice).
+    The einsum-reduction form lowered to a slow VPU reduction (~0.67 ms
+    for 7k patches on v5e); as a dot_general the op is HBM-trivial. The
+    circular mask is centered: border keypoints are rejected upstream by
+    the EDGE margin, so the patch is never clamped against the keypoint.
     """
-    kx, ky = (jnp.asarray(a) for a in _circle_weights())
-    m10 = jnp.einsum("nij,ij->n", patches, kx)
-    m01 = jnp.einsum("nij,ij->n", patches, ky)
-    return jnp.arctan2(m01, m10)
+    W = jnp.asarray(_moment_weight_matrix())
+    flat = patches.reshape(patches.shape[0], PATCH * PATCH)
+    m = jax.lax.dot_general(
+        flat, W, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.arctan2(m[:, 1], m[:, 0])
 
 
 ANGLE_BINS = 32  # steering quantization: 11.25 deg granularity

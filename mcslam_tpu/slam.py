@@ -97,8 +97,10 @@ class SlamConfig:
     # failure handling
     max_track_failures: int = 2  # reference num_trials_to_track
     # async backend: defer BA write-back to the next keyframe (hides the
-    # whole solve latency behind tracking; slightly stale corrections)
-    async_ba: bool = False
+    # whole solve latency behind tracking; slightly stale corrections).
+    # Default ON — the reference backend runs in its own thread too
+    # (Backend.cpp globalOptimization thread); finalize() flushes.
+    async_ba: bool = True
     # inertial
     imu_init_samples: int = 200  # reference collects >= 200 before alignment
     # GPS position measurement sigma [m] (reference reads it from the

@@ -193,11 +193,55 @@ def main():
         report(name, timeit(lambda i: df(patches0 + i % 2, center0,
                                          ang0).sum()))
 
+    # ---------- extract / triangulate / undistort isolation ----------
+    if want("extract"):
+        exf = jax.jit(
+            lambda im: orb.extract_orb_rig(
+                im, num_points=NPTS, num_levels=NLVL,
+            ).desc
+        )
+        report("extract_full", timeit(lambda i: exf(imgs[i % 2]).sum()))
+
     # ---------- composite stages ----------
-    def stage_a(im, approx=False, bins=32):
+    def stage_a(im, approx=False, bins=32, npts=None):
         return frame_mod.build_frame(
-            im, rig, num_points=NPTS, num_levels=NLVL, max_intra=MAXI,
-            approx_topk=approx, angle_bins=bins,
+            im, rig, num_points=npts or NPTS, num_levels=NLVL,
+            max_intra=MAXI, approx_topk=approx, angle_bins=bins,
+        )
+
+    if want("tri") or want("undist"):
+        ffx = stage_a(imgs[0])
+        kp_xy = ffx.kp_xy
+        kp_valid = ffx.kp_valid
+        kp_sig2 = ffx.kp_sigma2
+        xy_ud0 = ffx.kp_xy_ud
+        groups0 = intra_ops.intra_match(
+            desc=ffx.kp_desc, xy_ud=xy_ud0, valid=kp_valid,
+            response=ffx.kp_response, rig=rig, max_out=MAXI,
+        )
+        jax.block_until_ready(groups0.desc)
+        if want("undist"):
+            uf = jax.jit(
+                lambda xy, v: frame_mod.undistort_keypoints(xy, v, rig)
+            )
+            report("undistort", timeit(lambda i: uf(kp_xy + i % 2,
+                                                    kp_valid).sum()))
+        if want("tri"):
+            tf = jax.jit(
+                lambda g, xy, s: frame_mod._triangulate_stage.__wrapped__(
+                    g, xy, s, rig, 0.5, 40.0
+                )[0]
+            )
+            report(
+                "triangulate",
+                timeit(lambda i: tf(groups0, xy_ud0 + i % 2, kp_sig2).sum()),
+            )
+
+    if want("a_768b16"):
+        report(
+            "A_768+bins16",
+            timeit(lambda i: stage_a(imgs[i % 2], False, 16,
+                                     768).im_desc.sum()),
         )
 
     ff0 = stage_a(imgs[0])
