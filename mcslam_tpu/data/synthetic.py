@@ -436,3 +436,254 @@ def circle_velocity(t, radius=4.0, omega=0.3, stationary_s=0.0, ramp_s=0.0):
     """Closed-form world velocity of analytic_circle_imu at time t."""
     th, dth, _ = _circle_profile(t, omega, stationary_s, max(ramp_s, 1e-9))
     return radius * dth * np.array([np.cos(th), 0.0, np.sin(th)])
+
+
+# --------------------------------------------------------------------------
+# Hard-mode image rendering: a continuous procedurally-textured world
+# (ray-cast cylinder room) + photometric corruption. The blob renderer above
+# gives every landmark a clean isolated signature — easy mode for the
+# descriptor pipeline. Real scenes are continuous texture under photometric
+# nastiness (exposure change, motion blur, sensor noise); the reference's
+# accuracy claims are on such data (EuRoC / custom rigs, README.md:241).
+# These renderers exist to stress the SAME failure modes synthetically.
+# --------------------------------------------------------------------------
+
+
+def _upsample_bilinear_wrap(g: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Bilinear upsample (gh, gw) -> (H, W); wraps horizontally (azimuth
+    axis of a cylinder texture), clamps vertically."""
+    gh, gw = g.shape
+    y = np.linspace(0.0, gh - 1.0, H)
+    x = np.arange(W) * (gw / float(W))
+    y0 = np.floor(y).astype(np.int64)
+    y1 = np.minimum(y0 + 1, gh - 1)
+    fy = (y - y0).astype(np.float32)[:, None]
+    x0 = np.floor(x).astype(np.int64) % gw
+    x1 = (x0 + 1) % gw
+    fx = (x - np.floor(x)).astype(np.float32)[None, :]
+    top = g[y0][:, x0] * (1 - fx) + g[y0][:, x1] * fx
+    bot = g[y1][:, x0] * (1 - fx) + g[y1][:, x1] * fx
+    return (top * (1 - fy) + bot * fy).astype(np.float32)
+
+
+def make_procedural_texture(
+    height: int = 512,
+    width: int = 4096,
+    octaves: int = 6,
+    persistence: float = 0.55,
+    num_posters: int = 60,
+    seed: int = 11,
+) -> np.ndarray:
+    """Multi-octave value-noise texture with high-contrast 'posters'.
+
+    Pure value noise is statistically self-similar everywhere — weakly
+    discriminative for place recognition. Real corridors have distinctive
+    objects; `num_posters` random high-contrast patches play that role and
+    give BoW retrieval something location-specific to index.
+    """
+    rng = np.random.RandomState(seed)
+    tex = np.zeros((height, width), np.float32)
+    amp, norm = 1.0, 0.0
+    for o in range(octaves):
+        gh = max(2, height >> (octaves - 1 - o))
+        gw = max(4, width >> (octaves - 1 - o))
+        tex += amp * _upsample_bilinear_wrap(
+            rng.rand(gh, gw).astype(np.float32), height, width
+        )
+        norm += amp
+        amp *= persistence
+    tex /= norm
+    # normalize to full [0.1, 0.9] contrast
+    tex = 0.1 + 0.8 * (tex - tex.min()) / max(float(np.ptp(tex)), 1e-6)
+    for _ in range(num_posters):
+        ph = rng.randint(height // 8, height // 3)
+        pw = rng.randint(width // 64, width // 24)
+        py = rng.randint(0, height - ph)
+        px = rng.randint(0, width - pw)
+        kind = rng.randint(3)
+        if kind == 0:  # checkerboard
+            cell = rng.randint(4, 12)
+            yy, xx = np.mgrid[:ph, :pw]
+            patch = (((yy // cell) + (xx // cell)) % 2).astype(np.float32)
+            patch = 0.15 + 0.7 * patch
+        elif kind == 1:  # high-contrast binary noise
+            patch = (rng.rand(ph, pw) > 0.5).astype(np.float32)
+            patch = 0.1 + 0.8 * patch
+        else:  # gradient ramp (horizontal or vertical)
+            if rng.rand() > 0.5:
+                patch = np.tile(
+                    np.linspace(0.1, 0.9, pw, dtype=np.float32), (ph, 1)
+                )
+            else:
+                patch = np.tile(
+                    np.linspace(0.1, 0.9, ph, dtype=np.float32)[:, None],
+                    (1, pw),
+                )
+        e = min(px + pw, width)
+        tex[py:py + ph, px:e] = patch[:, : e - px]
+    return tex
+
+
+def render_textured_world(
+    rig,
+    poses: np.ndarray,
+    radius: float = 10.0,
+    y_floor: float = -2.5,
+    y_ceil: float = 2.5,
+    tex: np.ndarray | None = None,
+    floor_tex: np.ndarray | None = None,
+    seed: int = 11,
+    return_depth: bool = False,
+):
+    """Ray-cast a textured cylindrical room: every pixel gets a texture
+    sample from the wall (azimuth x height), floor, or ceiling — continuous
+    image structure with exact per-pixel ground-truth depth.
+
+    The camera rig moves inside a cylinder of `radius` about the world
+    y-axis. Pinhole rigs only (rays from the inverse intrinsics); wall
+    texture wraps azimuthally so a closed loop revisits identical texture.
+
+    Returns (F, C, H, W) float32 images in [0, 1]; with `return_depth`,
+    also (F, C, H, W) float32 camera-z depth maps (exact — usable as
+    ground truth for dense-stereo EPE tests).
+    """
+    assert rig.dist_model == cam_ops.DIST_NONE, (
+        "textured ray-cast renderer supports pinhole rigs only"
+    )
+    if tex is None:
+        tex = make_procedural_texture(seed=seed)
+    if floor_tex is None:
+        floor_tex = make_procedural_texture(
+            height=1024, width=1024, num_posters=12, seed=seed + 1
+        )
+    th, tw = tex.shape
+    fh, fw = floor_tex.shape
+    C = rig.num_cams
+    w, h = rig.image_size
+    fxycxy = np.asarray(rig.fxycxy)
+    cam_T_ref = np.asarray(rig.cam_T_ref)
+    F = len(poses)
+    out = np.zeros((F, C, h, w), np.float32)
+    depth = np.zeros((F, C, h, w), np.float32) if return_depth else None
+
+    # pixel-center ray directions in camera frame, one grid per camera
+    vv, uu = np.mgrid[:h, :w]
+    for c in range(C):
+        fx, fy, cx, cy = fxycxy[c]
+        d_cam = np.stack(
+            [(uu - cx) / fx, (vv - cy) / fy, np.ones_like(uu, np.float64)],
+            axis=-1,
+        )  # (h, w, 3); t along this ray == camera z-depth
+        for k in range(F):
+            cTw = cam_T_ref[c] @ np.linalg.inv(poses[k])
+            wTc = np.linalg.inv(cTw)
+            o = wTc[:3, 3]
+            d = d_cam @ wTc[:3, :3].T  # (h, w, 3) world-frame directions
+            dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+            # wall: |o_xz + t d_xz| = radius (origin inside -> one + root)
+            a = dx * dx + dz * dz
+            b = 2.0 * (o[0] * dx + o[2] * dz)
+            cq = o[0] * o[0] + o[2] * o[2] - radius * radius
+            disc = np.maximum(b * b - 4.0 * a * cq, 0.0)
+            t_wall = (-b + np.sqrt(disc)) / np.maximum(2.0 * a, 1e-12)
+            y_hit = o[1] + t_wall * dy
+            # plane hits (only meaningful when the wall hit leaves the span)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t_floor = (y_floor - o[1]) / dy
+                t_ceil = (y_ceil - o[1]) / dy
+            use_floor = y_hit < y_floor
+            use_ceil = y_hit > y_ceil
+            t = np.where(use_floor, t_floor,
+                         np.where(use_ceil, t_ceil, t_wall))
+            t = np.maximum(t, 1e-3)
+            p = o[None, None, :] + t[..., None] * d
+            img = np.empty((h, w), np.float32)
+            # wall sample: u = azimuth (wrap), v = height span
+            az = np.arctan2(p[..., 0], -p[..., 2])  # [-pi, pi)
+            tu = (az / (2.0 * np.pi) + 0.5) * tw
+            tv = (p[..., 1] - y_floor) / (y_ceil - y_floor) * (th - 1)
+            wall_val = _sample_bilinear_wrap(tex, tv, tu)
+            # floor/ceiling sample: tiled world x,z
+            fu = (p[..., 0] % 8.0) / 8.0 * (fw - 1)
+            fv = (p[..., 2] % 8.0) / 8.0 * (fh - 1)
+            plane_val = _sample_bilinear_clamp(floor_tex, fv, fu)
+            img = np.where(use_floor | use_ceil, plane_val, wall_val)
+            out[k, c] = img
+            if return_depth:
+                depth[k, c] = t.astype(np.float32)
+    if return_depth:
+        return out, depth
+    return out
+
+
+def _sample_bilinear_wrap(tex, v, u):
+    """Bilinear sample; u wraps, v clamps. v/u in texel units."""
+    th, tw = tex.shape
+    v = np.clip(v, 0.0, th - 1.0)
+    v0 = np.floor(v).astype(np.int64)
+    v1 = np.minimum(v0 + 1, th - 1)
+    fv = (v - v0).astype(np.float32)
+    u0 = np.floor(u).astype(np.int64) % tw
+    u1 = (u0 + 1) % tw
+    fu = (u - np.floor(u)).astype(np.float32)
+    top = tex[v0, u0] * (1 - fu) + tex[v0, u1] * fu
+    bot = tex[v1, u0] * (1 - fu) + tex[v1, u1] * fu
+    return top * (1 - fv) + bot * fv
+
+
+def _sample_bilinear_clamp(tex, v, u):
+    th, tw = tex.shape
+    v = np.clip(v, 0.0, th - 1.0)
+    u = np.clip(u, 0.0, tw - 1.0)
+    v0 = np.floor(v).astype(np.int64)
+    v1 = np.minimum(v0 + 1, th - 1)
+    u0 = np.floor(u).astype(np.int64)
+    u1 = np.minimum(u0 + 1, tw - 1)
+    fv = (v - v0).astype(np.float32)
+    fu = (u - u0).astype(np.float32)
+    top = tex[v0, u0] * (1 - fu) + tex[v0, u1] * fu
+    bot = tex[v1, u0] * (1 - fu) + tex[v1, u1] * fu
+    return top * (1 - fv) + bot * fv
+
+
+def apply_photometric(
+    imgs: np.ndarray,
+    seed: int = 0,
+    exposure_flicker: float = 0.2,
+    pixel_noise: float = 0.02,
+    motion_blur_px: int = 0,
+    vignette: float = 0.0,
+) -> np.ndarray:
+    """Photometric corruption matching real capture pathologies:
+
+    - `exposure_flicker`: per-frame multiplicative gain 2**N(0, sigma)
+      (auto-exposure hunting / lighting change). All cameras of a frame
+      share the gain (global shutter rig with common AE).
+    - `motion_blur_px`: horizontal box blur of this full width (yawing
+      camera — the dominant blur direction on a turning rig).
+    - `pixel_noise`: additive Gaussian sensor noise, per pixel.
+    - `vignette`: radial falloff strength (0 disables).
+
+    Returns a new array, clipped to [0, 1].
+    """
+    rng = np.random.RandomState(seed)
+    F, C, H, W = imgs.shape
+    out = imgs.astype(np.float32).copy()
+    gains = np.exp2(rng.randn(F) * exposure_flicker)
+    if vignette > 0.0:
+        yy, xx = np.mgrid[:H, :W]
+        r2 = (((xx - W / 2.0) / (W / 2.0)) ** 2
+              + ((yy - H / 2.0) / (H / 2.0)) ** 2)
+        vig = (1.0 - vignette * r2 / 2.0).astype(np.float32)
+    for k in range(F):
+        im = out[k] * gains[k]
+        if motion_blur_px and motion_blur_px > 1:
+            L = int(motion_blur_px)
+            pad = np.pad(im, ((0, 0), (0, 0), (L, 0)), mode="edge")
+            cs = np.cumsum(pad, axis=-1, dtype=np.float64)
+            im = ((cs[..., L:] - cs[..., :-L]) / L).astype(np.float32)
+        if vignette > 0.0:
+            im = im * vig[None]
+        im = im + rng.randn(C, H, W).astype(np.float32) * pixel_noise
+        out[k] = im
+    return np.clip(out, 0.0, 1.0)

@@ -26,6 +26,7 @@ class LoopClosingMixin:
         self._finish_pending_ba()
         self.stats["loops"] += 1
         self._ba_warm = False  # post-loop windows need the full LM budget
+        self._ba_sync_left = self.cfg.window_size  # young post-loop geometry
         if self.graph_log is not None:
             # 'k' relative pose (match_T_query) + 'm' re-observation records
             # (reference appendLogs loop records, FrontEnd.cpp:7523-7542)

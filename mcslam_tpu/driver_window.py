@@ -175,7 +175,17 @@ class WindowBAMixin:
         # reference runs its backend synchronously on the main thread —
         # nothing in the math requires that.
         self._pending_ba = (result, lm_ids, list(window))
-        if force_sync or not cfg.async_ba:
+        self._ba_dispatch_frame = self.stats["frames"]
+        # Young maps can't tolerate deferred corrections: right after
+        # (re)initialization or a loop closure the geometry tracking runs
+        # on is still rough, and landing the fix one keyframe late loses
+        # track (measured on the noisy mono loop session). Stay
+        # synchronous for the first window_size solves after any reset,
+        # then let async hide the solve latency.
+        sync_left = getattr(self, "_ba_sync_left", 0)
+        if sync_left > 0:
+            self._ba_sync_left = sync_left - 1
+        if force_sync or sync_left > 0 or not self._async_ba_active:
             self._finish_pending_ba()
 
     def _finish_pending_ba(self):
@@ -204,7 +214,7 @@ class WindowBAMixin:
             kf.world_T_ref = new_poses[wk]
         new_lms = np.asarray(result.landmarks)[: len(lm_ids)]
         self._map_update_positions(lm_ids, new_lms)
-        if self.cfg.async_ba:
+        if self._async_ba_active:
             # deferred landing: retro-correct every pose recorded since the
             # window's last keyframe by the correction it received
             delta = (new_poses[len(window) - 1] @ np.linalg.inv(old_last))
@@ -217,6 +227,16 @@ class WindowBAMixin:
             self.cur_pose = (delta @ self.cur_pose).astype(np.float32)
         else:
             self.cur_pose = window[-1].world_T_ref.copy()
+
+    @property
+    def _async_ba_active(self) -> bool:
+        """Async (deferred write-back) BA is a rig-only optimization:
+        monocular sessions run synchronously regardless of the flag. With
+        per-frame keyframes on noisy mono data, a one-solve-stale map
+        compounds scale drift until tracking collapses (measured on the
+        mono loop session); rig sessions anchor scale with metric
+        intra-depth and tolerate the lag (test_async_ba)."""
+        return self.cfg.async_ba and self.rig.num_cams >= 2
 
     def _discard_pending_ba(self):
         """Drop an in-flight BA (its linearization is invalidated, e.g. by a
@@ -312,16 +332,25 @@ class WindowBAMixin:
             # E_T_V unobserved: clamp it
             prior_H[K * ba_vio.D:, K * ba_vio.D:] = np.eye(6) * 1e8
         else:
-            # weak prior keeps E_T_V near its init; with a gravity-aligned
-            # world (IMU), ENU and VIO share the up axis, so E_T_V
-            # roll/pitch is structurally zero — pin it hard (a short
-            # near-linear GPS track cannot observe it, and letting it float
-            # lets GPS fight the vision factors; see _try_gps_init)
+            # E_T_V is a GLOBAL state: its information must ACCUMULATE
+            # across windows (the reference keeps it as one ISAM2 variable
+            # 't0' whose factors from the whole session stack up,
+            # Backend.cpp:2652-2663,3170). Re-issuing a weak fresh prior
+            # every window let each short near-linear GPS track re-estimate
+            # it and wander, dragging the poses with it. Carry the
+            # previous window's E_T_V marginal information forward.
             e0 = K * ba_vio.D
-            prior_H[e0:, e0:] = np.eye(6) * 1.0
+            carry = getattr(self, "_etv_prior_H", None)
+            if carry is not None:
+                prior_H[e0:, e0:] = carry
+            else:
+                prior_H[e0:, e0:] = np.eye(6) * 1.0
             if self.use_imu and self.imu_initialized:
-                prior_H[e0, e0] = 1e8  # roll
-                prior_H[e0 + 1, e0 + 1] = 1e8  # pitch
+                # gravity-aligned world: ENU and VIO share the up axis, so
+                # E_T_V roll/pitch is structurally zero — pin it hard
+                prior_H[e0, e0] = max(prior_H[e0, e0], 1e8)  # roll
+                prior_H[e0 + 1, e0 + 1] = max(prior_H[e0 + 1, e0 + 1],
+                                              1e8)  # pitch
 
         problem = ba_vio.VioProblem(
             poses=jnp.asarray(poses_body),
@@ -358,6 +387,19 @@ class WindowBAMixin:
         self.bias = new_biases[len(window) - 1]
         if gps_factors is not None:
             self.E_T_V = np.asarray(result.E_T_V)
+            # accumulate E_T_V information for the next window (see the
+            # prior assembly above): conditional block of the reduced
+            # Hessian with exponential forgetting (x0.5) and a cap. The
+            # forgetting matters: the initial Procrustes alignment is
+            # slightly biased, and carrying the full conditional
+            # information froze that bias in (GPS-fused ATE worse than
+            # VIO-only); half-life accumulation still prevents per-window
+            # wander but lets the alignment keep converging.
+            margH = np.asarray(result.marginal_H)
+            e0 = K * ba_vio.D
+            blk = margH[e0:, e0:]
+            blk = (blk + blk.T) * 0.5
+            self._etv_prior_H = np.clip(blk, -1e5, 1e5) * 0.5
         new_lms = np.asarray(result.landmarks)[: len(lm_ids)]
         self._map_update_positions(lm_ids, new_lms)
         self.cur_pose = window[-1].world_T_ref.copy()

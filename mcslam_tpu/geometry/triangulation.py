@@ -154,7 +154,14 @@ def _solve3_elem(A, b, damping=0.0):
     c01 = a12 * a20 - a10 * a22
     c02 = a10 * a21 - a11 * a20
     det = a00 * c00 + a01 * c01 + a02 * c02
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    # same guarded division as linalg3.solve3: clamp |det| at eps
+    # PRESERVING SIGN (a sign flip on a near-singular system sends the
+    # update the wrong way and the GN refine to garbage)
+    eps = 1e-20
+    safe = jnp.where(
+        jnp.abs(det) < eps, jnp.sign(det) * eps + (det == 0) * eps, det
+    )
+    inv_det = 1.0 / safe
     c10 = a02 * a21 - a01 * a22
     c11 = a00 * a22 - a02 * a20
     c12 = a01 * a20 - a00 * a21

@@ -101,6 +101,15 @@ class SlamConfig:
     # Default ON — the reference backend runs in its own thread too
     # (Backend.cpp globalOptimization thread); finalize() flushes.
     async_ba: bool = True
+    # Land a deferred solve this many frames after dispatch (rather than
+    # at the next keyframe): the solve overlaps the next frame's build and
+    # the fetch happens just before its tracking, so tracking always sees
+    # the corrected map. Measured on the image-level loop session (every
+    # frame a keyframe — the worst case for deferral): async ATE 0.138
+    # with next-keyframe landing vs 0.044 with land_frames=1, identical
+    # to fully-synchronous. Raise only if a window solve needs more
+    # device-side overlap than one frame build provides.
+    async_ba_land_frames: int = 1
     # inertial
     imu_init_samples: int = 200  # reference collects >= 200 before alignment
     # GPS position measurement sigma [m] (reference reads it from the
@@ -115,7 +124,8 @@ class SlamConfig:
 from mcslam_tpu.keyframe import Keyframe, _pack_kf  # noqa: F401,E402
 from mcslam_tpu.tracking_kernels import (  # noqa: F401,E402
     _local_map_step, _match_descriptors, _mutual_match,
-    _project_and_match_local, _track_step, _triangulate_pairs,
+    _project_and_match_local, _track_and_map_step, _track_step,
+    _triangulate_pairs,
     _triangulate_pairs_far,
 )
 from mcslam_tpu.driver_loop import LoopClosingMixin  # noqa: E402
@@ -150,6 +160,9 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         self._key = jax.random.PRNGKey(seed)
         self.stats = {"frames": 0, "keyframes": 0, "failures": 0, "loops": 0}
         self._ba_warm = False  # adaptive LM budget: cold until a solve lands
+        # sync-BA countdown: the first window_size solves after construction
+        # / reinit / loop closure land synchronously (young geometry)
+        self._ba_sync_left = self.cfg.window_size
         # map-reuse session state (enable_relocalization)
         self.relocalizer = None
         self.fast_tracker = None
@@ -565,6 +578,56 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         inl = v[16 + M :] > 0.5
         return new_pose, lm_match, inl
 
+    def _track_frame_fused(self, frame: FrameFeatures, kf: Keyframe):
+        """Inter-frame tracking + local-map tracking as ONE dispatch and
+        ONE host fetch (_track_and_map_step): through a tunneled TPU each
+        fetch costs a ~20 ms round trip, so the split two-step frame paid
+        a full extra RTT. Returns (ok, pose, (m_ok, m_idx), lm_of_match,
+        lm_match, inliers); when ok is False the local-map section is
+        ignored (its compute was speculative)."""
+        cfg = self.cfg
+        cand = self._local_map_candidates()
+        L = cfg.local_map_landmarks
+        n = len(cand)
+        cand_pad = np.zeros(L, np.int32)
+        cand_pad[:n] = cand
+        with self.timers.span("track.dispatch"):
+            packed = _track_and_map_step(
+                self._next_key(), frame.im_desc, frame.im_valid,
+                frame.im_uv_ref, frame.im_anchor_cam, frame.im_sigma2,
+                frame.im_point3d, frame.im_has_depth,
+                *kf.device_desc(),
+                kf.d_lm_id(), self.dmap.pos, self.dmap.valid,
+                self.dmap.desc, self.dmap.normal,
+                jnp.asarray(cand_pad), jnp.asarray(np.arange(L) < n),
+                self.rig.cam_T_ref, self.rig.fxycxy,
+                cfg.ransac_hyps, cfg.ransac_px, cfg.inter_max_dist,
+                cfg.inter_ratio, self.rig.image_size,
+                cfg.local_map_radius_px, cfg.local_map_max_dist,
+            )
+        with self.timers.span("track.fetch"):
+            v = np.asarray(packed)
+        M = frame.im_valid.shape[0]
+        pose = v[:16].reshape(4, 4)
+        n_inl, n_matches, n_lm, rr_ok = v[16:20]
+        m_ok = v[20 : 20 + M] > 0.5
+        m_idx = v[20 + M : 20 + 2 * M].astype(np.int32)
+        lm_of_match = v[20 + 2 * M : 20 + 3 * M].astype(np.int32)
+        off = 20 + 3 * M
+        lm_pose = v[off : off + 16].reshape(4, 4).astype(np.float32)
+        lm_match = v[off + 16 : off + 16 + M].astype(np.int32)
+        inliers = v[off + 16 + M :] > 0.5
+        ok = not (
+            int(n_matches) < cfg.min_inter_matches
+            or int(n_lm) < cfg.min_pose_inliers
+            or rr_ok < 0.5
+            or int(n_inl) < cfg.min_pose_inliers
+        )
+        if not ok:
+            return False, None, (m_ok, m_idx), lm_of_match, lm_match, inliers
+        return (True, lm_pose, (m_ok, m_idx), lm_of_match, lm_match,
+                inliers)
+
     def _need_keyframe(self, pose, n_tracked, n_tracked_prev) -> bool:
         kf = self._prev_kf()
         d = np.linalg.norm(pose[:3, 3] - kf.world_T_ref[:3, 3])
@@ -842,9 +905,29 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
             self._record_pose(timestamp)
             return info
 
+        # Land a matured deferred solve BEFORE tracking: by now the device
+        # has had >= async_ba_land_frames frames of overlap to finish it,
+        # so the fetch is cheap and tracking gets the corrected map now
+        # instead of at the next keyframe (staleness ~land_frames frames).
+        if (getattr(self, "_pending_ba", None) is not None
+                and self.stats["frames"] - getattr(self, "_ba_dispatch_frame", 0)
+                >= cfg.async_ba_land_frames):
+            self._finish_pending_ba()
+
         kf_prev = self._prev_kf()
         with self.timers.span("track"):
-            ok, pose, (m_ok, m_idx), lm_of_match = self._estimate_pose(frame, kf_prev)
+            ok, pose, (m_ok, m_idx), lm_of_match, lm_match, inliers = (
+                self._track_frame_fused(frame, kf_prev)
+            )
+        if not ok and getattr(self, "_pending_ba", None) is not None:
+            # async rescue: the deferred window corrections may be exactly
+            # what this frame needed (young/noisy geometry) — land them
+            # and retry once before declaring a failure
+            self._finish_pending_ba()
+            with self.timers.span("track"):
+                ok, pose, (m_ok, m_idx), lm_of_match, lm_match, inliers = (
+                    self._track_frame_fused(frame, kf_prev)
+                )
         if not ok:
             self.track_failures += 1
             self.stats["failures"] += 1
@@ -852,20 +935,32 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
                 self.state = REINITIALIZING
                 self.track_failures = 0
                 self._ba_warm = False
+                self._ba_sync_left = cfg.window_size
             self._record_pose(timestamp)
             info["state"] = self.state
             return info
         self.track_failures = 0
-
-        with self.timers.span("local_map"):
-            pose, lm_match, inliers = self._track_local_map(frame, pose)
         n_tracked = int(((lm_match >= 0) & inliers).sum())
+        prev_tracked = int((kf_prev.lm_id >= 0).sum())
+        if (n_tracked < cfg.kf_tracked_ratio * max(prev_tracked, 1)
+                and getattr(self, "_pending_ba", None) is not None):
+            # weak-track rescue: the same signal the keyframe policy uses —
+            # land the deferred corrections and re-track once; recovers
+            # most of async mode's accuracy cost at the price of one extra
+            # dispatch on weak frames only
+            self._finish_pending_ba()
+            with self.timers.span("track"):
+                ok2, pose2, mm2, lm_of2, lm_match2, inl2 = (
+                    self._track_frame_fused(frame, kf_prev)
+                )
+            if ok2:
+                pose, (m_ok, m_idx), lm_of_match = pose2, mm2, lm_of2
+                lm_match, inliers = lm_match2, inl2
+                n_tracked = int(((lm_match >= 0) & inliers).sum())
         info["tracked"] = n_tracked
 
         self.last_pose = self.cur_pose
         self.cur_pose = pose
-
-        prev_tracked = int((kf_prev.lm_id >= 0).sum())
         if self._need_keyframe(pose, n_tracked, prev_tracked):
             with self.timers.span("keyframe"):
                 self._insert_keyframe(

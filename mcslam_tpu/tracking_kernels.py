@@ -32,11 +32,7 @@ def _mutual_match(dist, valid_a, valid_b, max_dist: int, ratio: float):
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_hyp", "px", "max_dist", "ratio"),
-)
-def _track_step(
+def _track_core(
     key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
     cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos, map_valid,
     cam_T_ref_all, fxycxy_all, num_hyp: int, px: float, max_dist: int,
@@ -92,11 +88,27 @@ def _track_step(
         res.idx.astype(jnp.float32),
         lm.astype(jnp.float32),
     ])
-    return packed
+    return packed, ref.world_T_ref
 
 
-@functools.partial(jax.jit, static_argnames=("image_wh", "radius", "max_dist"))
-def _local_map_step(
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_hyp", "px", "max_dist", "ratio"),
+)
+def _track_step(
+    key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
+    cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos, map_valid,
+    cam_T_ref_all, fxycxy_all, num_hyp: int, px: float, max_dist: int,
+    ratio: float,
+):
+    return _track_core(
+        key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
+        cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos,
+        map_valid, cam_T_ref_all, fxycxy_all, num_hyp, px, max_dist, ratio,
+    )[0]
+
+
+def _localmap_core(
     T_wr, cand_ids, cand_valid, map_pos, map_desc, map_normal, im_desc,
     im_uv, im_anchor, im_valid, im_sigma2, cam_T_ref, fxycxy, image_wh,
     radius: float, max_dist: int,
@@ -127,6 +139,56 @@ def _local_map_step(
         lm_out.astype(jnp.float32),
         ref.inliers.astype(jnp.float32),
     ])
+
+
+@functools.partial(jax.jit, static_argnames=("image_wh", "radius", "max_dist"))
+def _local_map_step(
+    T_wr, cand_ids, cand_valid, map_pos, map_desc, map_normal, im_desc,
+    im_uv, im_anchor, im_valid, im_sigma2, cam_T_ref, fxycxy, image_wh,
+    radius: float, max_dist: int,
+):
+    return _localmap_core(
+        T_wr, cand_ids, cand_valid, map_pos, map_desc, map_normal, im_desc,
+        im_uv, im_anchor, im_valid, im_sigma2, cam_T_ref, fxycxy, image_wh,
+        radius, max_dist,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_hyp", "px", "max_dist", "ratio", "image_wh", "lm_radius",
+        "lm_max_dist",
+    ),
+)
+def _track_and_map_step(
+    key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
+    cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos, map_valid,
+    map_desc, map_normal, cand_ids, cand_valid,
+    cam_T_ref_all, fxycxy_all, num_hyp: int, px: float, max_dist: int,
+    ratio: float, image_wh=None, lm_radius: float = 15.0,
+    lm_max_dist: int = 64,
+):
+    """Inter-frame tracking + local-map tracking as ONE program with ONE
+    packed output: the tunneled relay charges a ~20 ms host round trip per
+    fetch, so the two-dispatch/two-fetch frame structure paid a full extra
+    RTT every frame. The local-map half consumes the tracking pose without
+    it ever visiting the host; the host applies its acceptance gates to
+    the combined buffer afterwards (a failed track simply ignores the
+    local-map section). Candidate landmark ids are pose-independent
+    (covisible set of recent keyframes), so they are known pre-dispatch.
+    """
+    track_packed, pose = _track_core(
+        key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
+        cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos,
+        map_valid, cam_T_ref_all, fxycxy_all, num_hyp, px, max_dist, ratio,
+    )
+    lm_packed = _localmap_core(
+        pose, cand_ids, cand_valid, map_pos, map_desc, map_normal,
+        cur_desc, cur_uv, cur_anchor, cur_valid, cur_sigma2,
+        cam_T_ref_all, fxycxy_all, image_wh, lm_radius, lm_max_dist,
+    )
+    return jnp.concatenate([track_packed, lm_packed])
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "max_dist"))
