@@ -120,13 +120,33 @@ class LoopCloser:
         lm_map: LandmarkMap for candidate landmark 3D.
         Adds the query to the database; returns LoopDetection.
         """
-        cfg = self.cfg
         bow = self.compute_bow(frame_desc, frame_valid)
+        detection = LoopDetection(detected=False, query_kf=query_kf.kf_id)
+        island_best = self.retrieve(bow)
+        if island_best is not None:
+            detection = self._verify(
+                query_kf, keyframes[island_best], lm_map
+            )
+        self.add_keyframe(query_kf.kf_id, bow)
+        return detection
+
+    def retrieve(self, bow: np.ndarray) -> Optional[int]:
+        """BoW retrieval stage only (no geometric verification): nss
+        normalization against the previous query, alpha-threshold
+        candidate scoring over the usable database, island grouping, and
+        temporal consistency. Returns the database INDEX of the best
+        island's best entry, or None when no candidate survives.
+
+        Mutates the temporal-consistency state (sequential queries form
+        the evidence chain), like the reference DLoopDetector. Split out
+        of detect() so retrieval precision/recall can be measured over a
+        large candidate database without geometric verification
+        (reference headline: >95% precision, README.md:241)."""
+        cfg = self.cfg
         prev_bow = self._last_bow
         self._last_bow = bow
 
         n_db = len(self.bows)
-        detection = LoopDetection(detected=False, query_kf=query_kf.kf_id)
         # expire stale consistency groups on EVERY keyframe (also ones with
         # no candidates — the reference expires groups not extended within
         # the window; a candidate-less frame must age groups, not skip them)
@@ -146,12 +166,8 @@ class LoopCloser:
                     if best is not None and self._temporally_consistent(
                         best, n_db
                     ):
-                        island_best = int(best[np.argmax(scores[best])])
-                        detection = self._verify(
-                            query_kf, keyframes[island_best], lm_map
-                        )
-        self.add_keyframe(query_kf.kf_id, bow)
-        return detection
+                        return int(best[np.argmax(scores[best])])
+        return None
 
     def _best_island(self, cand: np.ndarray, scores: np.ndarray):
         """Group candidate ids into islands of nearby ids; return the island

@@ -46,6 +46,15 @@ class SlamConfig:
     ransac_hyps: int = 512
     ransac_px: float = 5.0
     min_pose_inliers: int = 10  # reference FrontEnd.cpp:6132
+    # search-by-projection gate for inter-frame matching (reference
+    # SearchByProjection semantics): landmark-bearing features of the
+    # previous keyframe only match current features within this radius of
+    # the landmark's projection under the constant-velocity-predicted
+    # pose. 0 disables (global all-vs-all matching). On repetitive
+    # continuous texture the global match aliases and RANSAC starves
+    # (textured-world sessions fail without the gate); on distinctive
+    # scenes it is a no-op.
+    track_match_radius_px: float = 100.0
     # keyframe policy (reference FrontEnd.cpp:6169-6175, 6312-6316)
     kf_translation: float = 0.12
     kf_rotation: float = 0.12
@@ -522,6 +531,8 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
                 self.rig.cam_T_ref, self.rig.fxycxy,
                 cfg.ransac_hyps, cfg.ransac_px, cfg.inter_max_dist,
                 cfg.inter_ratio,
+                pred_T_wr=jnp.asarray(self._predict_pose()),
+                gate_px=cfg.track_match_radius_px,
             )
         # single synchronization point (one packed buffer = one round trip)
         with self.timers.span("track.fetch"):
@@ -578,6 +589,13 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         inl = v[16 + M :] > 0.5
         return new_pose, lm_match, inl
 
+    def _predict_pose(self) -> np.ndarray:
+        """Constant-velocity pose prediction for the search-by-projection
+        match gate (reference TrackWithMotionModel's velocity * last pose).
+        Right-multiplied local delta: T_pred = T_k (T_{k-1}^-1 T_k)."""
+        delta = np.linalg.inv(self.last_pose) @ self.cur_pose
+        return (self.cur_pose @ delta).astype(np.float32)
+
     def _track_frame_fused(self, frame: FrameFeatures, kf: Keyframe):
         """Inter-frame tracking + local-map tracking as ONE dispatch and
         ONE host fetch (_track_and_map_step): through a tunneled TPU each
@@ -601,9 +619,11 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
                 self.dmap.desc, self.dmap.normal,
                 jnp.asarray(cand_pad), jnp.asarray(np.arange(L) < n),
                 self.rig.cam_T_ref, self.rig.fxycxy,
+                jnp.asarray(self._predict_pose()),
                 cfg.ransac_hyps, cfg.ransac_px, cfg.inter_max_dist,
                 cfg.inter_ratio, self.rig.image_size,
                 cfg.local_map_radius_px, cfg.local_map_max_dist,
+                cfg.track_match_radius_px,
             )
         with self.timers.span("track.fetch"):
             v = np.asarray(packed)

@@ -35,16 +35,50 @@ def _mutual_match(dist, valid_a, valid_b, max_dist: int, ratio: float):
 def _track_core(
     key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
     cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos, map_valid,
-    cam_T_ref_all, fxycxy_all, num_hyp: int, px: float, max_dist: int,
-    ratio: float,
+    cam_T_ref_all, fxycxy_all, pred_T_wr, num_hyp: int, px: float,
+    max_dist: int, ratio: float, gate_px: float = 0.0,
 ):
     """Whole inter-frame tracking step on device: match -> landmark lookup
     (device map mirror) -> robust pose (3D-3D or 2D-3D picked by lax.cond)
-    -> motion-only LM. One host fetch for everything downstream."""
+    -> motion-only LM. One host fetch for everything downstream.
+
+    gate_px > 0 enables search-by-projection matching (reference
+    FrontEnd tracking via ORB-SLAM SearchByProjection semantics): prev
+    features carrying a landmark only match current features within
+    gate_px pixels of the landmark's projection under the predicted pose
+    `pred_T_wr`. On repetitive/continuous texture the global
+    all-vs-all match aliases badly (measured: textured-cylinder world,
+    40+ landmark matches but 0-4 RANSAC inliers); the projection gate
+    restores the inlier fraction. Landmark-less prev features stay
+    ungated — they only seed NEW landmark triangulation, where the
+    Sampson gate downstream does the filtering."""
+    pair_mask = None
+    if gate_px > 0.0:
+        safe_prev = jnp.maximum(prev_lm_id, 0)
+        prev_has = (prev_lm_id >= 0) & map_valid[safe_prev]
+        Xp = map_pos[safe_prev]  # (Mp, 3)
+        cam_T_w = jnp.einsum(
+            "cij,jk->cik", cam_T_ref_all, lie.se3_inverse(pred_T_wr)
+        )
+        pc = (
+            jnp.einsum("cij,mj->cmi", cam_T_w[:, :3, :3], Xp)
+            + cam_T_w[:, None, :3, 3]
+        )  # (C, Mp, 3)
+        z = pc[..., 2]
+        uvp = (
+            pc[..., :2] / jnp.maximum(z[..., None], 1e-6)
+            * fxycxy_all[:, None, :2] + fxycxy_all[:, None, 2:]
+        )  # (C, Mp, 2)
+        proj = uvp[cur_anchor]  # (Mc, Mp, 2) — each row's anchor camera
+        d2 = jnp.sum((cur_uv[:, None, :] - proj) ** 2, axis=-1)
+        in_front = z[cur_anchor] > 0.05
+        pair_mask = jnp.where(
+            prev_has[None, :], (d2 < gate_px * gate_px) & in_front, True
+        )
     d = hamming.hamming_matrix(cur_desc, prev_desc)
     res = match_ops.match_mutual(
         d, row_mask=cur_valid, col_mask=prev_valid, max_dist=max_dist,
-        ratio=ratio,
+        ratio=ratio, pair_mask=pair_mask,
     )
     lm = jnp.where(res.ok, prev_lm_id[res.idx], -1)
     safe = jnp.maximum(lm, 0)
@@ -54,25 +88,40 @@ def _track_core(
     cTr = cam_T_ref_all[cur_anchor]
     f = fxycxy_all[cur_anchor]
     mask3d = with_lm & cur_has_depth
-    use3d = jnp.sum(mask3d) >= 20
-
-    def kab(_):
-        return ransac.ransac_kabsch(
-            key, cur_p3d, X_world, cur_uv, cTr, f, mask3d,
-            num_hyp=num_hyp, px_thresh=px,
-        )
-
-    def pnp(_):
-        return ransac.ransac_pnp(
-            key, X_world, cur_uv, cTr, f, with_lm,
-            num_hyp=max(num_hyp // 2, 64), px_thresh=px,
-        )
-
-    rr = jax.lax.cond(use3d, kab, pnp, None)
-    ref = pose_opt.optimize_pose(
-        rr.world_T_ref, X_world, cur_uv, cTr, f, with_lm & rr.inliers,
-        sigma2=cur_sigma2,
+    # Candidate-portfolio pose estimation (LO-RANSAC shape). Minimal
+    # solvers are individually fragile here: 3D-3D Kabsch triples amplify
+    # the current frame's intra-depth noise (z^2/(f*b) — meters at room
+    # scale on weak corners), and 6-point DLT-PnP degenerates when the
+    # visible landmarks are quasi-planar (a wall). So BOTH run with a
+    # LOOSE consensus threshold (hypotheses from noisy minimal samples
+    # are coarse even when the consensus is right), a third candidate
+    # starts from the motion-model prediction with NO sampling at all
+    # (reference TrackWithMotionModel: projection-gated matches straight
+    # into Huber motion-only LM), and every candidate is polished by the
+    # robust chi2-regated LM. Winner = most final inliers — one vmapped
+    # refine, no data-dependent control flow.
+    rr_kab = ransac.ransac_kabsch(
+        key, cur_p3d, X_world, cur_uv, cTr, f, mask3d,
+        num_hyp=num_hyp, px_thresh=px * 2.5,
     )
+    rr_pnp = ransac.ransac_pnp(
+        key, X_world, cur_uv, cTr, f, with_lm,
+        num_hyp=max(num_hyp // 2, 64), px_thresh=px * 2.5,
+    )
+    inits = jnp.stack(
+        [pred_T_wr, rr_kab.world_T_ref, rr_pnp.world_T_ref]
+    )
+    masks = jnp.stack(
+        [with_lm, with_lm & rr_kab.inliers, with_lm & rr_pnp.inliers]
+    )
+    refs = jax.vmap(
+        lambda T0, m: pose_opt.optimize_pose(
+            T0, X_world, cur_uv, cTr, f, m, sigma2=cur_sigma2
+        )
+    )(inits, masks)
+    best = jnp.argmax(refs.num_inliers)
+    ref = jax.tree.map(lambda x: x[best], refs)
+    rr_ok = ref.num_inliers >= 10
     # pack EVERYTHING into one f32 vector: the host<->device tunnel charges
     # a full round trip per fetched buffer, so one buffer = one RTT
     M = lm.shape[0]
@@ -82,7 +131,7 @@ def _track_core(
             ref.num_inliers.astype(jnp.float32),
             jnp.sum(res.ok).astype(jnp.float32),
             with_lm.sum().astype(jnp.float32),
-            rr.ok.astype(jnp.float32),
+            rr_ok.astype(jnp.float32),
         ]),
         res.ok.astype(jnp.float32),
         res.idx.astype(jnp.float32),
@@ -93,18 +142,22 @@ def _track_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_hyp", "px", "max_dist", "ratio"),
+    static_argnames=("num_hyp", "px", "max_dist", "ratio", "gate_px"),
 )
 def _track_step(
     key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
     cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos, map_valid,
     cam_T_ref_all, fxycxy_all, num_hyp: int, px: float, max_dist: int,
-    ratio: float,
+    ratio: float, pred_T_wr=None, gate_px: float = 0.0,
 ):
+    if pred_T_wr is None:
+        pred_T_wr = jnp.eye(4, dtype=jnp.float32)
+        gate_px = 0.0
     return _track_core(
         key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
         cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos,
-        map_valid, cam_T_ref_all, fxycxy_all, num_hyp, px, max_dist, ratio,
+        map_valid, cam_T_ref_all, fxycxy_all, pred_T_wr, num_hyp, px,
+        max_dist, ratio, gate_px,
     )[0]
 
 
@@ -158,16 +211,16 @@ def _local_map_step(
     jax.jit,
     static_argnames=(
         "num_hyp", "px", "max_dist", "ratio", "image_wh", "lm_radius",
-        "lm_max_dist",
+        "lm_max_dist", "gate_px",
     ),
 )
 def _track_and_map_step(
     key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
     cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos, map_valid,
     map_desc, map_normal, cand_ids, cand_valid,
-    cam_T_ref_all, fxycxy_all, num_hyp: int, px: float, max_dist: int,
-    ratio: float, image_wh=None, lm_radius: float = 15.0,
-    lm_max_dist: int = 64,
+    cam_T_ref_all, fxycxy_all, pred_T_wr, num_hyp: int, px: float,
+    max_dist: int, ratio: float, image_wh=None, lm_radius: float = 15.0,
+    lm_max_dist: int = 64, gate_px: float = 0.0,
 ):
     """Inter-frame tracking + local-map tracking as ONE program with ONE
     packed output: the tunneled relay charges a ~20 ms host round trip per
@@ -181,7 +234,8 @@ def _track_and_map_step(
     track_packed, pose = _track_core(
         key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
         cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos,
-        map_valid, cam_T_ref_all, fxycxy_all, num_hyp, px, max_dist, ratio,
+        map_valid, cam_T_ref_all, fxycxy_all, pred_T_wr, num_hyp, px,
+        max_dist, ratio, gate_px,
     )
     lm_packed = _localmap_core(
         pose, cand_ids, cand_valid, map_pos, map_desc, map_normal,
