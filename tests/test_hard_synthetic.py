@@ -1,0 +1,251 @@
+"""Hard-mode synthetic accuracy benchmarks (image level, no blobs).
+
+The blob-rendered e2e suites exercise the full pipeline on easy imagery
+(isolated high-contrast discs). This module stresses the descriptor
+pipeline the way real scenes do, per the reference's evaluation regime
+(EuRoC / real rigs, /root/reference/README.md:241):
+
+* continuous procedural texture (ray-cast cylinder room) — repetitive
+  structure, no isolated features;
+* photometric corruption — exposure flicker, pixel noise, motion blur;
+* a measured loop-closure precision/recall over a >=100-entry candidate
+  database including queries from a DIFFERENT world (true negatives),
+  vs the reference's ">95% precision" headline.
+
+Scene scale: a 4 m-radius trajectory inside a 10 m-radius room; ATE
+bounds here are meters-scale sanity bars on hard imagery, not the cm
+bars of the blob suites.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mcslam_tpu.data import synthetic
+from mcslam_tpu.frontend import ransac
+from mcslam_tpu.frontend.frame import build_frame
+from mcslam_tpu.loop import vocab as vocab_mod
+from mcslam_tpu.loop.detector import LoopCloser, LoopConfig
+from mcslam_tpu.ops import hamming, match as match_ops, orb
+from mcslam_tpu.slam import INITIALIZED, MultiCameraSLAM, SlamConfig
+from mcslam_tpu.utils import metrics
+
+
+# ---------------------------------------------------------------------------
+# Multi-camera VO on textured imagery with photometric corruption
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def textured_session():
+    rig = synthetic.make_synthetic_rig(
+        synthetic.SyntheticRigSpec(
+            num_cams=3, baseline=0.2, image_size=(320, 240), focal=260.0
+        )
+    )
+    poses = synthetic.loop_trajectory(34, radius=4.0, revisit_frames=7, seed=0)
+    imgs = synthetic.render_textured_world(rig, poses, radius=10.0, seed=11)
+    imgs = synthetic.apply_photometric(
+        imgs, seed=5, exposure_flicker=0.25, pixel_noise=0.02, motion_blur_px=3
+    )
+    ffs = [
+        build_frame(
+            jnp.asarray(imgs[k]), rig, num_points=512, num_levels=3,
+            max_intra=768,
+        )
+        for k in range(len(imgs))
+    ]
+    return rig, poses, ffs
+
+
+def test_textured_vo_tracks_and_bounds_ate(textured_session):
+    """Tracking must survive continuous texture + photometric corruption.
+
+    This scene breaks the round-2 tracker outright (8 tracking failures,
+    ATE 2.3 m): repetitive texture aliases the global descriptor match
+    and quasi-planar walls degenerate the minimal solvers. The
+    search-by-projection gate + pose-candidate portfolio hold it to a
+    couple of failures and meter-level drift without loop closure.
+    """
+    rig, poses, ffs = textured_session
+    train_desc = np.concatenate(
+        [
+            np.asarray(f.kp_desc).reshape(-1, 8)[
+                np.asarray(f.kp_valid).reshape(-1)
+            ]
+            for f in ffs[:6]
+        ]
+    )
+    vocab = vocab_mod.Vocabulary.train(train_desc, k=6, depth=3, iters=4)
+    slam = MultiCameraSLAM(
+        rig,
+        SlamConfig(
+            window_size=4, ba_obs_capacity=8192, ba_lm_capacity=1024,
+            local_map_landmarks=1024, kf_translation=0.25, kf_rotation=0.15,
+            min_inter_matches=40,
+        ),
+        vocab=vocab,
+        loop_config=LoopConfig(
+            dislocal=8, k_consistency=1, min_nss=0.01, alpha=0.1,
+            min_matches=12, min_inliers=10,
+        ),
+    )
+    for k, ff in enumerate(ffs):
+        slam.process_frame(ff, k / 20.0)
+
+    ts, est = slam.trajectory_arrays()
+    ate = metrics.ate_rmse(est, poses)
+    assert slam.state == INITIALIZED
+    assert slam.stats["failures"] <= 3
+    assert slam.stats["keyframes"] >= 20
+    # measured 0.82 m (2026-08); generous headroom against RNG drift
+    assert ate < 1.5, f"ATE {ate:.3f} m on textured+photometric scene"
+
+
+# ---------------------------------------------------------------------------
+# Loop-closure retrieval + verification precision/recall (>=100 candidates)
+# ---------------------------------------------------------------------------
+
+_W, _H, _F = 256, 192, 210.0
+_N_DB, _N_Q, _N_NEG = 104, 30, 20
+
+
+@pytest.fixture(scope="module")
+def retrieval_corpus():
+    """A 104-entry BoW database, 30 revisit queries of the same world
+    under harsher photometric conditions, and 20 queries rendered from a
+    DIFFERENT texture world (true negatives)."""
+    rig = synthetic.make_synthetic_rig(
+        synthetic.SyntheticRigSpec(num_cams=1, image_size=(_W, _H), focal=_F)
+    )
+    poses = synthetic.loop_trajectory(
+        _N_DB + _N_Q, radius=4.0, revisit_frames=_N_Q, seed=0
+    )
+    tex = synthetic.make_procedural_texture(seed=11)
+    imgs = synthetic.render_textured_world(
+        rig, poses, radius=10.0, tex=tex, seed=11
+    )
+    tex_neg = synthetic.make_procedural_texture(seed=77)
+    imgs_neg = synthetic.render_textured_world(
+        rig, poses[:_N_NEG], radius=10.0, tex=tex_neg, seed=77
+    )
+    imgs_db = synthetic.apply_photometric(
+        imgs[:_N_DB], seed=1, exposure_flicker=0.15, pixel_noise=0.015
+    )
+    imgs_q = synthetic.apply_photometric(
+        imgs[_N_DB:], seed=2, exposure_flicker=0.3, pixel_noise=0.025,
+        motion_blur_px=3,
+    )
+    imgs_neg = synthetic.apply_photometric(
+        imgs_neg, seed=3, exposure_flicker=0.3, pixel_noise=0.025,
+        motion_blur_px=3,
+    )
+
+    allimgs = np.concatenate([imgs_db, imgs_q, imgs_neg])[:, 0]
+    B = 8  # extraction batch (one compiled shape)
+    descs, valids, xys = [], [], []
+    for i in range(0, len(allimgs), B):
+        batch = allimgs[i : i + B]
+        pad = B - len(batch)
+        if pad:
+            batch = np.concatenate(
+                [batch, np.zeros((pad, _H, _W), np.float32)]
+            )
+        kp = orb.extract_orb_rig(jnp.asarray(batch), num_points=384,
+                                 num_levels=3)
+        descs.append(np.asarray(kp.desc))
+        valids.append(np.asarray(kp.valid))
+        xys.append(np.asarray(kp.xy))
+    descs = np.concatenate(descs)[: len(allimgs)]
+    valids = np.concatenate(valids)[: len(allimgs)]
+    xys = np.concatenate(xys)[: len(allimgs)]
+
+    train = np.concatenate([descs[i][valids[i]] for i in range(0, _N_DB, 4)])
+    vocab = vocab_mod.Vocabulary.train(train, k=6, depth=3, iters=4)
+    bows = np.stack(
+        [
+            np.asarray(
+                vocab.transform(jnp.asarray(descs[i]), jnp.asarray(valids[i]))
+            )
+            for i in range(len(allimgs))
+        ]
+    )
+    return rig, poses, vocab, bows, descs, valids, xys
+
+
+@jax.jit
+def _verify_pair(key, d_q, v_q, xy_q, d_o, v_o, xy_o):
+    """Geometric verification of a retrieval candidate: mutual Hamming
+    match + central essential RANSAC (the mono analogue of the loop
+    verifier's pose check; reference LoopCloser.cpp:353-446)."""
+    dm = hamming.hamming_matrix(d_q, d_o)
+    res = match_ops.match_mutual(
+        dm, row_mask=v_q, col_mask=v_o, max_dist=64, ratio=0.85
+    )
+    c = jnp.array([_W / 2, _H / 2])
+    xn_q = (xy_q - c) / _F
+    xn_o = (xy_o[res.idx] - c) / _F
+    er = ransac.ransac_essential(
+        key, xn_q, xn_o, res.ok, num_hyp=256, thresh_n=2.0 / _F,
+        min_inliers=25,
+    )
+    return jnp.sum(res.ok), er.num_inliers
+
+
+def test_loop_retrieval_precision_recall(retrieval_corpus):
+    """Measured precision/recall of retrieve+verify over >=100 database
+    entries, including 20 different-world negative queries.
+
+    BoW retrieval alone fires on most negatives (procedural worlds share
+    texture statistics — this is WHY the reference geometric check
+    exists); verification must reject them. Reference headline: >95%
+    precision (/root/reference/README.md:241). Measured here (2026-08):
+    precision 1.00, recall 0.77 at min_matches=20/min_inliers=25.
+    """
+    rig, poses, vocab, bows, descs, valids, xys = retrieval_corpus
+    key = jax.random.PRNGKey(0)
+    min_matches, min_inl = 20, 25
+
+    def verified(qi, ri):
+        nm, ni = _verify_pair(
+            key,
+            jnp.asarray(descs[qi]), jnp.asarray(valids[qi]),
+            jnp.asarray(xys[qi]),
+            jnp.asarray(descs[ri]), jnp.asarray(valids[ri]),
+            jnp.asarray(xys[ri]),
+        )
+        return int(nm) >= min_matches and int(ni) >= min_inl
+
+    cfg = LoopConfig(dislocal=0, min_nss=0.01, alpha=0.3, k_consistency=2)
+    lc = LoopCloser(vocab, rig, cfg)
+    for i in range(_N_DB):
+        lc.add_keyframe(i, bows[i])
+    assert len(lc.bows) >= 100
+
+    fires = 0
+    correct = 0
+    for q in range(_N_Q):
+        r = lc.retrieve(bows[_N_DB + q])
+        if r is not None and verified(_N_DB + q, r):
+            fires += 1
+            d = np.linalg.norm(poses[r][:3, 3] - poses[_N_DB + q][:3, 3])
+            if d < 1.0:
+                correct += 1
+
+    # negative queries run against the same database with fresh temporal
+    # state (a separate session revisiting a different world)
+    lc_neg = LoopCloser(vocab, rig, cfg)
+    lc_neg.bows, lc_neg.kf_ids = lc.bows[:_N_DB], lc.kf_ids[:_N_DB]
+    false_fires = 0
+    for q in range(_N_NEG):
+        r = lc_neg.retrieve(bows[_N_DB + _N_Q + q])
+        if r is not None and verified(_N_DB + _N_Q + q, r):
+            false_fires += 1
+
+    precision = correct / max(fires + false_fires, 1)
+    recall = correct / _N_Q
+    assert precision >= 0.95, f"precision {precision:.3f}"
+    assert recall >= 0.60, f"recall {recall:.3f}"
+    assert false_fires == 0, f"{false_fires} different-world false loops"
