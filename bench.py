@@ -34,8 +34,6 @@ def main():
     from mcslam_tpu.backend import ba
     from mcslam_tpu.data import synthetic
     from mcslam_tpu.frontend import frame as frame_mod
-    from mcslam_tpu.frontend import pose_opt, ransac
-    from mcslam_tpu.ops import hamming, match as match_ops
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -65,48 +63,57 @@ def main():
     ff1 = stage_a(imgs[1])
     jax.block_until_ready(ff1.im_desc)
 
-    # ---- stage B: inter matching + RANSAC + pose refine ----
-    # ONE fused jit: the tunnel's per-dispatch floor is ~1-2 ms, so three
-    # chained jits paid ~2.5 ms of pure dispatch (measured 3.87 ms split
-    # vs 3.09 ms fused)
+    # ---- stage B: the PRODUCTION fused tracking program ----
+    # _track_and_map_step is exactly what the driver dispatches per frame
+    # in steady state (slam._track_frame_fused): projection-gated mutual
+    # match -> pose-candidate portfolio (predicted/Kabsch/PnP + vmapped
+    # robust LM) -> speculative local-map tracking, one packed fetch.
     key = jax.random.PRNGKey(0)
+    from mcslam_tpu.slam import SlamConfig
+    from mcslam_tpu import tracking_kernels as tk
 
-    @jax.jit
-    def stage_b(key, cur, prev, X_world_prev):
-        d = hamming.hamming_matrix(cur.im_desc, prev.im_desc)
-        res = match_ops.match_mutual(
-            d, row_mask=cur.im_valid, col_mask=prev.im_valid, max_dist=64,
-            ratio=0.85,
-        )
-        X_world = X_world_prev[res.idx]
-        mask = res.ok & cur.im_has_depth
-        cTr = rig.cam_T_ref[cur.im_anchor_cam]
-        f = rig.fxycxy[cur.im_anchor_cam]
-        rr = ransac.ransac_kabsch(
-            key, cur.im_point3d, X_world, cur.im_uv_ref, cTr, f, mask,
-            num_hyp=512, px_thresh=5.0,
-        )
-        ref = pose_opt.optimize_pose(
-            rr.world_T_ref, X_world, cur.im_uv_ref, cTr, f,
-            mask & rr.inliers, sigma2=cur.im_sigma2,
-        )
-        # packed result vector, fetched per frame like the driver's
-        # _track_step (pose + counts + match tables)
-        packed = jnp.concatenate([
-            ref.world_T_ref.reshape(16),
-            jnp.stack([
-                ref.num_inliers.astype(jnp.float32),
-                jnp.sum(res.ok).astype(jnp.float32),
-                mask.sum().astype(jnp.float32),
-                rr.ok.astype(jnp.float32),
-            ]),
-            res.ok.astype(jnp.float32),
-            res.idx.astype(jnp.float32),
-        ])
-        return packed
+    scfg = SlamConfig()
+    M = int(ff0.im_valid.shape[0])
+    valid0 = np.asarray(ff0.im_valid) & np.asarray(ff0.im_has_depth)
+    prev_lm_id = np.where(valid0, np.arange(M, dtype=np.int32), -1)
+    pos0 = np.asarray(ff0.im_point3d)  # world == first frame
+    MAP_CAP = 65536  # DeviceMap default capacity (the driver's mirror)
+    map_pos = np.zeros((MAP_CAP, 3), np.float32)
+    map_pos[:M] = pos0
+    map_valid = np.zeros(MAP_CAP, bool)
+    map_valid[:M] = valid0
+    map_desc = np.zeros((MAP_CAP, 8), np.uint32)
+    map_desc[:M] = np.asarray(ff0.im_desc)
+    nrm = -pos0 / np.maximum(
+        np.linalg.norm(pos0, axis=1, keepdims=True), 1e-6
+    )
+    map_normal = np.zeros((MAP_CAP, 3), np.float32)
+    map_normal[:M] = nrm
+    LML = scfg.local_map_landmarks
+    cand = np.flatnonzero(map_valid)[:LML]
+    cand_pad = np.zeros(LML, np.int32)
+    cand_pad[:len(cand)] = cand
+    cand_valid = np.arange(LML) < len(cand)
+    d_prev_desc, d_prev_valid = ff0.im_desc, ff0.im_valid
+    d_prev_lm = jnp.asarray(prev_lm_id)
+    d_map_pos, d_map_valid = jnp.asarray(map_pos), jnp.asarray(map_valid)
+    d_map_desc, d_map_normal = jnp.asarray(map_desc), jnp.asarray(map_normal)
+    d_cand, d_cand_valid = jnp.asarray(cand_pad), jnp.asarray(cand_valid)
+    pred_T = jnp.eye(4, dtype=jnp.float32)
 
-    Xw_prev = ff0.im_point3d  # world == first frame
-    packed = stage_b(key, ff1, ff0, Xw_prev)
+    def stage_b(key, cur, prev_desc, prev_valid):
+        return tk._track_and_map_step(
+            key, cur.im_desc, cur.im_valid, cur.im_uv_ref,
+            cur.im_anchor_cam, cur.im_sigma2, cur.im_point3d,
+            cur.im_has_depth, prev_desc, prev_valid, d_prev_lm,
+            d_map_pos, d_map_valid, d_map_desc, d_map_normal,
+            d_cand, d_cand_valid, rig.cam_T_ref, rig.fxycxy, pred_T,
+            scfg.ransac_hyps, scfg.ransac_px, scfg.inter_max_dist,
+            scfg.inter_ratio, rig.image_size, scfg.local_map_radius_px,
+            scfg.local_map_max_dist, scfg.track_match_radius_px,
+        )
+
+    packed = stage_b(key, ff1, d_prev_desc, d_prev_valid)
     jax.block_until_ready(packed)
 
     # ---- stage C: window BA (6 KFs, 2048 lms, 8192-obs tier) ----
@@ -144,6 +151,50 @@ def main():
     res = solve(problem)
     jax.block_until_ready(res.poses)
 
+    # ---- stage D (diagnostic): VIO window solve (15-dof states + IMU
+    # factors + GPS) at the same tier — the stage most likely to regress
+    # silently because the happy-path fps formula never includes it ----
+    from mcslam_tpu.backend import ba_vio, imu as imu_mod
+
+    imu_params = imu_mod.ImuParams()
+    dt_kf = 0.2
+    S = 40  # imu samples per keyframe gap
+    preints, pairs = [], []
+    for k in range(K - 1):
+        dts = jnp.full((S,), dt_kf / S, jnp.float32)
+        gyro = jnp.asarray(rng.normal(0, 0.02, (S, 3)).astype(np.float32))
+        accel = jnp.asarray(
+            (rng.normal(0, 0.05, (S, 3)) + [0, 0, 9.81]).astype(np.float32)
+        )
+        preints.append(
+            imu_mod.preintegrate(
+                dts, gyro, accel, jnp.ones(S, bool),
+                jnp.zeros(6, jnp.float32), imu_params
+            )
+        )
+        pairs.append((k, k + 1))
+    imu_factors = ba_vio.make_imu_factors(preints, pairs, capacity=K - 1,
+                                          params=imu_params)
+    D = 15
+    vio_prior = jnp.zeros((K * D + 6, K * D + 6), jnp.float32).at[
+        :D, :D
+    ].set(jnp.eye(D) * 1e6)
+    vio_problem = ba_vio.VioProblem(
+        poses=ba_poses, vels=jnp.zeros((K, 3), jnp.float32),
+        biases=jnp.zeros((K, 6), jnp.float32), landmarks=ba_lms,
+        lm_valid=jnp.ones(L, bool), obs=obs,
+        cam_T_body=rig.cam_T_ref, fxycxy=rig.fxycxy, imu=imu_factors,
+        gps=None, E_T_V=jnp.eye(4, dtype=jnp.float32),
+        prior_H=vio_prior, prior_b=jnp.zeros(K * D + 6, jnp.float32),
+        kf_valid=jnp.ones(K, bool),
+    )
+    vio_jit = jax.jit(
+        lambda p: ba_vio.vio_solve(p, iters=3, gate_rounds=2,
+                                   kf_blocked=True)
+    )
+    vres = vio_jit(vio_problem)
+    jax.block_until_ready(vres.poses)
+
     # ---- timing ----
     # NOTE: jax.block_until_ready is unreliable on tunneled TPU backends
     # (resolves before device completion); materializing to host is the
@@ -168,16 +219,16 @@ def main():
         """One steady-state window of the driver-shaped pipeline; returns
         seconds/frame. Frame i+1's build and the (async) BA are enqueued
         before frame i's tracking output is materialized."""
-        prev, fetch = ff0, None
+        prev, fetch = (d_prev_desc, d_prev_valid), None
         t0 = time.perf_counter()
         for i in range(n_frames):
             ff = stage_a(imgs[i % 2])
-            pk = stage_b(key, ff, prev, Xw_prev)
+            pk = stage_b(key, ff, *prev)
             if i % kf_interval == 0:
                 ba_out = solve(problem)
             if fetch is not None:
                 _ = np.asarray(fetch)  # frame i-1 tracking result
-            fetch, prev = pk, ff
+            fetch, prev = pk, (ff.im_desc, ff.im_valid)
         _ = np.asarray(fetch)
         _ = np.asarray(ba_out.poses)
         return (time.perf_counter() - t0) / n_frames
@@ -187,10 +238,14 @@ def main():
 
     t_a = timeit(lambda i: stage_a(imgs[i % 2]).im_desc.sum())
     t_b = timeit(
-        lambda i: stage_b(key, ff1 if i % 2 else ff0, ff0 if i % 2 else ff1,
-                          Xw_prev)[:20].sum()
+        lambda i: stage_b(
+            key, ff1 if i % 2 else ff0,
+            *((ff0.im_desc, ff0.im_valid) if i % 2
+              else (ff1.im_desc, ff1.im_valid)),
+        )[:20].sum()
     )
     t_c = timeit(lambda i: solve(problem).poses.sum(), n=10, reps=5)
+    t_d = timeit(lambda i: vio_jit(vio_problem).poses.sum(), n=10, reps=5)
 
     # Headline: pipelined per-stage throughput (the production-TPU number;
     # comparable with BENCH_r01/r02). The per-frame-fetch loop below pays
@@ -201,7 +256,8 @@ def main():
     fps = 1.0 / per_frame
     print(
         f"# stage_a(frame build)={t_a*1e3:.2f}ms stage_b(track)={t_b*1e3:.2f}ms"
-        f" stage_c(BA solve)={t_c*1e3:.2f}ms",
+        f" stage_c(BA solve)={t_c*1e3:.2f}ms"
+        f" stage_d(VIO solve, diagnostic)={t_d*1e3:.2f}ms",
         file=sys.stderr,
     )
     print(

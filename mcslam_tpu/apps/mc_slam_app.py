@@ -40,6 +40,11 @@ def main(argv=None):
     ap.add_argument("--traj_file", default=None)
     ap.add_argument("--log_file", default=None)
     ap.add_argument("--max_frames", type=int, default=None)
+    ap.add_argument(
+        "--live_view", default=None,
+        help="PNG path for the live follow-cam view (also writes an "
+        "auto-refreshing .html next to it)",
+    )
     args = ap.parse_args(argv)
 
     from mcslam_tpu.data import calib, config
@@ -131,6 +136,18 @@ def main(argv=None):
         depth_dir = _Path(settings.raw.get("depth_dir") or "depth_out")
         depth_dir.mkdir(parents=True, exist_ok=True)
 
+    # live viewer (reference OpenGlViewer::goLive): background follow-cam
+    # rendering of the running session to an auto-refreshed PNG/HTML pair
+    live = None
+    live_path = args.live_view or settings.raw.get("live_view")
+    if live_path:
+        from mcslam_tpu.viz.viewer import LiveViewer
+
+        live = LiveViewer(
+            live_path, slam,
+            hz=float(settings.raw.get("live_view_hz", 2.0)),
+        ).start()
+
     n = 0
     t_start = time.time()
     # Software pipelining: frame N+1's build program is enqueued (JAX
@@ -181,6 +198,8 @@ def main(argv=None):
                 file=sys.stderr,
             )
 
+    if live is not None:
+        live.stop()  # final render includes the full session
     traj_path = args.traj_file or settings.raw.get("traj_file", "trajectory.txt")
     slam.write_trajectory(traj_path)
     if settings.raw.get("map_path") and not settings.relocalization:

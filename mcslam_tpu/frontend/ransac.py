@@ -43,6 +43,78 @@ def _sample_idx(key, num_hyp: int, sample_size: int, m: int, weights) -> jax.Arr
     ).astype(jnp.int32)
 
 
+def _nullspace_vecs(A: jax.Array, second: bool = False, iters: int = 5):
+    """Smallest (and optionally second-smallest) right-singular vector of
+    batched A (K, R, N) WITHOUT batched SVD.
+
+    jnp.linalg.svd on TPU lowers to a scalar-bound QR/Jacobi loop — at
+    K=hundreds of RANSAC hypotheses per tracking dispatch it dominates
+    the program. Inverse iteration on the shifted normal matrix
+    G = A^T A + eps*I needs one batched Cholesky (N<=13) and `iters`
+    pairs of batched triangular solves — all MXU/VPU-friendly. Hypothesis
+    accuracy only needs to survive RANSAC scoring, and the nullspace gap
+    of a minimal-sample system makes 5 iterations plenty.
+
+    Returns v1 (K, N) unit vectors, or (v1, v2) with v2 deflated against
+    v1 when `second=True`.
+    """
+    G = jnp.einsum("krn,krm->knm", A, A)
+    N = G.shape[-1]
+    tr = jnp.trace(G, axis1=-2, axis2=-1)
+    eps = tr / N * 1e-7 + 1e-12
+    Gs = G + eps[:, None, None] * jnp.eye(N, dtype=G.dtype)
+    L = jnp.linalg.cholesky(Gs)
+
+    def solve(v):
+        y = jax.lax.linalg.triangular_solve(
+            L, v[..., None], left_side=True, lower=True
+        )
+        x = jax.lax.linalg.triangular_solve(
+            L, y, left_side=True, lower=True, transpose_a=True
+        )[..., 0]
+        return x
+
+    def normalize(v):
+        return v * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-30)
+        )
+
+    # fixed generic start vector (irrational-ish ramp: measure-zero risk
+    # of orthogonality to the null direction)
+    v = jnp.broadcast_to(
+        jnp.cos(jnp.arange(N, dtype=G.dtype) * 1.7 + 0.3), G.shape[:1] + (N,)
+    )
+    for _ in range(iters):
+        v = normalize(solve(v))
+    if not second:
+        return v
+
+    w = jnp.broadcast_to(
+        jnp.sin(jnp.arange(N, dtype=G.dtype) * 2.3 + 1.1), G.shape[:1] + (N,)
+    )
+    for _ in range(iters):
+        w = solve(w)
+        w = w - jnp.sum(w * v, axis=-1, keepdims=True) * v
+        w = normalize(w)
+    return v, w
+
+
+def _project_so3(Rraw: jax.Array) -> jax.Array:
+    """Nearest rotation to batched 3x3 matrices by scaled Newton–Schulz
+    polar iteration (replaces the batched SVD projection; same TPU
+    rationale as _nullspace_vecs). The sign pre-flip sends det>0, which
+    the iteration preserves; scaling by ||X||_F/sqrt(3) puts every
+    singular value inside the convergence region (0, sqrt(3))."""
+    det = jnp.linalg.det(Rraw)
+    X = Rraw * jnp.where(det < 0, -1.0, 1.0)[..., None, None]
+    fro = jnp.sqrt(jnp.maximum(jnp.sum(X * X, axis=(-2, -1)), 1e-30))
+    X = X * (jnp.sqrt(3.0) / fro)[..., None, None]
+    I = jnp.eye(3, dtype=Rraw.dtype)
+    for _ in range(9):
+        X = 0.5 * X @ (3.0 * I - jnp.swapaxes(X, -1, -2) @ X)
+    return X
+
+
 def _score_reprojection(
     world_T_ref_h: jax.Array,  # (K, 4, 4)
     X_world: jax.Array,  # (M, 3)
@@ -134,11 +206,9 @@ def _dlt_gpnp(Xw: jax.Array, rays: jax.Array, Tcr: jax.Array) -> jax.Array:
     b = jnp.einsum("ksab,ksb->ksa", dx, t_cr)[..., None]  # (K,S,3,1)
     M_full = jnp.concatenate([A_R, A_t, b], axis=-1)  # (K,S,3,13)
     M_full = M_full.reshape(K_, S * 3, 13)
-    _, _, Vt = jnp.linalg.svd(M_full, full_matrices=True)
-    # smallest singular vector; if it degenerated to ~e13 (central rig),
+    # smallest null direction; if it degenerated to ~e13 (central rig),
     # take the second-smallest instead
-    v_a = Vt[..., -1, :]
-    v_b = Vt[..., -2, :]
+    v_a, v_b = _nullspace_vecs(M_full, second=True)
     use_a = jnp.linalg.norm(v_a[..., :12], axis=-1) > 0.3
     v = jnp.where(use_a[:, None], v_a, v_b)
     hom = v[..., 12]
@@ -148,11 +218,13 @@ def _dlt_gpnp(Xw: jax.Array, rays: jax.Array, Tcr: jax.Array) -> jax.Array:
     Rraw = theta[..., :9].reshape(K_, 3, 3)
     t = theta[..., 9:12]
     # project to SO(3); renormalize t by the raw rotation scale
-    U, sv, Vt2 = jnp.linalg.svd(Rraw)
-    det = jnp.linalg.det(U @ Vt2)
-    D = jnp.ones((K_, 3), Rraw.dtype).at[:, 2].set(jnp.sign(det) + (det == 0))
-    R = U @ (D[:, :, None] * Vt2)
-    s = jnp.maximum(sv.mean(axis=-1), 1e-9)
+    R = _project_so3(Rraw)
+    # mean singular value of Rraw without an SVD: sqrt(tr(Rraw^T Rraw)/3)
+    # (exact when the three singular values are equal, which holds up to
+    # noise for a scaled rotation)
+    s = jnp.maximum(
+        jnp.sqrt(jnp.sum(Rraw * Rraw, axis=(-2, -1)) / 3.0), 1e-9
+    )
     return lie.se3_matrix(R, t / s[:, None])
 
 
@@ -170,9 +242,7 @@ def _dlt_pnp(Xw: jax.Array, xn: jax.Array) -> jax.Array:
     row1 = jnp.concatenate([Xh, zeros, -u * Xh], axis=-1)  # (K, S, 12)
     row2 = jnp.concatenate([zeros, Xh, -v * Xh], axis=-1)
     A = jnp.concatenate([row1, row2], axis=-2)  # (K, 2S, 12)
-    # nullspace via SVD
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    p = Vt[..., -1, :].reshape(K_, 3, 4)
+    p = _nullspace_vecs(A).reshape(K_, 3, 4)
     # fix scale/sign: ||r3|| = 1, det(R) > 0, points in front
     scale = jnp.linalg.norm(p[:, 2, :3], axis=-1, keepdims=True)[..., None]
     p = p / jnp.maximum(scale, 1e-12)
@@ -181,11 +251,7 @@ def _dlt_pnp(Xw: jax.Array, xn: jax.Array) -> jax.Array:
     p = p * jnp.where(zmean < 0, -1.0, 1.0)[:, None, None]
     Rraw = p[:, :, :3]
     t = p[:, :, 3]
-    # project R onto SO(3)
-    U, _, Vt2 = jnp.linalg.svd(Rraw)
-    det = jnp.linalg.det(U @ Vt2)
-    D = jnp.ones((K_, 3), Rraw.dtype).at[:, 2].set(jnp.sign(det) + (det == 0))
-    R = U @ (D[:, :, None] * Vt2)
+    R = _project_so3(Rraw)
     return lie.se3_matrix(R, t)
 
 
@@ -279,8 +345,7 @@ def _eight_point(xn0: jax.Array, xn1: jax.Array) -> jax.Array:
     A = jnp.stack(
         [x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, ones], axis=-1
     )  # (K, 8, 9)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    E = Vt[..., -1, :].reshape(-1, 3, 3)
+    E = _nullspace_vecs(A).reshape(-1, 3, 3)
     U, S, Vt2 = jnp.linalg.svd(E)
     S2 = jnp.stack([jnp.ones_like(S[..., 0]), jnp.ones_like(S[..., 0]),
                     jnp.zeros_like(S[..., 0])], axis=-1)

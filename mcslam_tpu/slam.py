@@ -590,9 +590,35 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         return new_pose, lm_match, inl
 
     def _predict_pose(self) -> np.ndarray:
-        """Constant-velocity pose prediction for the search-by-projection
-        match gate (reference TrackWithMotionModel's velocity * last pose).
-        Right-multiplied local delta: T_pred = T_k (T_{k-1}^-1 T_k)."""
+        """Pose prediction for the search-by-projection gate and the
+        portfolio's motion candidate. With IMU configured and
+        gravity-initialized, dead-reckon over the inter-frame span with
+        the preintegrator (reference imu_integrator->predict,
+        FrontEnd.cpp:1570) — constant velocity misses badly across
+        low-rate-vision gaps under acceleration. Otherwise the
+        constant-velocity motion model T_pred = T_k (T_{k-1}^-1 T_k)."""
+        span = getattr(self, "_pred_span", None)
+        if (self.use_imu and self.imu_initialized and span is not None
+                and span[1] > span[0]):
+            pre = self._preintegrate_span(span[0], span[1])
+            if pre is not None:
+                from mcslam_tpu.backend import imu as imu_mod
+
+                body_T_cam0 = np.asarray(self.rig.body_T_cam)[0]
+                wTb = (self.cur_pose @ np.linalg.inv(body_T_cam0)).astype(
+                    np.float32
+                )
+                state = imu_mod.ImuState(
+                    world_T_body=jnp.asarray(wTb),
+                    vel=jnp.asarray(
+                        getattr(self, "_track_vel", np.zeros(3, np.float32))
+                    ),
+                    bias=jnp.asarray(self.bias),
+                )
+                pred = imu_mod.predict(state, pre, self.imu_params)
+                return np.asarray(
+                    np.asarray(pred.world_T_body) @ body_T_cam0, np.float32
+                )
         delta = np.linalg.inv(self.last_pose) @ self.cur_pose
         return (self.cur_pose @ delta).astype(np.float32)
 
@@ -922,6 +948,10 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         if self.state != INITIALIZED:
             ok = self._initialize(frame, timestamp)
             info["initialized"] = ok
+            if ok:
+                # fresh motion state for the predictor
+                self._last_track_ts = timestamp
+                self._track_vel = np.zeros(3, np.float32)
             self._record_pose(timestamp)
             return info
 
@@ -935,6 +965,10 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
             self._finish_pending_ba()
 
         kf_prev = self._prev_kf()
+        # prediction span: last successfully tracked frame -> this frame
+        # (drives the IMU dead-reckoning branch of _predict_pose)
+        self._pred_span = (getattr(self, "_last_track_ts", None), timestamp) \
+            if getattr(self, "_last_track_ts", None) is not None else None
         with self.timers.span("track"):
             ok, pose, (m_ok, m_idx), lm_of_match, lm_match, inliers = (
                 self._track_frame_fused(frame, kf_prev)
@@ -978,6 +1012,17 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
                 lm_match, inliers = lm_match2, inl2
                 n_tracked = int(((lm_match >= 0) & inliers).sum())
         info["tracked"] = n_tracked
+
+        # world-frame velocity estimate for the IMU predictor (finite
+        # difference of ref positions; lever-arm rotation effects are
+        # second-order at frame rate)
+        last_ts = getattr(self, "_last_track_ts", None)
+        if last_ts is not None and timestamp > last_ts:
+            self._track_vel = (
+                (pose[:3, 3] - self.cur_pose[:3, 3])
+                / max(timestamp - last_ts, 1e-3)
+            ).astype(np.float32)
+        self._last_track_ts = timestamp
 
         self.last_pose = self.cur_pose
         self.cur_pose = pose

@@ -25,6 +25,39 @@ def _match_descriptors(desc_a, valid_a, desc_b, valid_b):
     return d
 
 
+_GATE_BIG = 1e12
+
+
+def _anchored_sq_px_dist(uv, anchor, proj, penalize):
+    """Squared pixel distance from each row feature to each column
+    target's projection in the row's ANCHOR camera — without ever
+    materializing the (M, N, 2) per-pair gather.
+
+    The naive form `proj[anchor]` gathers a (M, N, 2) f32 tensor
+    (~100 MB at M=N=3-4k) and streams it through elementwise subtract/
+    square — pure HBM traffic that dominates the tracking program. With
+    one-hot anchor weights the anchored distance expands into quadratic
+    terms where the anchor selection becomes a contraction:
+
+        d2[i,j] = |uv_i|^2 - 2 * sum_ck oh[i,c] uv[i,k] proj[c,j,k]
+                  + sum_c oh[i,c] (|proj_c,j|^2 + BIG*penalize[c,j])
+
+    i.e. two MXU matmuls with tiny contraction dims (2C and C) and ONE
+    (M, N) output that XLA fuses straight into the comparison consumer.
+
+    uv: (M, 2); anchor: (M,) int32; proj: (C, N, 2) per-camera
+    projections (pre-clipped to a sane pixel range); penalize: (C, N)
+    bool — forces d2 to _GATE_BIG (behind camera / out of frustum).
+    Returns (M, N) f32.
+    """
+    C = proj.shape[0]
+    oh = jax.nn.one_hot(anchor, C, dtype=uv.dtype)  # (M, C)
+    P2 = jnp.sum(proj * proj, axis=-1) + jnp.where(penalize, _GATE_BIG, 0.0)
+    A = (oh[:, :, None] * uv[:, None, :]).reshape(uv.shape[0], 2 * C)
+    B = proj.transpose(0, 2, 1).reshape(2 * C, proj.shape[1])
+    return jnp.sum(uv * uv, axis=-1)[:, None] - 2.0 * (A @ B) + oh @ P2
+
+
 @functools.partial(jax.jit, static_argnames=("max_dist", "ratio"))
 def _mutual_match(dist, valid_a, valid_b, max_dist: int, ratio: float):
     return match_ops.match_mutual(
@@ -69,11 +102,11 @@ def _track_core(
             pc[..., :2] / jnp.maximum(z[..., None], 1e-6)
             * fxycxy_all[:, None, :2] + fxycxy_all[:, None, 2:]
         )  # (C, Mp, 2)
-        proj = uvp[cur_anchor]  # (Mc, Mp, 2) — each row's anchor camera
-        d2 = jnp.sum((cur_uv[:, None, :] - proj) ** 2, axis=-1)
-        in_front = z[cur_anchor] > 0.05
+        d2 = _anchored_sq_px_dist(
+            cur_uv, cur_anchor, jnp.clip(uvp, -1e5, 1e5), z <= 0.05
+        )
         pair_mask = jnp.where(
-            prev_has[None, :], (d2 < gate_px * gate_px) & in_front, True
+            prev_has[None, :], d2 < gate_px * gate_px, True
         )
     d = hamming.hamming_matrix(cur_desc, prev_desc)
     res = match_ops.match_mutual(
@@ -92,21 +125,23 @@ def _track_core(
     # solvers are individually fragile here: 3D-3D Kabsch triples amplify
     # the current frame's intra-depth noise (z^2/(f*b) — meters at room
     # scale on weak corners), and 6-point DLT-PnP degenerates when the
-    # visible landmarks are quasi-planar (a wall). So BOTH run with a
-    # LOOSE consensus threshold (hypotheses from noisy minimal samples
-    # are coarse even when the consensus is right), a third candidate
-    # starts from the motion-model prediction with NO sampling at all
-    # (reference TrackWithMotionModel: projection-gated matches straight
-    # into Huber motion-only LM), and every candidate is polished by the
-    # robust chi2-regated LM. Winner = most final inliers — one vmapped
-    # refine, no data-dependent control flow.
+    # visible landmarks are quasi-planar (a wall). So BOTH run, a third
+    # candidate starts from the motion-model prediction with NO sampling
+    # at all (reference TrackWithMotionModel: projection-gated matches
+    # straight into Huber motion-only LM), and every candidate is
+    # polished by the robust chi2-regated LM. Winner = most reprojection
+    # inliers over the SAME full match set — one vmapped refine, no
+    # data-dependent control flow. (A loose 2.5x consensus threshold was
+    # tried for the RANSAC stages and REVERTED: with the uniform
+    # selection score it only admitted coarser hypotheses — VIO ATE
+    # 0.10 -> 0.28, textured-world ATE 0.52 -> 0.82.)
     rr_kab = ransac.ransac_kabsch(
         key, cur_p3d, X_world, cur_uv, cTr, f, mask3d,
-        num_hyp=num_hyp, px_thresh=px * 2.5,
+        num_hyp=num_hyp, px_thresh=px,
     )
     rr_pnp = ransac.ransac_pnp(
         key, X_world, cur_uv, cTr, f, with_lm,
-        num_hyp=max(num_hyp // 2, 64), px_thresh=px * 2.5,
+        num_hyp=max(num_hyp // 2, 64), px_thresh=px,
     )
     inits = jnp.stack(
         [pred_T_wr, rr_kab.world_T_ref, rr_pnp.world_T_ref]
@@ -119,16 +154,26 @@ def _track_core(
             T0, X_world, cur_uv, cTr, f, m, sigma2=cur_sigma2
         )
     )(inits, masks)
-    best = jnp.argmax(refs.num_inliers)
+    # UNIFORM selection score: each candidate's refine mask is a
+    # different subset of the matches, so comparing refs.num_inliers
+    # biases the argmax toward the candidate with the largest mask (the
+    # motion prediction, whose mask is ALL matches) — measured as a 3x
+    # ATE regression on accelerating VIO scenes. Score every refined
+    # pose by reprojection inliers over the SAME full match set instead.
+    scores, _ = ransac._score_reprojection(
+        refs.world_T_ref, X_world, cur_uv, cTr, f, with_lm, px
+    )
+    best = jnp.argmax(scores)
     ref = jax.tree.map(lambda x: x[best], refs)
-    rr_ok = ref.num_inliers >= 10
+    n_uniform = scores[best].astype(jnp.int32)
+    rr_ok = n_uniform >= 10
     # pack EVERYTHING into one f32 vector: the host<->device tunnel charges
     # a full round trip per fetched buffer, so one buffer = one RTT
     M = lm.shape[0]
     packed = jnp.concatenate([
         ref.world_T_ref.reshape(16),
         jnp.stack([
-            ref.num_inliers.astype(jnp.float32),
+            n_uniform.astype(jnp.float32),
             jnp.sum(res.ok).astype(jnp.float32),
             with_lm.sum().astype(jnp.float32),
             rr_ok.astype(jnp.float32),
@@ -279,11 +324,15 @@ def _project_and_match_local(
         has_n = jnp.linalg.norm(lm_normal, axis=-1) > 1e-6
         cosv = jnp.sum(view * lm_normal, axis=-1)
         vis = vis & (((cosv > min_view_cos) | ~has_n))[:, None]
-    # per current feature: its anchor camera's projection of each landmark
-    proj_a = proj[:, :, :].transpose(1, 0, 2)[im_anchor]  # (M, L, 2)
-    vis_a = vis.transpose(1, 0)[im_anchor]  # (M, L)
-    duv = proj_a - im_uv[:, None, :]
-    close = (jnp.sum(duv * duv, axis=-1) < radius * radius) & vis_a
+    # per current feature: distance to its anchor camera's projection of
+    # each landmark — matmul form, no (M, L, 2) gather (see
+    # _anchored_sq_px_dist; the gather form cost ~100 MB of HBM traffic)
+    d2 = _anchored_sq_px_dist(
+        im_uv, im_anchor,
+        jnp.clip(proj.transpose(1, 0, 2), -1e5, 1e5),
+        ~vis.transpose(1, 0),
+    )
+    close = d2 < radius * radius
     dmat = hamming.hamming_matrix(im_desc, lm_desc)
     res = match_ops.match_one_way(
         dmat,

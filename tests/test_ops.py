@@ -251,3 +251,25 @@ def test_extract_orb_rig_batched():
     kps = orb.extract_orb_rig(imgs, num_points=256, num_levels=2)
     assert kps.xy.shape[0] == 2
     assert int(jnp.sum(kps.valid[0])) > 50
+
+
+def test_anchored_sq_px_dist_matches_gather_form():
+    """The matmul-form anchored pixel-distance (no (M,N,2) gather) must
+    agree with the naive gather form to sub-pixel^2 accuracy."""
+    from mcslam_tpu.tracking_kernels import _GATE_BIG, _anchored_sq_px_dist
+
+    rng = np.random.RandomState(3)
+    M, N, C = 37, 53, 4
+    uv = jnp.asarray(rng.uniform(0, 640, (M, 2)).astype(np.float32))
+    anchor = jnp.asarray(rng.randint(0, C, M).astype(np.int32))
+    proj = jnp.asarray(rng.uniform(-50, 700, (C, N, 2)).astype(np.float32))
+    penal = jnp.asarray(rng.rand(C, N) < 0.3)
+
+    d2 = np.asarray(_anchored_sq_px_dist(uv, anchor, proj, penal))
+    proj_a = np.asarray(proj)[np.asarray(anchor)]  # (M, N, 2)
+    ref = np.sum((np.asarray(uv)[:, None, :] - proj_a) ** 2, axis=-1)
+    pen_a = np.asarray(penal)[np.asarray(anchor)]
+    assert np.all(d2[pen_a] >= 1e11)
+    assert np.allclose(d2[~pen_a], ref[~pen_a], atol=1.0), (
+        np.abs(d2[~pen_a] - ref[~pen_a]).max()
+    )
