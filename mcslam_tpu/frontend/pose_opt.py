@@ -101,36 +101,54 @@ def optimize_pose(
         sigma2 = jnp.ones(X_world.shape[0], X_world.dtype)
     inv_sig2 = 1.0 / sigma2
 
+    def linearize(T, active):
+        """One residual+jacobian pass -> (H0 (undamped), g, cost, r)."""
+        r, J = _residuals_jac(T, X_world, uv, cam_T_ref, fxycxy)
+        # robust weights: huber on the residual norm, scaled by octave
+        rn = jnp.linalg.norm(r, axis=-1)
+        w_huber = jnp.where(
+            rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9)
+        )
+        w = w_huber * inv_sig2 * active.astype(T.dtype)  # (M,)
+        Jw = J * w[:, None, None]
+        H0 = jnp.einsum("mri,mrj->ij", Jw, J)
+        g = jnp.einsum("mri,mr->i", Jw, r)
+        cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
+        return H0, g, cost, r
+
     def lm_round(carry, _):
         T, active = carry
+        H0, g, c, r = linearize(T, active)
 
+        # Deferred accept/reject: the carried system is always the
+        # linearization at the BEST state so far, so the trial pass
+        # doubles as the previous step's acceptance check — ONE
+        # residual+jacobian pass per iteration instead of a linearize
+        # plus a residual-only acceptance pass (the 16-step chain is
+        # latency-bound on TPU; same trajectory as the classic loop:
+        # on rejection the carried state/system are unchanged and only
+        # lambda grows).
         def lm_step(carry, _):
-            T, lam = carry
-            r, J = _residuals_jac(T, X_world, uv, cam_T_ref, fxycxy)
-            # robust weights: huber on the residual norm, scaled by octave
-            rn = jnp.linalg.norm(r, axis=-1)
-            w_huber = jnp.where(rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9))
-            w = w_huber * inv_sig2 * active.astype(T.dtype)  # (M,)
-            Jw = J * w[:, None, None]
-            H = jnp.einsum("mri,mrj->ij", Jw, J) + lam * jnp.eye(6, dtype=T.dtype)
-            g = jnp.einsum("mri,mr->i", Jw, r)
-            dx = -jnp.linalg.solve(H, g)
-            T_new = lie.se3_retract(T, dx)
-            # accept if cost decreased (computed on weighted residuals)
-            r_new = _residuals(
-                jnp.zeros(6, T.dtype), T_new, X_world, uv, cam_T_ref, fxycxy
+            T_b, H_b, g_b, c_b, r_b, lam = carry
+            dx = -jnp.linalg.solve(
+                H_b + lam * jnp.eye(6, dtype=T_b.dtype), g_b
             )
-            c_old = jnp.sum(w * jnp.sum(r * r, axis=-1))
-            c_new = jnp.sum(w * jnp.sum(r_new * r_new, axis=-1))
-            improved = c_new < c_old
-            T = jnp.where(improved, T_new, T)
-            lam = jnp.where(improved, lam * 0.5, lam * 4.0)
-            return (T, lam), None
+            T_t = lie.se3_retract(T_b, dx)
+            H_t, g_t, c_t, r_t = linearize(T_t, active)
+            improved = c_t < c_b
+            pick = lambda a, b: jnp.where(improved, a, b)
+            carry = (
+                pick(T_t, T_b), pick(H_t, H_b), pick(g_t, g_b),
+                pick(c_t, c_b), pick(r_t, r_b),
+                jnp.where(improved, lam * 0.5, lam * 4.0),
+            )
+            return carry, None
 
-        (T, _), _ = jax.lax.scan(lm_step, (T, jnp.asarray(lm_lambda, T.dtype)),
-                                 None, length=iters)
-        # chi2 re-gate for the next round
-        r = _residuals(jnp.zeros(6, T.dtype), T, X_world, uv, cam_T_ref, fxycxy)
+        (T, _, _, _, r, _), _ = jax.lax.scan(
+            lm_step, (T, H0, g, c, r, jnp.asarray(lm_lambda, T.dtype)),
+            None, length=iters,
+        )
+        # chi2 re-gate for the next round from the carried residuals
         chi2 = jnp.sum(r * r, axis=-1) * inv_sig2
         active = mask & (chi2 < chi2_thresh)
         return (T, active), None

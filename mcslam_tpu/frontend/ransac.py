@@ -110,7 +110,7 @@ def _project_so3(Rraw: jax.Array) -> jax.Array:
     fro = jnp.sqrt(jnp.maximum(jnp.sum(X * X, axis=(-2, -1)), 1e-30))
     X = X * (jnp.sqrt(3.0) / fro)[..., None, None]
     I = jnp.eye(3, dtype=Rraw.dtype)
-    for _ in range(9):
+    for _ in range(6):
         X = 0.5 * X @ (3.0 * I - jnp.swapaxes(X, -1, -2) @ X)
     return X
 
@@ -345,7 +345,12 @@ def _eight_point(xn0: jax.Array, xn1: jax.Array) -> jax.Array:
     A = jnp.stack(
         [x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, ones], axis=-1
     )  # (K, 8, 9)
-    E = _nullspace_vecs(A).reshape(-1, 3, 3)
+    # mono init/reinit quality is gated directly by E here (no robust
+    # refine downstream of the winning hypothesis before triangulation),
+    # so this path keeps a higher inverse-iteration budget than the
+    # PnP/Kabsch hypothesis solvers (iters=3 measurably degraded the
+    # mono re-initialization test)
+    E = _nullspace_vecs(A, iters=6).reshape(-1, 3, 3)
     U, S, Vt2 = jnp.linalg.svd(E)
     S2 = jnp.stack([jnp.ones_like(S[..., 0]), jnp.ones_like(S[..., 0]),
                     jnp.zeros_like(S[..., 0])], axis=-1)
