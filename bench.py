@@ -145,8 +145,11 @@ def main():
         prior_H=prior_H, prior_b=jnp.zeros(K * 6, jnp.float32),
         kf_valid=jnp.ones(K, bool),
     )
+    # the driver's WARM window budget (SlamConfig.ba_iters x 2 gate
+    # rounds) — what steady state actually compiles
     solve = jax.jit(
-        lambda p: ba.ba_solve(p, iters=3, gate_rounds=2, kf_blocked=True)
+        lambda p: ba.ba_solve(p, iters=scfg.ba_iters, gate_rounds=2,
+                              kf_blocked=True)
     )
     res = solve(problem)
     jax.block_until_ready(res.poses)
@@ -189,7 +192,7 @@ def main():
         kf_valid=jnp.ones(K, bool),
     )
     vio_jit = jax.jit(
-        lambda p: ba_vio.vio_solve(p, iters=3, gate_rounds=2,
+        lambda p: ba_vio.vio_solve(p, iters=scfg.ba_iters, gate_rounds=2,
                                    kf_blocked=True)
     )
     vres = vio_jit(vio_problem)

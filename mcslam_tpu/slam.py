@@ -82,7 +82,7 @@ class SlamConfig:
     init17_min_baseline_frac: float = 0.5  # x kf_translation, reference :2633
     # window BA
     window_size: int = 6
-    ba_iters: int = 3  # per gate round (x2 rounds); warm-started windows
+    ba_iters: int = 2  # per gate round (x2 rounds); warm-started windows
     ba_iters_cold: int = 8  # first solve after init / reinit / loop closure
     ba_obs_capacity: int = 16384
     ba_lm_capacity: int = 2048
