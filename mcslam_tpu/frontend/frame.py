@@ -123,7 +123,7 @@ def _triangulate_stage(groups, xy_ud, kp_sigma2, rig, min_z, max_z):
 )
 def _fused_stage(imgs, rig, seg_masks, num_points, num_levels,
                  fast_threshold, min_threshold, max_intra, min_z, max_z,
-                 angle_bins=orb.ANGLE_BINS, approx_topk=False):
+                 angle_bins=orb.ANGLE_BINS, approx_topk=True):
     """extract (+ optional seg-mask veto) + intra + triangulate in ONE
     program: the dispatch floor through a tunneled TPU is ~1 ms per call,
     so chained stage jits paid ~2 ms of pure dispatch per frame."""
@@ -170,7 +170,8 @@ def build_frame(
     max_z: float = 40.0,
     seg_masks: jax.Array | None = None,
     angle_bins: int = orb.ANGLE_BINS,
-    approx_topk: bool = False,
+    approx_topk: bool = True,  # see ops/orb.py: ~2x faster on TPU,
+    #   exact on CPU, equal ATE on the real-chip hard-world drive
 ) -> FrameFeatures:
     """(C, H, W) float images in [0,1] -> FrameFeatures.
 
