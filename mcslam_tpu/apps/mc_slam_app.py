@@ -136,6 +136,20 @@ def main(argv=None):
         depth_dir = _Path(settings.raw.get("depth_dir") or "depth_out")
         depth_dir.mkdir(parents=True, exist_ok=True)
 
+    # dense fusion: accumulate per-keyframe depth into ONE world-frame
+    # voxel cloud (dense_cloud_path=<out.ply|out.npz> in the cfg enables it)
+    fuser = None
+    cloud_path = settings.raw.get("dense_cloud_path")
+    if cloud_path and rig.num_cams >= 2:
+        from mcslam_tpu.mapping.dense_fusion import DenseFuser
+
+        fuser = DenseFuser(
+            rig,
+            voxel=float(settings.raw.get("dense_voxel", 0.1)),
+            max_depth=float(settings.raw.get("dense_max_depth", 30.0)),
+            max_disp=int(settings.raw.get("depth_max_disp", 64)),
+        )
+
     # live viewer (reference OpenGlViewer::goLive): background follow-cam
     # rendering of the running session to an auto-refreshed PNG/HTML pair
     live = None
@@ -188,6 +202,9 @@ def main(argv=None):
             kf_id = slam.keyframes[-1].kf_id
             np.save(depth_dir / f"depth_{kf_id:06d}.npy",
                     np.where(np.asarray(dvalid), np.asarray(depth), 0.0))
+        if fuser is not None and info.get("keyframe"):
+            fuser.add_keyframe(jnp.asarray(imgs),
+                               slam.keyframes[-1].world_T_ref)
         n += 1
         if n % 20 == 0:
             fps = n / (time.time() - t_start)
@@ -200,6 +217,11 @@ def main(argv=None):
 
     if live is not None:
         live.stop()  # final render includes the full session
+    if fuser is not None:
+        n_pts = (fuser.save_ply(cloud_path) if str(cloud_path).endswith(".ply")
+                 else fuser.save_npz(cloud_path))
+        print(f"[mc_slam_app] dense cloud: {n_pts} voxels -> {cloud_path}",
+              file=sys.stderr)
     traj_path = args.traj_file or settings.raw.get("traj_file", "trajectory.txt")
     slam.write_trajectory(traj_path)
     if settings.raw.get("map_path") and not settings.relocalization:

@@ -158,6 +158,7 @@ class RigRectifier:
         self.fxycxy_new = f_new
         self.Q = Q
         self.baseline = float(np.linalg.norm(t))
+        self.R_a = R1  # rect-from-cam_a rotation (unprojection needs it)
         self.map_a = rectify_maps(
             fx[cam_a], dist[cam_a], rig.dist_model, R1, f_new, size
         )

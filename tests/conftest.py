@@ -31,3 +31,18 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# One long pytest process accumulates every compiled executable of every
+# module; past ~100 tests this has segfaulted inside the compilation-cache
+# read path (reproducibly at the same depth across full-suite runs, while
+# each module alone is fine). Dropping the in-process jit caches at module
+# boundaries bounds the accumulation; the persistent disk cache keeps the
+# re-jits cheap.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()

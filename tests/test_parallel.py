@@ -246,3 +246,54 @@ def test_driver_with_mesh_sharded_ba():
     ts, est = slam.trajectory_arrays()
     ate = metrics.ate_rmse(est, poses)
     assert ate < 0.08, ate
+
+
+def test_sharded_hamming_match_matches_single_device():
+    """Map-sharded descriptor match == single-device brute force: same
+    best index, same distance/ratio gates, across an 8-device mesh."""
+    from mcslam_tpu.ops import hamming
+    from mcslam_tpu.parallel import sharded_match
+
+    rng = np.random.RandomState(3)
+    N, Q = 1003, 64  # deliberately NOT divisible by the mesh
+    map_desc = rng.randint(0, 2**32, (N, 8), dtype=np.uint64).astype(
+        np.uint32
+    )
+    map_valid = rng.rand(N) > 0.1
+    # queries: bit-corrupted copies of random map rows + pure noise
+    qi = rng.randint(0, N, Q)
+    q = map_desc[qi].copy()
+    flip = rng.randint(0, 2**32, (Q, 8), dtype=np.uint64).astype(np.uint32)
+    keep = rng.rand(Q, 8) > 0.06
+    q = np.where(keep, q, q ^ flip)
+    q[: Q // 4] = rng.randint(0, 2**32, (Q // 4, 8), dtype=np.uint64).astype(
+        np.uint32
+    )
+    q_valid = np.ones(Q, bool)
+
+    mesh = sharded_match.make_mesh(8)
+    d_sh, v_sh, Np = sharded_match.shard_map_desc(mesh, map_desc, map_valid)
+    idx, ok, dist = sharded_match.sharded_hamming_match(
+        mesh, jnp.asarray(q), jnp.asarray(q_valid), d_sh, v_sh,
+        max_dist=64, ratio=0.85,
+    )
+    idx, ok, dist = np.asarray(idx), np.asarray(ok), np.asarray(dist)
+
+    # single-device reference with identical semantics
+    d = np.asarray(hamming.hamming_matrix(jnp.asarray(q),
+                                          jnp.asarray(map_desc)))
+    d = np.where(map_valid[None, :], d, 1 << 20)
+    i1 = np.argmin(d, axis=1)
+    d1 = d[np.arange(Q), i1]
+    d_wo = d.copy()
+    d_wo[np.arange(Q), i1] = 1 << 20
+    d2 = d_wo.min(axis=1)
+    ref_ok = q_valid & (d1 <= 64) & (d1 <= 0.85 * d2)
+
+    assert np.array_equal(ok, ref_ok)
+    assert np.array_equal(dist[ok], d1[ok])
+    # best index agrees wherever the minimum is unique
+    unique_min = d1 < d2
+    sel = ok & unique_min
+    assert sel.sum() > Q // 3
+    assert np.array_equal(idx[sel], i1[sel])

@@ -162,3 +162,33 @@ def test_rectified_nonparallel_rig_depth():
     # analytic rectified depth instead of Z0 directly
     rel_err = np.abs(depth[sel] - Z0) / Z0
     assert np.median(rel_err) < 0.08, np.median(rel_err)
+
+
+def test_dense_fusion_world_cloud_geometry():
+    """DenseFuser on the ray-cast cylinder world: fused wall voxels must
+    sit on the known radius-10 cylinder (about the world y-axis), fused
+    across MULTIPLE keyframe poses into one world-frame cloud."""
+    from mcslam_tpu.mapping.dense_fusion import DenseFuser
+
+    rig = synthetic.make_synthetic_rig(
+        synthetic.SyntheticRigSpec(num_cams=2, baseline=0.3,
+                                   image_size=(320, 240), focal=260.0)
+    )
+    poses = synthetic.loop_trajectory(3, radius=3.0, revisit_frames=0,
+                                      seed=0)
+    imgs = synthetic.render_textured_world(rig, poses, radius=10.0, seed=11)
+    fuser = DenseFuser(rig, voxel=0.25, max_depth=25.0, stride=2,
+                       algo="sgm", max_disp=48)
+    for k in range(len(poses)):
+        n = fuser.add_keyframe(jnp.asarray(imgs[k]), poses[k])
+        assert n > 100
+    pts, inten, cnt = fuser.finalize()
+    assert len(pts) > 1000
+    # wall region: away from floor (y=-2.5) and ceiling (y=+2.5)
+    wall = np.abs(pts[:, 1]) < 1.8
+    assert wall.sum() > 300
+    r = np.sqrt(pts[wall, 0] ** 2 + pts[wall, 2] ** 2)
+    err = np.abs(r - 10.0)
+    assert np.median(err) < 0.5, np.median(err)
+    # multi-keyframe fusion actually merged overlapping voxels
+    assert (cnt > 1).mean() > 0.05
