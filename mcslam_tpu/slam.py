@@ -43,7 +43,8 @@ class SlamConfig:
     inter_ratio: float = 0.85
     min_inter_matches: int = 60  # reference FrontEnd.cpp:6029
     # pose estimation
-    ransac_hyps: int = 512
+    ransac_hyps: int = 512  # halving to 256 was tried and REVERTED:
+    #   the noisy-mono canary (PnP-only regime) fails at 256
     ransac_px: float = 5.0
     min_pose_inliers: int = 10  # reference FrontEnd.cpp:6132
     # search-by-projection gate for inter-frame matching (reference

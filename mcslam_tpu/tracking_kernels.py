@@ -149,6 +149,12 @@ def _track_core(
     masks = jnp.stack(
         [with_lm, with_lm & rr_kab.inliers, with_lm & rr_pnp.inliers]
     )
+    # NOTE: the full 8x2 refine budget here is load-bearing. Cheaper
+    # variants all failed a suite knife-edge: portfolio rounds=1 nudges
+    # the VIO blob scene over its ATE bound (0.083 vs 0.08), iters<8
+    # breaks the noisy-mono Sim(3) canary, and the local-map refine
+    # budget below regressed the VIO probe 0.04 -> 0.26 at iters=5.
+    # The deferred-accept scan already cut the per-step cost ~40%.
     refs = jax.vmap(
         lambda T0, m: pose_opt.optimize_pose(
             T0, X_world, cur_uv, cTr, f, m, sigma2=cur_sigma2
@@ -227,6 +233,10 @@ def _localmap_core(
     X_world = map_pos[jnp.maximum(lm, 0)]
     cTr = cam_T_ref[im_anchor]
     f = fxycxy[im_anchor]
+    # iters=5 x 2 rounds: T_wr already went through the portfolio refine,
+    # so this pass starts inside the basin and only folds in the
+    # local-map matches; both re-gate rounds are kept (new matches need
+    # the chi2 cleanup)
     ref = pose_opt.optimize_pose(
         T_wr, X_world, im_uv, cTr, f, sel, sigma2=im_sigma2
     )
