@@ -26,6 +26,11 @@ def build_reader(settings):
     from mcslam_tpu.data import readers
 
     fr = settings.frames_range
+    if settings.raw.get("mcraw_path"):
+        # decode-free mmap replay container (scripts/convert_to_mcraw.py)
+        from mcslam_tpu.data.native_loader import McrawReader
+
+        return McrawReader(settings.raw["mcraw_path"])
     if settings.raw.get("video_streams"):
         paths = [p for p in settings.raw["video_streams"].split(",") if p]
         return readers.VideoReader(paths, shifts=settings.shifts)

@@ -64,6 +64,22 @@ def _load():
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.mcraw_write.restype = ctypes.c_int
+    lib.mcraw_write.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.mcraw_open.restype = ctypes.c_void_p
+    lib.mcraw_open.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.mcraw_read.restype = ctypes.c_int
+    lib.mcraw_read.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.mcraw_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -144,3 +160,86 @@ def folder_reader(root, cam_dirs=None, depth: int = 4, threads: int = 2):
 
     idx = ImageFolderReader(root, cam_dirs)
     return NativePrefetchReader(idx.rows, depth=depth, threads=threads)
+
+
+# ---- MCRAW: decode-free mmap replay container ------------------------------
+
+
+def mcraw_write(path, frames: np.ndarray, timestamps=None) -> None:
+    """Write an MCRAW container. frames: (F, C, H, W) uint8 (or float in
+    [0, 1], quantized). Timestamps (seconds) go to a <path>.ts.npy sidecar."""
+    lib = _load()
+    frames = np.asarray(frames)
+    if frames.dtype != np.uint8:
+        frames = np.clip(frames * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    frames = np.ascontiguousarray(frames)
+    F, C, H, W = frames.shape
+    rc = lib.mcraw_write(
+        str(path).encode(), F, C, H, W,
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise IOError(f"mcraw_write failed for {path}")
+    if timestamps is not None:
+        np.save(str(path) + ".ts.npy", np.asarray(timestamps, np.float64))
+
+
+class McrawReader:
+    """DatasetReaderBase-contract reader over an MCRAW container: the
+    session's frames mmap'd as raw bytes — replay pays a u8->f32 convert,
+    never a PNG/JPEG decode. Timestamps come from the <path>.ts.npy
+    sidecar when present, else `fps`."""
+
+    def __init__(self, path, fps: float = 20.0):
+        lib = _load()
+        nf = ctypes.c_long()
+        nc = ctypes.c_int()
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        self._h = lib.mcraw_open(
+            str(path).encode(), ctypes.byref(nf), ctypes.byref(nc),
+            ctypes.byref(h), ctypes.byref(w),
+        )
+        if not self._h:
+            raise IOError(f"cannot open MCRAW container {path}")
+        self._lib = lib
+        self.n_frames = int(nf.value)
+        self.n_cams = int(nc.value)
+        self.height, self.width = int(h.value), int(w.value)
+        import os
+
+        ts_path = str(path) + ".ts.npy"
+        self.timestamps = (
+            np.load(ts_path) if os.path.exists(ts_path)
+            else np.arange(self.n_frames) / fps
+        )
+        self._buf = np.empty((self.n_cams, self.height, self.width),
+                             np.float32)
+        self._idx = 0
+
+    def __len__(self):
+        return self.n_frames
+
+    def get_next(self):
+        if self._idx >= self.n_frames:
+            return None
+        rc = self._lib.mcraw_read(
+            self._h, self._idx,
+            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise IOError(f"mcraw_read({self._idx}) failed")
+        t = float(self.timestamps[self._idx])
+        self._idx += 1
+        return self._buf.copy(), t
+
+    def close(self):
+        if self._h:
+            self._lib.mcraw_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 - interpreter shutdown
+            pass

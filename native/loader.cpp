@@ -13,6 +13,11 @@
 #include <cstddef>
 #include <cstdio>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <jpeglib.h>
 #include <png.h>
 
@@ -266,6 +271,108 @@ int probe_image(const char* path, int* w, int* h) {
   *w = ww;
   *h = hh;
   return 0;
+}
+
+// ---- MCRAW: mmap'd raw frame container --------------------------------
+//
+// Decode-free replay format: one file holding every frame of a session as
+// contiguous uint8 grayscale, read back through mmap (zero-copy page-cache
+// reads, no PNG/JPEG work on the replay path). The converter decodes a
+// dataset ONCE (scripts/convert_to_mcraw.py); replay then streams at
+// memory-bandwidth speed — the rosbag-replaces-decode idea of the
+// reference's bag path, without the serialization layer.
+//
+// Layout: 32-byte header {magic "MCRW", u32 version, u32 n_frames,
+// u32 n_cams, u32 height, u32 width, u64 reserved} + frames, each
+// n_cams*height*width bytes, frame-major. Timestamps live in a numpy
+// sidecar (<path>.ts.npy) on the Python side.
+
+struct McrawHeader {
+  char magic[4];
+  uint32_t version;
+  uint32_t n_frames, n_cams, height, width;
+  uint64_t reserved;
+};
+
+struct Mcraw {
+  int fd = -1;
+  size_t bytes = 0;
+  const uint8_t* base = nullptr;
+  McrawHeader hdr{};
+};
+
+int mcraw_write(const char* path, long n_frames, int n_cams, int height,
+                int width, const uint8_t* data) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  McrawHeader hdr{};
+  memcpy(hdr.magic, "MCRW", 4);
+  hdr.version = 1;
+  hdr.n_frames = (uint32_t)n_frames;
+  hdr.n_cams = (uint32_t)n_cams;
+  hdr.height = (uint32_t)height;
+  hdr.width = (uint32_t)width;
+  const size_t n = (size_t)n_frames * n_cams * height * width;
+  bool ok = fwrite(&hdr, sizeof(hdr), 1, f) == 1 &&
+            fwrite(data, 1, n, f) == n;
+  fclose(f);
+  return ok ? 0 : -1;
+}
+
+void* mcraw_open(const char* path, long* n_frames, int* n_cams, int* height,
+                 int* width) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || (size_t)st.st_size < sizeof(McrawHeader)) {
+    close(fd);
+    return nullptr;
+  }
+  void* base = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  if (base == MAP_FAILED) {
+    close(fd);
+    return nullptr;
+  }
+  Mcraw* m = new Mcraw();
+  m->fd = fd;
+  m->bytes = st.st_size;
+  m->base = (const uint8_t*)base;
+  memcpy(&m->hdr, base, sizeof(McrawHeader));
+  const size_t need =
+      sizeof(McrawHeader) + (size_t)m->hdr.n_frames * m->hdr.n_cams *
+                                m->hdr.height * m->hdr.width;
+  if (memcmp(m->hdr.magic, "MCRW", 4) != 0 || m->hdr.version != 1 ||
+      m->bytes < need) {
+    munmap((void*)m->base, m->bytes);
+    close(fd);
+    delete m;
+    return nullptr;
+  }
+  madvise((void*)m->base, m->bytes, MADV_SEQUENTIAL);
+  *n_frames = m->hdr.n_frames;
+  *n_cams = m->hdr.n_cams;
+  *height = m->hdr.height;
+  *width = m->hdr.width;
+  return m;
+}
+
+// Convert frame i to float32 [0,1] into out (n_cams*H*W floats).
+int mcraw_read(void* handle, long i, float* out) {
+  Mcraw* m = (Mcraw*)handle;
+  if (i < 0 || (uint32_t)i >= m->hdr.n_frames) return -1;
+  const size_t fsz =
+      (size_t)m->hdr.n_cams * m->hdr.height * m->hdr.width;
+  const uint8_t* src = m->base + sizeof(McrawHeader) + (size_t)i * fsz;
+  const float s = 1.0f / 255.0f;
+  for (size_t k = 0; k < fsz; ++k) out[k] = src[k] * s;
+  return 0;
+}
+
+void mcraw_close(void* handle) {
+  Mcraw* m = (Mcraw*)handle;
+  if (m->base) munmap((void*)m->base, m->bytes);
+  if (m->fd >= 0) close(m->fd);
+  delete m;
 }
 
 }  // extern "C"
