@@ -101,7 +101,7 @@ def main():
     d_cand, d_cand_valid = jnp.asarray(cand_pad), jnp.asarray(cand_valid)
     pred_T = jnp.eye(4, dtype=jnp.float32)
 
-    def stage_b(key, cur, prev_desc, prev_valid):
+    def _stage_b(key, cur, prev_desc, prev_valid, fastpath_frac):
         return tk._track_and_map_step(
             key, cur.im_desc, cur.im_valid, cur.im_uv_ref,
             cur.im_anchor_cam, cur.im_sigma2, cur.im_point3d,
@@ -111,10 +111,24 @@ def main():
             scfg.ransac_hyps, scfg.ransac_px, scfg.inter_max_dist,
             scfg.inter_ratio, rig.image_size, scfg.local_map_radius_px,
             scfg.local_map_max_dist, scfg.track_match_radius_px,
+            fastpath_frac, scfg.track_fastpath_min_inliers,
         )
+
+    def stage_b(key, cur, prev_desc, prev_valid):
+        # production config: the motion fast path decides per frame
+        return _stage_b(key, cur, prev_desc, prev_valid,
+                        scfg.track_fastpath_frac)
+
+    def stage_b_slow(key, cur, prev_desc, prev_valid):
+        # forced full portfolio (frac > 1 disables the fast path): the
+        # weak-frame cost, reported alongside so the headline can't hide
+        # behind an unrealistically clean bench scene
+        return _stage_b(key, cur, prev_desc, prev_valid, 2.0)
 
     packed = stage_b(key, ff1, d_prev_desc, d_prev_valid)
     jax.block_until_ready(packed)
+    fast_taken = float(np.asarray(packed)[20])  # header slot 5: fastpath
+    _ = stage_b_slow(key, ff1, d_prev_desc, d_prev_valid)
 
     # ---- stage C: window BA (6 KFs, 2048 lms, 8192-obs tier) ----
     # kf-blocked observation layout + warm-window iteration budget: exactly
@@ -240,8 +254,15 @@ def main():
     t_pipe = min(pipeline_window() for _ in range(3))
 
     t_a = timeit(lambda i: stage_a(imgs[i % 2]).im_desc.sum())
-    t_b = timeit(
+    t_b_prod = timeit(
         lambda i: stage_b(
+            key, ff1 if i % 2 else ff0,
+            *((ff0.im_desc, ff0.im_valid) if i % 2
+              else (ff1.im_desc, ff1.im_valid)),
+        )[:20].sum()
+    )
+    t_b_slow = timeit(
+        lambda i: stage_b_slow(
             key, ff1 if i % 2 else ff0,
             *((ff0.im_desc, ff0.im_valid) if i % 2
               else (ff1.im_desc, ff1.im_valid)),
@@ -249,6 +270,21 @@ def main():
     )
     t_c = timeit(lambda i: solve(problem).poses.sum(), n=10, reps=5)
     t_d = timeit(lambda i: vio_jit(vio_problem).poses.sum(), n=10, reps=5)
+
+    # Stage-B accounting: this bench scene is clean, so its production
+    # dispatch would take the motion fast path ~always — flattering vs a
+    # real noisy drive. The headline therefore mixes the two compiled
+    # paths at the take-rate MEASURED on the hard-mode synthetic drive
+    # (textured world + photometric corruption, tests/test_hard_synthetic
+    # sessions; see docs/PERF.md "motion fast path"), not this scene's.
+    # 22/34 frames took the fast path on the hard textured+photometric
+    # drive at the production thresholds (frac=0.6/min=30) — the most
+    # adversarial scene in the suite, so this under-states clean-footage
+    # runs (the VIO blob scene measured 11/16, this bench scene ~1.0)
+    FAST_SHARE_MEASURED = 0.65
+    t_b = (FAST_SHARE_MEASURED * t_b_prod
+           + (1.0 - FAST_SHARE_MEASURED) * t_b_slow) \
+        if fast_taken > 0.5 else t_b_prod
 
     # Headline: pipelined per-stage throughput (the production-TPU number;
     # comparable with BENCH_r01/r02). The per-frame-fetch loop below pays
@@ -259,6 +295,8 @@ def main():
     fps = 1.0 / per_frame
     print(
         f"# stage_a(frame build)={t_a*1e3:.2f}ms stage_b(track)={t_b*1e3:.2f}ms"
+        f" [fast-path dispatch {t_b_prod*1e3:.2f}, full portfolio "
+        f"{t_b_slow*1e3:.2f}, mixed at {FAST_SHARE_MEASURED:.0%} fast]"
         f" stage_c(BA solve)={t_c*1e3:.2f}ms"
         f" stage_d(VIO solve, diagnostic)={t_d*1e3:.2f}ms",
         file=sys.stderr,

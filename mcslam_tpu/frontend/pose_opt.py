@@ -144,9 +144,13 @@ def optimize_pose(
             )
             return carry, None
 
+        # unroll: the step body is small (one M-point linearize + a 6x6
+        # solve), so the scan's per-step loop overhead is a real fraction
+        # of the latency-bound 16-step chain; unrolling keeps identical
+        # math while letting XLA schedule across steps
         (T, _, _, _, r, _), _ = jax.lax.scan(
             lm_step, (T, H0, g, c, r, jnp.asarray(lm_lambda, T.dtype)),
-            None, length=iters,
+            None, length=iters, unroll=True,
         )
         # chi2 re-gate for the next round from the carried residuals
         chi2 = jnp.sum(r * r, axis=-1) * inv_sig2
@@ -154,7 +158,7 @@ def optimize_pose(
         return (T, active), None
 
     (T, active), _ = jax.lax.scan(
-        lm_round, (T_init, mask), None, length=rounds
+        lm_round, (T_init, mask), None, length=rounds, unroll=True
     )
     r = _residuals(jnp.zeros(6, T.dtype), T, X_world, uv, cam_T_ref, fxycxy)
     chi2 = jnp.sum(r * r, axis=-1) * inv_sig2

@@ -111,7 +111,10 @@ def refine_points_gn(
         g = jnp.einsum("...rai,...ra->...i", J, r)
         return X - linalg3.solve3(H, g)
 
-    return jax.lax.fori_loop(0, iters, step, X0)
+    # unrolled: the body is a handful of fused elementwise kernels, so the
+    # while-loop bookkeeping (condition sync per step) costs more than the
+    # straight-line repetition on TPU
+    return jax.lax.fori_loop(0, iters, step, X0, unroll=True)
 
 
 def chi2_gate(
@@ -276,7 +279,7 @@ def triangulate_and_refine(
         dX, _ = _solve3_elem(H, g, damping=damping)
         return [X[i] - dX[i] for i in range(3)]
 
-    X = jax.lax.fori_loop(0, gn_iters, step, X0)
+    X = jax.lax.fori_loop(0, gn_iters, step, X0, unroll=True)
     # fall back to the linear solution if GN diverged
     fin = jnp.isfinite(X[0]) & jnp.isfinite(X[1]) & jnp.isfinite(X[2])
     X = [jnp.where(fin, X[i], X0[i]) for i in range(3)]

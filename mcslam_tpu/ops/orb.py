@@ -100,7 +100,7 @@ def patch_orientation(patches: jax.Array, center_yx: jax.Array,
     circular mask is centered: border keypoints are rejected upstream by
     the EDGE margin, so the patch is never clamped against the keypoint.
     """
-    W = jnp.asarray(_moment_weight_matrix())
+    W = jnp.asarray(_moment_weight_matrix()).astype(patches.dtype)
     flat = patches.reshape(patches.shape[0], PATCH * PATCH)
     m = jax.lax.dot_general(
         flat, W, (((1,), (0,)), ((), ())),
@@ -170,21 +170,6 @@ def compute_descriptors_patch(
     ).astype(jnp.int32) % angle_bins
     sel = jnp.take_along_axis(bits_all, b[:, None, None], axis=1)[:, 0, :]
     return hamming.pack_bits(sel.astype(jnp.uint32))
-
-
-def compute_descriptors(
-    blurred: jax.Array,
-    xy: jax.Array,
-    angle: jax.Array,
-) -> jax.Array:
-    """Steered BRIEF-256 via patch extraction (API-compatible wrapper)."""
-    yx = jnp.stack([xy[:, 1], xy[:, 0]], axis=-1).astype(jnp.int32)
-    patches, origin = extract_patches(blurred, yx)
-    center = jnp.stack(
-        [xy[:, 1] - origin[:, 0].astype(jnp.float32),
-         xy[:, 0] - origin[:, 1].astype(jnp.float32)], axis=-1,
-    )
-    return compute_descriptors_patch(patches, center, angle)
 
 
 class Keypoints(NamedTuple):
@@ -315,7 +300,14 @@ def extract_orb_rig(
     valid = valid & inb
 
     # patch-local orientation + descriptors (one contiguous window per
-    # keypoint; no dense conv, no global point gathers)
+    # keypoint; no dense conv, no global point gathers).
+    # bf16 patches were tried (halve the DMA band traffic) and REVERTED:
+    # the descriptor matmul already ran bf16 so the bits only move
+    # through the ORIENTATION — bf16 moment rounding flips the steering
+    # bin for the few-percent of keypoints near a bin boundary, whose
+    # descriptors then decorrelate across views. Measured: loop-retrieval
+    # recall on the hard-mode corpus 0.77 -> 0.567 (precision held).
+    # Orientation quality is load-bearing; patches stay f32.
     if _use_pallas():
         from mcslam_tpu.ops.patch_pallas import extract_patches_pallas
 

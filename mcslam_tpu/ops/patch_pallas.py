@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _patch_kernel(org_ref, img_hbm, out_ref, scratch, sems, *, B, P, Psub,
-                  Rows, Lanes):
+                  Rows, Lanes, Sub):
     c = pl.program_id(0)
     t = pl.program_id(1)
     dmas = []
@@ -37,7 +37,7 @@ def _patch_kernel(org_ref, img_hbm, out_ref, scratch, sems, *, B, P, Psub,
         packed = org_ref[c, n]  # y0 * 65536 + x0 (SMEM-friendly layout)
         y0 = packed // 65536
         x0 = packed % 65536
-        ya = (y0 // 8) * 8  # provably 8-aligned sublane start
+        ya = (y0 // Sub) * Sub  # provably sublane-aligned start
         xa = (x0 // 128) * 128  # provably 128-aligned lane start
         dma = pltpu.make_async_copy(
             img_hbm.at[c, pl.ds(ya, Rows), pl.ds(xa, Lanes)],
@@ -50,7 +50,7 @@ def _patch_kernel(org_ref, img_hbm, out_ref, scratch, sems, *, B, P, Psub,
         dma.wait()
         n = t * B + b
         packed = org_ref[c, n]
-        dy = (packed // 65536) % 8
+        dy = (packed // 65536) % Sub
         dx = (packed % 65536) % 128
         band = scratch[b]  # (Rows, Lanes)
         # roll the residual offsets off the top/left; wrapped garbage
@@ -77,8 +77,13 @@ def extract_patches_pallas(
     C, H, W = imgs.shape
     N = yx.shape[1]
     P = PATCH
-    Psub = -(-P // 8) * 8  # output rows, sublane aligned
-    Rows = Psub + 8  # copied rows: aligned start + residual offset < 8
+    # sublane packing depends on element width: 8 rows/tile for 4-byte
+    # types, 16 for 2-byte (bf16) — DMA row starts must be tile-aligned.
+    # bf16 patches halve the dominant cost of this kernel (the copy
+    # amplification: a (Rows, 256) band is fetched per 39x39 patch).
+    Sub = 8 if imgs.dtype.itemsize >= 4 else 16
+    Psub = -(-P // Sub) * Sub  # output rows, sublane aligned
+    Rows = Psub + Sub  # copied rows: aligned start + residual offset < Sub
     Lanes = 256  # copied cols: aligned start + residual (<128) + P <= 256
     y0 = jnp.clip(yx[..., 0] - PATCH_R, 0, H - P)
     x0 = jnp.clip(yx[..., 1] - PATCH_R, 0, W - P)
@@ -96,7 +101,7 @@ def extract_patches_pallas(
     org_p = jnp.pad(packed, ((0, 0), (0, Np - N)))
 
     kernel = functools.partial(_patch_kernel, B=B, P=P, Psub=Psub, Rows=Rows,
-                               Lanes=Lanes)
+                               Lanes=Lanes, Sub=Sub)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(C, n_tiles),
@@ -106,7 +111,7 @@ def extract_patches_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, Rows, Lanes), jnp.float32),
+            pltpu.VMEM((B, Rows, Lanes), imgs.dtype),
             pltpu.SemaphoreType.DMA((B,)),
         ],
     )

@@ -56,6 +56,25 @@ class SlamConfig:
     # (textured-world sessions fail without the gate); on distinctive
     # scenes it is a no-op.
     track_match_radius_px: float = 100.0
+    # motion-model fast path (reference structure: TrackWithMotionModel
+    # first, sampling-based estimation only on failure): when the refined
+    # motion-prediction candidate alone explains >= frac of the landmark
+    # matches (and >= min absolute inliers), the Kabsch/PnP RANSAC stages
+    # are skipped inside the fused track program (lax.cond) — they are
+    # pure insurance on steady frames and cost real device time. Set
+    # frac > 1 to force the full portfolio every frame.
+    #
+    # Threshold calibration (measured on the three canary scenes): at
+    # frac=0.6/min=30 the hard textured+photometric drive takes the fast
+    # path on 22/34 frames with zero failures and equal ATE (0.297 vs
+    # 0.251, bound 1.5), and the VIO blob scene on 11/16 frames at
+    # bit-identical ATE. MONOCULAR sessions are the exception: the noisy
+    # mono Sim(3) canary lost tracking at both 0.6 and 0.85 (scale drift
+    # makes the prediction weak and the PnP candidate is mono's
+    # lifeline), so the driver forces the full portfolio whenever
+    # rig.num_cams == 1 regardless of this setting.
+    track_fastpath_frac: float = 0.6
+    track_fastpath_min_inliers: int = 30
     # keyframe policy (reference FrontEnd.cpp:6169-6175, 6312-6316)
     kf_translation: float = 0.12
     kf_rotation: float = 0.12
@@ -156,6 +175,12 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         self.rig = rig
         self.cfg = config or SlamConfig()
         self.mesh = mesh
+        # mono guard for the motion fast path (see SlamConfig note): with
+        # one camera the prediction is scale-weak and the PnP candidate
+        # is the lifeline — always run the full portfolio
+        self._fastpath_frac = (
+            self.cfg.track_fastpath_frac if rig.num_cams >= 2 else 2.0
+        )
         self.map = LandmarkMap()
         from mcslam_tpu.mapping.device_map import DeviceMap
 
@@ -534,16 +559,21 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
                 cfg.inter_ratio,
                 pred_T_wr=jnp.asarray(self._predict_pose()),
                 gate_px=cfg.track_match_radius_px,
+                fastpath_frac=self._fastpath_frac,
+                fastpath_min=cfg.track_fastpath_min_inliers,
             )
         # single synchronization point (one packed buffer = one round trip)
         with self.timers.span("track.fetch"):
             v = np.asarray(packed)
         pose = v[:16].reshape(4, 4)
-        n_inl, n_matches, n_lm, rr_ok = v[16:20]
-        M = (len(v) - 20) // 3
-        ok = v[20 : 20 + M] > 0.5
-        idx = v[20 + M : 20 + 2 * M].astype(np.int32)
-        lm_of_match = v[20 + 2 * M :].astype(np.int32)
+        n_inl, n_matches, n_lm, rr_ok, fastpath = v[16:21]
+        self.stats["track_fastpath"] = (
+            self.stats.get("track_fastpath", 0) + int(fastpath > 0.5)
+        )
+        M = (len(v) - 21) // 3
+        ok = v[21 : 21 + M] > 0.5
+        idx = v[21 + M : 21 + 2 * M].astype(np.int32)
+        lm_of_match = v[21 + 2 * M :].astype(np.int32)
         if int(n_matches) < cfg.min_inter_matches:
             return False, None, (ok, idx), lm_of_match
         if int(n_lm) < cfg.min_pose_inliers or rr_ok < 0.5:
@@ -651,16 +681,20 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
                 cfg.inter_ratio, self.rig.image_size,
                 cfg.local_map_radius_px, cfg.local_map_max_dist,
                 cfg.track_match_radius_px,
+                self._fastpath_frac, cfg.track_fastpath_min_inliers,
             )
         with self.timers.span("track.fetch"):
             v = np.asarray(packed)
         M = frame.im_valid.shape[0]
         pose = v[:16].reshape(4, 4)
-        n_inl, n_matches, n_lm, rr_ok = v[16:20]
-        m_ok = v[20 : 20 + M] > 0.5
-        m_idx = v[20 + M : 20 + 2 * M].astype(np.int32)
-        lm_of_match = v[20 + 2 * M : 20 + 3 * M].astype(np.int32)
-        off = 20 + 3 * M
+        n_inl, n_matches, n_lm, rr_ok, fastpath = v[16:21]
+        self.stats["track_fastpath"] = (
+            self.stats.get("track_fastpath", 0) + int(fastpath > 0.5)
+        )
+        m_ok = v[21 : 21 + M] > 0.5
+        m_idx = v[21 + M : 21 + 2 * M].astype(np.int32)
+        lm_of_match = v[21 + 2 * M : 21 + 3 * M].astype(np.int32)
+        off = 21 + 3 * M
         lm_pose = v[off : off + 16].reshape(4, 4).astype(np.float32)
         lm_match = v[off + 16 : off + 16 + M].astype(np.int32)
         inliers = v[off + 16 + M :] > 0.5

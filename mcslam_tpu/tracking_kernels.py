@@ -70,6 +70,7 @@ def _track_core(
     cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos, map_valid,
     cam_T_ref_all, fxycxy_all, pred_T_wr, num_hyp: int, px: float,
     max_dist: int, ratio: float, gate_px: float = 0.0,
+    fastpath_frac: float = 0.95, fastpath_min: int = 100,
 ):
     """Whole inter-frame tracking step on device: match -> landmark lookup
     (device map mirror) -> robust pose (3D-3D or 2D-3D picked by lax.cond)
@@ -135,43 +136,77 @@ def _track_core(
     # tried for the RANSAC stages and REVERTED: with the uniform
     # selection score it only admitted coarser hypotheses — VIO ATE
     # 0.10 -> 0.28, textured-world ATE 0.52 -> 0.82.)
-    rr_kab = ransac.ransac_kabsch(
-        key, cur_p3d, X_world, cur_uv, cTr, f, mask3d,
-        num_hyp=num_hyp, px_thresh=px,
+    #
+    # FAST PATH (reference structure: TrackWithMotionModel first,
+    # TrackReferenceKeyFrame/relocalize only on failure): the motion
+    # candidate is refined up front; when it alone explains >=
+    # fastpath_frac of the landmark matches the RANSAC stages cannot
+    # change the winner materially, so a lax.cond skips them entirely —
+    # the hypothesis solve + (K, M) scoring is pure insurance on steady
+    # frames. Weak frames take the full portfolio (which reuses the
+    # already-refined motion candidate bit-for-bit).
+    #
+    # NOTE: the full 8x2 refine budget is load-bearing. Cheaper variants
+    # all failed a suite knife-edge: portfolio rounds=1 nudges the VIO
+    # blob scene over its ATE bound (0.083 vs 0.08), iters<8 breaks the
+    # noisy-mono Sim(3) canary, and the local-map refine budget
+    # regressed the VIO probe 0.04 -> 0.26 at iters=5. The
+    # deferred-accept scan already cut the per-step cost ~40%.
+    ref_pred = pose_opt.optimize_pose(
+        pred_T_wr, X_world, cur_uv, cTr, f, with_lm, sigma2=cur_sigma2
     )
-    rr_pnp = ransac.ransac_pnp(
-        key, X_world, cur_uv, cTr, f, with_lm,
-        num_hyp=max(num_hyp // 2, 64), px_thresh=px,
+    score_pred, _ = ransac._score_reprojection(
+        ref_pred.world_T_ref[None], X_world, cur_uv, cTr, f, with_lm, px
     )
-    inits = jnp.stack(
-        [pred_T_wr, rr_kab.world_T_ref, rr_pnp.world_T_ref]
+    score_pred = score_pred[0]
+    n_with = jnp.sum(with_lm)
+    strong = (
+        (score_pred >= jnp.int32(fastpath_min))
+        & (score_pred.astype(jnp.float32)
+           >= fastpath_frac * n_with.astype(jnp.float32))
     )
-    masks = jnp.stack(
-        [with_lm, with_lm & rr_kab.inliers, with_lm & rr_pnp.inliers]
-    )
-    # NOTE: the full 8x2 refine budget here is load-bearing. Cheaper
-    # variants all failed a suite knife-edge: portfolio rounds=1 nudges
-    # the VIO blob scene over its ATE bound (0.083 vs 0.08), iters<8
-    # breaks the noisy-mono Sim(3) canary, and the local-map refine
-    # budget below regressed the VIO probe 0.04 -> 0.26 at iters=5.
-    # The deferred-accept scan already cut the per-step cost ~40%.
-    refs = jax.vmap(
-        lambda T0, m: pose_opt.optimize_pose(
-            T0, X_world, cur_uv, cTr, f, m, sigma2=cur_sigma2
+
+    def _portfolio(key):
+        rr_kab = ransac.ransac_kabsch(
+            key, cur_p3d, X_world, cur_uv, cTr, f, mask3d,
+            num_hyp=num_hyp, px_thresh=px,
         )
-    )(inits, masks)
-    # UNIFORM selection score: each candidate's refine mask is a
-    # different subset of the matches, so comparing refs.num_inliers
-    # biases the argmax toward the candidate with the largest mask (the
-    # motion prediction, whose mask is ALL matches) — measured as a 3x
-    # ATE regression on accelerating VIO scenes. Score every refined
-    # pose by reprojection inliers over the SAME full match set instead.
-    scores, _ = ransac._score_reprojection(
-        refs.world_T_ref, X_world, cur_uv, cTr, f, with_lm, px
+        rr_pnp = ransac.ransac_pnp(
+            key, X_world, cur_uv, cTr, f, with_lm,
+            num_hyp=max(num_hyp // 2, 64), px_thresh=px,
+        )
+        inits = jnp.stack([rr_kab.world_T_ref, rr_pnp.world_T_ref])
+        masks = jnp.stack(
+            [with_lm & rr_kab.inliers, with_lm & rr_pnp.inliers]
+        )
+        refs = jax.vmap(
+            lambda T0, m: pose_opt.optimize_pose(
+                T0, X_world, cur_uv, cTr, f, m, sigma2=cur_sigma2
+            )
+        )(inits, masks)
+        # UNIFORM selection score: each candidate's refine mask is a
+        # different subset of the matches, so comparing refs.num_inliers
+        # biases the argmax toward the candidate with the largest mask
+        # (the motion prediction, whose mask is ALL matches) — measured
+        # as a 3x ATE regression on accelerating VIO scenes. Score every
+        # refined pose by reprojection inliers over the SAME full match
+        # set instead.
+        cand_T = jnp.concatenate(
+            [ref_pred.world_T_ref[None], refs.world_T_ref], axis=0
+        )
+        scores, _ = ransac._score_reprojection(
+            cand_T, X_world, cur_uv, cTr, f, with_lm, px
+        )
+        best = jnp.argmax(scores)
+        return cand_T[best], scores[best].astype(jnp.int32)
+
+    T_best, n_uniform = jax.lax.cond(
+        strong,
+        lambda _k: (ref_pred.world_T_ref, score_pred.astype(jnp.int32)),
+        _portfolio,
+        key,
     )
-    best = jnp.argmax(scores)
-    ref = jax.tree.map(lambda x: x[best], refs)
-    n_uniform = scores[best].astype(jnp.int32)
+    ref = ref_pred._replace(world_T_ref=T_best)
     rr_ok = n_uniform >= 10
     # pack EVERYTHING into one f32 vector: the host<->device tunnel charges
     # a full round trip per fetched buffer, so one buffer = one RTT
@@ -183,6 +218,7 @@ def _track_core(
             jnp.sum(res.ok).astype(jnp.float32),
             with_lm.sum().astype(jnp.float32),
             rr_ok.astype(jnp.float32),
+            strong.astype(jnp.float32),  # fast path taken this frame
         ]),
         res.ok.astype(jnp.float32),
         res.idx.astype(jnp.float32),
@@ -193,13 +229,17 @@ def _track_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_hyp", "px", "max_dist", "ratio", "gate_px"),
+    static_argnames=(
+        "num_hyp", "px", "max_dist", "ratio", "gate_px",
+        "fastpath_frac", "fastpath_min",
+    ),
 )
 def _track_step(
     key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
     cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos, map_valid,
     cam_T_ref_all, fxycxy_all, num_hyp: int, px: float, max_dist: int,
     ratio: float, pred_T_wr=None, gate_px: float = 0.0,
+    fastpath_frac: float = 0.95, fastpath_min: int = 100,
 ):
     if pred_T_wr is None:
         pred_T_wr = jnp.eye(4, dtype=jnp.float32)
@@ -208,7 +248,7 @@ def _track_step(
         key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
         cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos,
         map_valid, cam_T_ref_all, fxycxy_all, pred_T_wr, num_hyp, px,
-        max_dist, ratio, gate_px,
+        max_dist, ratio, gate_px, fastpath_frac, fastpath_min,
     )[0]
 
 
@@ -266,7 +306,7 @@ def _local_map_step(
     jax.jit,
     static_argnames=(
         "num_hyp", "px", "max_dist", "ratio", "image_wh", "lm_radius",
-        "lm_max_dist", "gate_px",
+        "lm_max_dist", "gate_px", "fastpath_frac", "fastpath_min",
     ),
 )
 def _track_and_map_step(
@@ -276,6 +316,7 @@ def _track_and_map_step(
     cam_T_ref_all, fxycxy_all, pred_T_wr, num_hyp: int, px: float,
     max_dist: int, ratio: float, image_wh=None, lm_radius: float = 15.0,
     lm_max_dist: int = 64, gate_px: float = 0.0,
+    fastpath_frac: float = 0.95, fastpath_min: int = 100,
 ):
     """Inter-frame tracking + local-map tracking as ONE program with ONE
     packed output: the tunneled relay charges a ~20 ms host round trip per
@@ -290,7 +331,7 @@ def _track_and_map_step(
         key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
         cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos,
         map_valid, cam_T_ref_all, fxycxy_all, pred_T_wr, num_hyp, px,
-        max_dist, ratio, gate_px,
+        max_dist, ratio, gate_px, fastpath_frac, fastpath_min,
     )
     lm_packed = _localmap_core(
         pose, cand_ids, cand_valid, map_pos, map_desc, map_normal,

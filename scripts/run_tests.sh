@@ -6,6 +6,11 @@
 # makes the extra process startups cheap after the first run.
 set -e
 cd "$(dirname "$0")/.."
+# Tests force JAX_PLATFORMS=cpu (tests/conftest.py); ALSO skip the TPU
+# tunnel's sitecustomize registration (it keys off PALLAS_AXON_POOL_IPS):
+# when the relay is slow/down, every python startup otherwise blocks for
+# minutes in the PJRT handshake the tests never use.
+unset PALLAS_AXON_POOL_IPS
 FAILED=0
 run() { echo "== pytest $* =="; python -m pytest -q "$@" || FAILED=1; }
 run tests/test_lie.py tests/test_camera_geom.py tests/test_ops.py \

@@ -175,3 +175,21 @@ def test_enu_converter():
     # straight up
     enu_up = conv.to_enu(42.3601, -71.0589, 110.0)
     np.testing.assert_allclose(enu_up, [0.0, 0.0, 100.0], atol=0.01)
+
+
+def test_chol_solve6_matches_dense_solve():
+    """Unrolled-Cholesky 6x6 solve (latency path for the pose-LM chain)
+    vs numpy LU on random damped SPD systems."""
+    from mcslam_tpu.geometry import linalg3
+
+    rng = np.random.RandomState(3)
+    A = rng.randn(40, 6, 6).astype(np.float32)
+    H = np.einsum("kij,klj->kil", A, A) + 1e-3 * np.eye(6, dtype=np.float32)
+    g = rng.randn(40, 6).astype(np.float32)
+    x = np.asarray(linalg3.chol_solve6(jnp.asarray(H), jnp.asarray(g)))
+    xr = np.stack([
+        np.linalg.solve(H[i].astype(np.float64), g[i].astype(np.float64))
+        for i in range(40)
+    ])
+    rel = np.abs(x - xr) / np.maximum(np.abs(xr), 1e-6)
+    assert rel.max() < 5e-3
