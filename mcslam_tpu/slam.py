@@ -152,8 +152,8 @@ class SlamConfig:
 
 from mcslam_tpu.keyframe import Keyframe, _pack_kf  # noqa: F401,E402
 from mcslam_tpu.tracking_kernels import (  # noqa: F401,E402
-    _local_map_step, _match_descriptors, _mutual_match,
-    _project_and_match_local, _track_and_map_step, _track_step,
+    _match_descriptors, _mutual_match,
+    _project_and_match_local, _track_and_map_step,
     _triangulate_pairs,
     _triangulate_pairs_far,
 )
@@ -541,47 +541,6 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
                 self.kf_bias[kf.kf_id] = self.bias.copy()
         return True
 
-    def _estimate_pose(self, frame: FrameFeatures, kf: Keyframe):
-        """Inter-frame matching + robust pose vs the previous keyframe's
-        landmarks, as ONE device dispatch chain with a single host fetch
-        (each host round trip costs tens of ms through a tunneled TPU).
-        Returns (ok, pose, match_result, lm_of_match)."""
-        cfg = self.cfg
-        with self.timers.span("track.dispatch"):
-            packed = _track_step(
-                self._next_key(), frame.im_desc, frame.im_valid,
-                frame.im_uv_ref, frame.im_anchor_cam, frame.im_sigma2,
-                frame.im_point3d, frame.im_has_depth,
-                *kf.device_desc(),
-                kf.d_lm_id(), self.dmap.pos, self.dmap.valid,
-                self.rig.cam_T_ref, self.rig.fxycxy,
-                cfg.ransac_hyps, cfg.ransac_px, cfg.inter_max_dist,
-                cfg.inter_ratio,
-                pred_T_wr=jnp.asarray(self._predict_pose()),
-                gate_px=cfg.track_match_radius_px,
-                fastpath_frac=self._fastpath_frac,
-                fastpath_min=cfg.track_fastpath_min_inliers,
-            )
-        # single synchronization point (one packed buffer = one round trip)
-        with self.timers.span("track.fetch"):
-            v = np.asarray(packed)
-        pose = v[:16].reshape(4, 4)
-        n_inl, n_matches, n_lm, rr_ok, fastpath = v[16:21]
-        self.stats["track_fastpath"] = (
-            self.stats.get("track_fastpath", 0) + int(fastpath > 0.5)
-        )
-        M = (len(v) - 21) // 3
-        ok = v[21 : 21 + M] > 0.5
-        idx = v[21 + M : 21 + 2 * M].astype(np.int32)
-        lm_of_match = v[21 + 2 * M :].astype(np.int32)
-        if int(n_matches) < cfg.min_inter_matches:
-            return False, None, (ok, idx), lm_of_match
-        if int(n_lm) < cfg.min_pose_inliers or rr_ok < 0.5:
-            return False, None, (ok, idx), lm_of_match
-        if int(n_inl) < cfg.min_pose_inliers:
-            return False, None, (ok, idx), lm_of_match
-        return True, pose.astype(np.float32), (ok, idx), lm_of_match
-
     def _local_map_candidates(self):
         """Landmark ids seen by recent keyframes (covisible set)."""
         ids = []
@@ -592,33 +551,6 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         ids = np.unique(np.concatenate(ids))
         ids = ids[self.map.valid[ids]]
         return ids[: self.cfg.local_map_landmarks]
-
-    def _track_local_map(self, frame: FrameFeatures, pose):
-        """Project covisible landmarks, match, refine pose. Returns
-        (pose, lm_match (M,) int32, inlier_mask (M,)). Candidate landmark
-        data is gathered from the device map mirror (only the id list — a
-        few KB — is uploaded), and the whole step fetches once."""
-        cfg = self.cfg
-        cand = self._local_map_candidates()
-        L = cfg.local_map_landmarks
-        n = len(cand)
-        cand_pad = np.zeros(L, np.int32)
-        cand_pad[:n] = cand
-        packed = _local_map_step(
-            jnp.asarray(pose), jnp.asarray(cand_pad),
-            jnp.asarray(np.arange(L) < n),
-            self.dmap.pos, self.dmap.desc, self.dmap.normal,
-            frame.im_desc, frame.im_uv_ref, frame.im_anchor_cam,
-            frame.im_valid, frame.im_sigma2,
-            self.rig.cam_T_ref, self.rig.fxycxy, self.rig.image_size,
-            cfg.local_map_radius_px, cfg.local_map_max_dist,
-        )
-        v = np.asarray(packed)
-        new_pose = v[:16].reshape(4, 4).astype(np.float32)
-        M = (len(v) - 16) // 2
-        lm_match = v[16 : 16 + M].astype(np.int32)
-        inl = v[16 + M :] > 0.5
-        return new_pose, lm_match, inl
 
     def _predict_pose(self) -> np.ndarray:
         """Pose prediction for the search-by-projection gate and the

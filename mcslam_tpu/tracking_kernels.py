@@ -227,31 +227,6 @@ def _track_core(
     return packed, ref.world_T_ref
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_hyp", "px", "max_dist", "ratio", "gate_px",
-        "fastpath_frac", "fastpath_min",
-    ),
-)
-def _track_step(
-    key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
-    cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos, map_valid,
-    cam_T_ref_all, fxycxy_all, num_hyp: int, px: float, max_dist: int,
-    ratio: float, pred_T_wr=None, gate_px: float = 0.0,
-    fastpath_frac: float = 0.95, fastpath_min: int = 100,
-):
-    if pred_T_wr is None:
-        pred_T_wr = jnp.eye(4, dtype=jnp.float32)
-        gate_px = 0.0
-    return _track_core(
-        key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
-        cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos,
-        map_valid, cam_T_ref_all, fxycxy_all, pred_T_wr, num_hyp, px,
-        max_dist, ratio, gate_px, fastpath_frac, fastpath_min,
-    )[0]
-
-
 def _localmap_core(
     T_wr, cand_ids, cand_valid, map_pos, map_desc, map_normal, im_desc,
     im_uv, im_anchor, im_valid, im_sigma2, cam_T_ref, fxycxy, image_wh,
@@ -287,19 +262,6 @@ def _localmap_core(
         lm_out.astype(jnp.float32),
         ref.inliers.astype(jnp.float32),
     ])
-
-
-@functools.partial(jax.jit, static_argnames=("image_wh", "radius", "max_dist"))
-def _local_map_step(
-    T_wr, cand_ids, cand_valid, map_pos, map_desc, map_normal, im_desc,
-    im_uv, im_anchor, im_valid, im_sigma2, cam_T_ref, fxycxy, image_wh,
-    radius: float, max_dist: int,
-):
-    return _localmap_core(
-        T_wr, cand_ids, cand_valid, map_pos, map_desc, map_normal, im_desc,
-        im_uv, im_anchor, im_valid, im_sigma2, cam_T_ref, fxycxy, image_wh,
-        radius, max_dist,
-    )
 
 
 @functools.partial(
