@@ -235,3 +235,103 @@ def test_inter_frame_matching_feature_level():
     correct = f0.lm_id[0][ok] == f1.lm_id[0][idx[ok]]
     assert ok.sum() > 50
     assert correct.mean() > 0.97, correct.mean()
+
+
+def test_track_fastpath_gate_and_portfolio_rescue():
+    """The motion fast path (lax.cond around the Kabsch/PnP RANSAC
+    stages of the fused tracking program) must (a) fire on a frame whose
+    predicted pose explains the matches, (b) stay off when forced
+    (frac > 1) with an equivalent pose, and (c) stay off for a garbage
+    prediction — where the portfolio rescues the pose."""
+    from mcslam_tpu import tracking_kernels as tk
+    from mcslam_tpu.frontend import frame as frame_mod
+
+    rig, poses, lms, descs, frames = _setup(num_frames=2, seed=9)
+    f0, f1 = frames
+    ff0 = frame_mod.build_frame_from_keypoints(
+        jnp.asarray(f0.uv), jnp.asarray(f0.desc), jnp.asarray(f0.valid),
+        rig, max_intra=512,
+    )
+    ff1 = frame_mod.build_frame_from_keypoints(
+        jnp.asarray(f1.uv), jnp.asarray(f1.desc), jnp.asarray(f1.valid),
+        rig, max_intra=512,
+    )
+    M = int(ff0.im_valid.shape[0])
+    # prev frame's landmark table: its own triangulated points, in the
+    # WORLD frame of poses[0]
+    has0 = np.asarray(ff0.im_has_depth) & np.asarray(ff0.im_valid)
+    T0 = np.asarray(poses[0])
+    Xw = np.asarray(ff0.im_point3d) @ T0[:3, :3].T + T0[:3, 3]
+    CAP = 4096
+    map_pos = np.zeros((CAP, 3), np.float32)
+    map_valid = np.zeros(CAP, bool)
+    map_desc = np.zeros((CAP, 8), np.uint32)
+    map_normal = np.zeros((CAP, 3), np.float32)
+    ids = np.where(has0, np.arange(M, dtype=np.int32), -1)
+    map_pos[:M] = Xw
+    map_valid[:M] = has0
+    map_desc[:M] = np.asarray(ff0.im_desc)
+    nrm = T0[:3, 3] - Xw
+    map_normal[:M] = nrm / np.maximum(
+        np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9
+    )
+    cand = np.flatnonzero(map_valid)[:512]
+    cand_pad = np.zeros(512, np.int32)
+    cand_pad[: len(cand)] = cand
+    cand_valid = np.arange(512) < len(cand)
+    T1 = np.asarray(poses[1], np.float32)  # ground truth = perfect pred
+    garbage = np.eye(4, dtype=np.float32)
+    garbage[:3, 3] = [50.0, -30.0, 20.0]
+
+    def run(pred, frac, gate_px=100.0):
+        packed = tk._track_and_map_step(
+            jax.random.PRNGKey(0), ff1.im_desc, ff1.im_valid,
+            ff1.im_uv_ref, ff1.im_anchor_cam, ff1.im_sigma2,
+            ff1.im_point3d, ff1.im_has_depth,
+            ff0.im_desc, ff0.im_valid, jnp.asarray(ids),
+            jnp.asarray(map_pos), jnp.asarray(map_valid),
+            jnp.asarray(map_desc), jnp.asarray(map_normal),
+            jnp.asarray(cand_pad), jnp.asarray(cand_valid),
+            rig.cam_T_ref, rig.fxycxy, jnp.asarray(pred),
+            128, 5.0, 64, 0.85, (640, 480), 18.0, 64, gate_px,
+            frac, 30,
+        )
+        v = np.asarray(packed)
+        pose = v[:16].reshape(4, 4)
+        n_inl, _, _, rr_ok, fast = v[16:21]
+        return pose, int(n_inl), rr_ok > 0.5, fast > 0.5
+
+    pose_a, n_a, ok_a, fast_a = run(T1, 0.6)
+    assert ok_a and fast_a, (n_a, ok_a, fast_a)
+    assert np.linalg.norm(pose_a[:3, 3] - T1[:3, 3]) < 0.05
+
+    pose_b, n_b, ok_b, fast_b = run(T1, 2.0)  # forced full portfolio
+    assert ok_b and not fast_b
+    assert np.linalg.norm(pose_b[:3, 3] - T1[:3, 3]) < 0.05
+
+    # garbage prediction with the projection gate OFF (a bad prediction
+    # also starves the search-by-projection gate — that regime is the
+    # driver's failure/reinit path): the fast-path gate must NOT fire,
+    # and the RANSAC portfolio must still recover the true pose from
+    # global matches
+    pose_c, n_c, ok_c, fast_c = run(garbage, 0.6, gate_px=0.0)
+    assert not fast_c
+    assert ok_c, n_c
+    assert np.linalg.norm(pose_c[:3, 3] - T1[:3, 3]) < 0.05, pose_c[:3, 3]
+
+
+def test_mono_rig_forces_full_portfolio():
+    """Driver guard: a single-camera rig must never take the fast path
+    (the PnP candidate is mono's lifeline under scale drift)."""
+    from mcslam_tpu.slam import MultiCameraSLAM, SlamConfig
+
+    rig1 = synthetic.make_synthetic_rig(
+        synthetic.SyntheticRigSpec(num_cams=1)
+    )
+    s = MultiCameraSLAM(rig1, SlamConfig(track_fastpath_frac=0.6))
+    assert s._fastpath_frac > 1.0
+    rig3 = synthetic.make_synthetic_rig(
+        synthetic.SyntheticRigSpec(num_cams=3)
+    )
+    s3 = MultiCameraSLAM(rig3, SlamConfig(track_fastpath_frac=0.6))
+    assert s3._fastpath_frac == 0.6
