@@ -89,8 +89,10 @@ def main():
     fML = rig.fxycxy[cur_anchor]
 
     # --- 1. projection gate (anchored sq px dist over the map mirror) ---
+    # NOTE: every kernel takes its big arrays as ARGUMENTS — closed-over
+    # constants can be constant-folded by XLA and time as ~0.
     @jax.jit
-    def k_gate(pT):
+    def k_gate(pT, d_map_pos, prev_lm_id, cur_uv, cur_anchor):
         from mcslam_tpu.geometry import lie
         safe_prev = jnp.maximum(prev_lm_id, 0)
         Xp = d_map_pos[safe_prev]
@@ -107,26 +109,28 @@ def main():
 
     # --- 2. hamming + mutual match (2048 x 2048) ---
     @jax.jit
-    def k_match(_):
-        d = hamming.hamming_matrix(ff1.im_desc, ff0.im_desc)
+    def k_match(da, va, db, vb):
+        d = hamming.hamming_matrix(da, db)
         res = match_ops.match_mutual(
-            d, row_mask=ff1.im_valid, col_mask=ff0.im_valid,
+            d, row_mask=va, col_mask=vb,
             max_dist=scfg.inter_max_dist, ratio=scfg.inter_ratio)
         return res.idx.sum() + res.ok.sum()
 
     # --- 3/4. RANSAC solvers ---
     with_lm = ff1.im_valid & ff1.im_has_depth
 
+    Xw = d_map_pos[:M]
+
     def k_kabsch(i):
         rr = ransac.ransac_kabsch(
-            jax.random.PRNGKey(i), ff1.im_point3d, d_map_pos[:M], cur_uv,
+            jax.random.PRNGKey(i), ff1.im_point3d, Xw, cur_uv,
             cTr, fML, with_lm, num_hyp=scfg.ransac_hyps,
             px_thresh=scfg.ransac_px)
         return rr.world_T_ref.sum()
 
     def k_pnp(i):
         rr = ransac.ransac_pnp(
-            jax.random.PRNGKey(i), d_map_pos[:M], cur_uv, cTr, fML,
+            jax.random.PRNGKey(i), Xw, cur_uv, cTr, fML,
             with_lm, num_hyp=max(scfg.ransac_hyps // 2, 64),
             px_thresh=scfg.ransac_px)
         return rr.world_T_ref.sum()
@@ -136,41 +140,38 @@ def main():
     masks = jnp.stack([with_lm, with_lm, with_lm])
 
     @jax.jit
-    def k_refine3(_):
+    def k_refine3(Xw, uv, sig2, inits, masks):
         refs = jax.vmap(
             lambda T0, m: pose_opt.optimize_pose(
-                T0, d_map_pos[:M], cur_uv, cTr, fML, m,
-                sigma2=ff1.im_sigma2)
+                T0, Xw, uv, cTr, fML, m, sigma2=sig2)
         )(inits, masks)
         return refs.world_T_ref.sum()
 
     @jax.jit
-    def k_refine1(_):
-        ref = pose_opt.optimize_pose(
-            pred_T, d_map_pos[:M], cur_uv, cTr, fML, with_lm,
-            sigma2=ff1.im_sigma2)
+    def k_refine1(Xw, uv, sig2, T0, m):
+        ref = pose_opt.optimize_pose(T0, Xw, uv, cTr, fML, m, sigma2=sig2)
         return ref.world_T_ref.sum()
 
     # --- 6. hypothesis scoring alone (512 x 2048) ---
     hyps = jnp.broadcast_to(pred_T, (512, 4, 4))
 
     @jax.jit
-    def k_score(_):
+    def k_score(hyps, Xw, uv, m):
         s, _inl = ransac._score_reprojection(
-            hyps, d_map_pos[:M], cur_uv, cTr, fML, with_lm, scfg.ransac_px)
+            hyps, Xw, uv, cTr, fML, m, scfg.ransac_px)
         return s.sum()
 
     # --- 7. local-map half ---
     @jax.jit
-    def k_localmap(pT):
+    def k_localmap(pT, d_map_pos, d_map_desc, d_map_normal, desc, uv):
         return tk._localmap_core(
             pT, cand_pad, cand_valid, d_map_pos, d_map_desc, d_map_normal,
-            ff1.im_desc, cur_uv, cur_anchor, ff1.im_valid, ff1.im_sigma2,
+            desc, uv, cur_anchor, ff1.im_valid, ff1.im_sigma2,
             rig.cam_T_ref, rig.fxycxy, rig.image_size,
             scfg.local_map_radius_px, scfg.local_map_max_dist).sum()
 
     # --- 8. the whole fused program for reference ---
-    def k_full(i):
+    def _full(i, frac):
         return tk._track_and_map_step(
             jax.random.PRNGKey(i), ff1.im_desc, ff1.im_valid, cur_uv,
             cur_anchor, ff1.im_sigma2, ff1.im_point3d, ff1.im_has_depth,
@@ -180,18 +181,33 @@ def main():
             scfg.ransac_px, scfg.inter_max_dist, scfg.inter_ratio,
             rig.image_size, scfg.local_map_radius_px,
             scfg.local_map_max_dist, scfg.track_match_radius_px,
-        )[:20].sum()
+            frac, scfg.track_fastpath_min_inliers,
+        )[:21].sum()
+
+    def k_full(i):
+        return _full(i, scfg.track_fastpath_frac)
+
+    def k_full_slow(i):
+        return _full(i, 2.0)
 
     stages = [
-        ("gate(proj dist)", lambda i: k_gate(pred_T)),
-        ("hamming+mutual", k_match),
+        ("gate(proj dist)",
+         lambda i: k_gate(pred_T, d_map_pos, prev_lm_id, cur_uv, cur_anchor)),
+        ("hamming+mutual",
+         lambda i: k_match(ff1.im_desc, ff1.im_valid, ff0.im_desc,
+                           ff0.im_valid)),
         ("ransac_kabsch", k_kabsch),
         ("ransac_pnp", k_pnp),
-        ("refine x3 (vmap)", k_refine3),
-        ("refine x1", k_refine1),
-        ("score 512 hyps", k_score),
-        ("localmap half", lambda i: k_localmap(pred_T)),
-        ("FULL fused track", k_full),
+        ("refine x3 (vmap)",
+         lambda i: k_refine3(Xw, cur_uv, ff1.im_sigma2, inits, masks)),
+        ("refine x1",
+         lambda i: k_refine1(Xw, cur_uv, ff1.im_sigma2, pred_T, with_lm)),
+        ("score 512 hyps", lambda i: k_score(hyps, Xw, cur_uv, with_lm)),
+        ("localmap half",
+         lambda i: k_localmap(pred_T, d_map_pos, d_map_desc, d_map_normal,
+                              ff1.im_desc, cur_uv)),
+        ("FULL fused track (prod)", k_full),
+        ("FULL fused track (slow)", k_full_slow),
     ]
     for name, fn in stages:
         t = timeit(fn)
