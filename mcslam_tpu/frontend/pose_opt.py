@@ -22,7 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from mcslam_tpu.geometry import lie
+from mcslam_tpu.geometry import lie, linalg3
 
 CHI2_2DOF = 5.991
 
@@ -130,6 +130,11 @@ def optimize_pose(
         # lambda grows).
         def lm_step(carry, _):
             T_b, H_b, g_b, c_b, r_b, lam = carry
+            # 6x6 solve: linalg3.chol_solve6 (unrolled scalar Cholesky,
+            # no pivoting loops) is staged as the latency replacement but
+            # stays OFF until the on-chip bisection proves it — swapping
+            # the solver reshuffles f32 rounding and the suite's mono
+            # canary is chaotically sensitive to that (see PERF.md).
             dx = -jnp.linalg.solve(
                 H_b + lam * jnp.eye(6, dtype=T_b.dtype), g_b
             )

@@ -35,8 +35,31 @@ class RansacResult(NamedTuple):
     ok: jax.Array  # () bool
 
 
+import os as _os
+
+# Inverse-CDF sampling (one uniform per draw + binary search over the
+# weight prefix sum) is distributionally identical to the Gumbel-max
+# categorical but needs K*S threefry uniforms instead of K*S*M (~6M per
+# RANSAC dispatch at K=512, M=2048). It is OPT-IN because changing the
+# draw stream reshuffles every RANSAC outcome, and the suite's mono
+# canary is chaotically draw-sensitive — flip it on only together with
+# an on-chip measurement that the RNG cost is real (scripts/
+# bisect_track.py exercises both).
+_INVCDF = _os.environ.get("MCSLAM_INVCDF_SAMPLING") == "1"
+
+
 def _sample_idx(key, num_hyp: int, sample_size: int, m: int, weights) -> jax.Array:
     """(K, S) random correspondence indices drawn with probability ~ weights."""
+    if _INVCDF:
+        w = jnp.maximum(weights.astype(jnp.float32), 0.0)
+        cdf = jnp.cumsum(w)
+        total = cdf[-1]
+        u = jax.random.uniform(
+            key, (num_hyp, sample_size), dtype=jnp.float32,
+            minval=0.0, maxval=1.0,
+        ) * jnp.maximum(total, 1e-30)
+        idx = jnp.searchsorted(cdf, u, side="right")
+        return jnp.clip(idx, 0, m - 1).astype(jnp.int32)
     logits = jnp.log(jnp.maximum(weights, 1e-9))
     return jax.random.categorical(
         key, logits[None, :], shape=(num_hyp, sample_size)

@@ -353,11 +353,13 @@ def ransac_seventeen(
     """Batched-hypothesis non-central relative-pose RANSAC. Returns
     frame1_T_frame2 with metric translation. Scale units for the |t| grid
     are meters (same units as the ray origins / rig baselines)."""
-    w = mask.astype(jnp.float32)
-    logits = jnp.log(jnp.maximum(w, 1e-9))
-    idx = jax.random.categorical(
-        key, logits[None], shape=(num_hyp, sample_size)
-    ).astype(jnp.int32)
+    from mcslam_tpu.frontend import ransac as _ransac
+
+    # inverse-CDF sampling (see ransac._sample_idx): identical
+    # distribution to categorical at ~1/M the RNG work
+    idx = _ransac._sample_idx(
+        key, num_hyp, sample_size, f1.shape[0], mask.astype(jnp.float32)
+    )
     sf1, so1 = f1[idx], o1[idx]  # (K,S,3)
     sf2, so2 = f2[idx], o2[idx]
     sw = mask[idx].astype(jnp.float32)
