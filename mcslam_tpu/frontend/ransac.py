@@ -48,18 +48,24 @@ import os as _os
 _INVCDF = _os.environ.get("MCSLAM_INVCDF_SAMPLING") == "1"
 
 
+def _sample_idx_invcdf(key, num_hyp: int, sample_size: int, m: int,
+                       weights) -> jax.Array:
+    """Weighted index sampling via inverse CDF (see _INVCDF note)."""
+    w = jnp.maximum(weights.astype(jnp.float32), 0.0)
+    cdf = jnp.cumsum(w)
+    total = cdf[-1]
+    u = jax.random.uniform(
+        key, (num_hyp, sample_size), dtype=jnp.float32,
+        minval=0.0, maxval=1.0,
+    ) * jnp.maximum(total, 1e-30)
+    idx = jnp.searchsorted(cdf, u, side="right")
+    return jnp.clip(idx, 0, m - 1).astype(jnp.int32)
+
+
 def _sample_idx(key, num_hyp: int, sample_size: int, m: int, weights) -> jax.Array:
     """(K, S) random correspondence indices drawn with probability ~ weights."""
     if _INVCDF:
-        w = jnp.maximum(weights.astype(jnp.float32), 0.0)
-        cdf = jnp.cumsum(w)
-        total = cdf[-1]
-        u = jax.random.uniform(
-            key, (num_hyp, sample_size), dtype=jnp.float32,
-            minval=0.0, maxval=1.0,
-        ) * jnp.maximum(total, 1e-30)
-        idx = jnp.searchsorted(cdf, u, side="right")
-        return jnp.clip(idx, 0, m - 1).astype(jnp.int32)
+        return _sample_idx_invcdf(key, num_hyp, sample_size, m, weights)
     logits = jnp.log(jnp.maximum(weights, 1e-9))
     return jax.random.categorical(
         key, logits[None, :], shape=(num_hyp, sample_size)

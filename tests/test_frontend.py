@@ -335,3 +335,24 @@ def test_mono_rig_forces_full_portfolio():
     )
     s3 = MultiCameraSLAM(rig3, SlamConfig(track_fastpath_frac=0.6))
     assert s3._fastpath_frac == 0.6
+
+
+def test_invcdf_sampler_matches_weights():
+    """The staged inverse-CDF sampler (MCSLAM_INVCDF_SAMPLING) must
+    reproduce the weight distribution and never select zero-weight
+    entries."""
+    m = 64
+    w = np.zeros(m, np.float32)
+    w[10] = 1.0
+    w[20] = 3.0
+    w[40] = 6.0
+    idx = np.asarray(ransac._sample_idx_invcdf(
+        jax.random.PRNGKey(0), 500, 4, m, jnp.asarray(w)
+    )).ravel()
+    assert set(np.unique(idx)) <= {10, 20, 40}
+    frac40 = (idx == 40).mean()
+    frac20 = (idx == 20).mean()
+    frac10 = (idx == 10).mean()
+    assert abs(frac40 - 0.6) < 0.05
+    assert abs(frac20 - 0.3) < 0.05
+    assert abs(frac10 - 0.1) < 0.05
