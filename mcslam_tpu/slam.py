@@ -17,7 +17,6 @@ tracking failures (FrontEnd.cpp:5977-5988).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax
@@ -25,11 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from mcslam_tpu.backend import ba
-from mcslam_tpu.frontend import pose_opt, ransac
+from mcslam_tpu.frontend import ransac
 from mcslam_tpu.frontend.frame import FrameFeatures
 from mcslam_tpu.geometry import lie, triangulation
 from mcslam_tpu.mapping.landmarks import LandmarkMap
-from mcslam_tpu.ops import hamming, match as match_ops
 
 NOT_INITIALIZED = 0
 INITIALIZED = 1
@@ -383,8 +381,6 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         uv2 = np.stack([uv0, uv1], axis=1).astype(np.float32)
         fx2 = np.broadcast_to(f0, (M, 2, 4)).astype(np.float32)
         mask2 = np.broadcast_to(inl[:, None], (M, 2))
-        from mcslam_tpu.geometry import triangulation as tri_mod
-
         X, tri_ok = _triangulate_pairs(
             jnp.asarray(wTc), jnp.asarray(uv2), jnp.asarray(fx2),
             jnp.asarray(mask2), jnp.ones((M, 2), jnp.float32),
