@@ -15,6 +15,7 @@ jit with static iteration counts; also vmaps over batches of pose problems
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import functools
@@ -25,6 +26,11 @@ import jax.numpy as jnp
 from mcslam_tpu.geometry import lie, linalg3
 
 CHI2_2DOF = 5.991
+
+# Unrolling the LM chains removes per-step scan bookkeeping (latency on
+# TPU) at ~2x compile time; MCSLAM_NO_UNROLL=1 flips back to looped scans
+# for on-chip A/B (identical math either way).
+_UNROLL = os.environ.get("MCSLAM_NO_UNROLL") != "1"
 
 
 class PoseOptResult(NamedTuple):
@@ -155,7 +161,7 @@ def optimize_pose(
         # math while letting XLA schedule across steps
         (T, _, _, _, r, _), _ = jax.lax.scan(
             lm_step, (T, H0, g, c, r, jnp.asarray(lm_lambda, T.dtype)),
-            None, length=iters, unroll=True,
+            None, length=iters, unroll=_UNROLL,
         )
         # chi2 re-gate for the next round from the carried residuals
         chi2 = jnp.sum(r * r, axis=-1) * inv_sig2
@@ -163,7 +169,7 @@ def optimize_pose(
         return (T, active), None
 
     (T, active), _ = jax.lax.scan(
-        lm_round, (T_init, mask), None, length=rounds, unroll=True
+        lm_round, (T_init, mask), None, length=rounds, unroll=_UNROLL
     )
     r = _residuals(jnp.zeros(6, T.dtype), T, X_world, uv, cam_T_ref, fxycxy)
     chi2 = jnp.sum(r * r, axis=-1) * inv_sig2

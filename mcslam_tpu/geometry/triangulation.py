@@ -12,10 +12,16 @@ of landmarks triangulate in a single XLA kernel instead of per-point loops.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from mcslam_tpu.geometry import lie, linalg3
+
+# see pose_opt._UNROLL: scan/loop unrolling is a latency-vs-compile-time
+# trade, A/B-able on chip via MCSLAM_NO_UNROLL=1
+_UNROLL = os.environ.get("MCSLAM_NO_UNROLL") != "1"
 
 
 def triangulate_rays(
@@ -114,7 +120,7 @@ def refine_points_gn(
     # unrolled: the body is a handful of fused elementwise kernels, so the
     # while-loop bookkeeping (condition sync per step) costs more than the
     # straight-line repetition on TPU
-    return jax.lax.fori_loop(0, iters, step, X0, unroll=True)
+    return jax.lax.fori_loop(0, iters, step, X0, unroll=_UNROLL)
 
 
 def chi2_gate(
@@ -279,7 +285,7 @@ def triangulate_and_refine(
         dX, _ = _solve3_elem(H, g, damping=damping)
         return [X[i] - dX[i] for i in range(3)]
 
-    X = jax.lax.fori_loop(0, gn_iters, step, X0, unroll=True)
+    X = jax.lax.fori_loop(0, gn_iters, step, X0, unroll=_UNROLL)
     # fall back to the linear solution if GN diverged
     fin = jnp.isfinite(X[0]) & jnp.isfinite(X[1]) & jnp.isfinite(X[2])
     X = [jnp.where(fin, X[i], X0[i]) for i in range(3)]
