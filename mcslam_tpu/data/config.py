@@ -193,14 +193,82 @@ def load_backend_params(path=None) -> dict:
     return out
 
 
+# Enum value tables of the reference frontend YAML. The reference casts the
+# YAML int straight onto the enum (FrontEnd.h:159-161); the enums live at
+# /root/reference/MCSlam/include/MCSlam/FrontEnd.h:94-105. Symbolic names are
+# accepted too since our shipped YAMLs use them.
+_INIT_COND = {"MIN_FEATS": 0, "RANSAC_FILTER": 1}
+_POSEST_ALGO = {"PC_ALIGN": 0, "SEVENTEEN_PT": 1, "G_P3P": 2}
+_INTER_MATCH = {"BF_MATCH": 0, "BF": 0, "BoW_MATCH": 1, "BoW": 1}
+
+
+def _enum_value(raw, table, key):
+    """Reference YAML enum -> int, rejecting values the reference's enum
+    does not define (no silent ignores for a carried-over YAML)."""
+    if isinstance(raw, str) and not raw.lstrip("-").isdigit():
+        if raw in table:
+            return table[raw]
+        raise ValueError(
+            f"{key}={raw!r}: expected one of {sorted(table)} or an integer "
+            f"in {sorted(set(table.values()))}"
+        )
+    v = int(raw)
+    if v not in set(table.values()):
+        raise ValueError(
+            f"{key}={raw!r}: valid values are {sorted(set(table.values()))} "
+            f"({', '.join(f'{n}={i}' for n, i in sorted(table.items(), key=lambda kv: kv[1]))})"
+        )
+    return v
+
+
 def slam_config_from_params(frontend: dict, backend: dict):
-    """Map reference parameter names onto SlamConfig."""
+    """Map reference parameter names onto SlamConfig.
+
+    Every reference YAML key either changes behavior here or raises on a
+    value the reference does not define:
+
+    - ``InitCondition`` (FrontEnd.cpp:2485): MIN_FEATS initializes directly
+      from the first frame whose intra-match triangulation yields >150
+      landmarks; RANSAC_FILTER (default) additionally allows the two-view
+      bootstrap paths (essential / 17-pt) when intra depth is thin.
+    - ``PoseEstimation`` (FrontEnd.cpp:4421 dispatch): validated; the fused
+      tracking portfolio runs PC_ALIGN (Kabsch), G_P3P (PnP) and the 17-pt
+      solver TOGETHER and keeps the best-inlier candidate — a superset of
+      any single dispatch choice, so all three values select the same
+      (stronger) program.
+    - ``InterMatch`` (FrontEnd.cpp:6015): validated; both BF_MATCH and
+      BoW_MATCH select the popcount-matmul brute-force matcher — the
+      reference's BoW bucketing is a CPU approximation of exactly this
+      (SURVEY §7 stage 4), so BF semantics are the superset.
+    - ``MeasurementNoiseSigma`` (Backend.cpp:24-106): pixel sigma of the
+      BA reprojection noise model -> SlamConfig.px_sigma.
+    - ``Optimization`` (Backend.cpp:3060-3402): 0 (ISAM2 incremental) and
+      2 (fixed-lag) select the production windowed solver with marginal
+      carry + post-loop global BA; 1 (LM batch) additionally re-solves the
+      full accumulated graph once at finalize() (the reference LM path
+      re-solves everything each update).
+    - ``WindowBad`` -> sliding-window size.
+    """
     from mcslam_tpu.slam import SlamConfig
+
+    init_cond = _enum_value(frontend["InitCondition"], _INIT_COND,
+                            "InitCondition")
+    _enum_value(frontend["PoseEstimation"], _POSEST_ALGO, "PoseEstimation")
+    _enum_value(frontend["InterMatch"], _INTER_MATCH, "InterMatch")
+    opt_mode = int(backend["Optimization"])
+    if opt_mode not in (0, 1, 2):
+        raise ValueError(
+            f"Optimization={opt_mode!r}: valid values are 0 (ISAM2), "
+            "1 (LM batch), 2 (fixed-lag) — Backend.cpp:3060-3402"
+        )
 
     return SlamConfig(
         kf_translation=float(frontend["KFBaselineThresholdTranslation"]),
         kf_rotation=float(frontend["KFBaselineThresholdRotation"]),
         window_size=int(backend["WindowBad"]),
+        px_sigma=float(backend["MeasurementNoiseSigma"]),
+        init_min_feats=(init_cond == _INIT_COND["MIN_FEATS"]),
+        final_global_ba=(opt_mode == 1),
     ), {
         "num_points": int(frontend["ORBextractor.nFeatures"]),
         "num_levels": int(frontend["ORBextractor.nLevels"]),

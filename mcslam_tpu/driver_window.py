@@ -82,9 +82,10 @@ class WindowBAMixin:
             obs_cam[base:base + n] = cc[:n]
             obs_lm[base:base + n] = slots[mm[:n]]
             obs_uv[base:base + n] = kf.ray_uv[mm[:n], cc[:n]]
+            # px_sigma: reference MeasurementNoiseSigma (Backend.cpp:24-106)
             obs_s2[base:base + n] = np.maximum(
                 kf.ray_sigma2[mm[:n], cc[:n]], 1e-3
-            )
+            ) * (cfg.px_sigma ** 2)
             obs_val[base:base + n] = True
             n_obs += n
         if n_obs < 30:

@@ -98,6 +98,18 @@ class SlamConfig:
     init17_max_z: float = 400.0  # distant-scene seed landmarks
     init17_scale_hi: float = 3.0  # |t| search ceiling [m] between init frames
     init17_min_baseline_frac: float = 0.5  # x kf_translation, reference :2633
+    # pixel measurement noise sigma for window/global BA (reference backend
+    # YAML key MeasurementNoiseSigma, Backend.cpp:24-106; scales the
+    # per-observation variance sigma2 = px_sigma^2 * octave^2). Relative
+    # reprojection weighting is unchanged; it rebalances vision against
+    # priors / IMU / GPS factors and widens the chi2 outlier gate.
+    px_sigma: float = 1.0
+    # InitCondition=MIN_FEATS (reference frontend YAML, FrontEnd.h:94-97;
+    # FrontEnd.cpp:2485-2494 initializes as soon as a frame carries >150
+    # intra matches, with no two-view RANSAC bootstrap). False = the
+    # RANSAC_FILTER default: direct init from intra depth when available,
+    # two-view essential / 17-pt bootstrap otherwise.
+    init_min_feats: bool = False
     # window BA
     window_size: int = 6
     ba_iters: int = 2  # per gate round (x2 rounds); warm-started windows
@@ -116,6 +128,11 @@ class SlamConfig:
     # on closure, Backend.cpp:3060-3267); landmark-sharded across the mesh
     # when one is configured
     global_ba: bool = True
+    # batch-LM mode (reference backend YAML Optimization=1,
+    # Backend.cpp:3269-3317 runs a full LM batch over the whole graph):
+    # approximated by one full global BA at finalize() on top of the
+    # windowed solves. Set by slam_config_from_params, off by default.
+    final_global_ba: bool = False
     global_ba_max_kfs: int = 64  # even subsample cap; skipped KFs get the
     #   nearest optimized neighbor's correction
     global_ba_lm_capacity: int = 8192
@@ -292,7 +309,12 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         the ==1-camera essential path at :2585-2628)."""
         has_depth = np.asarray(frame.im_has_depth)
         n3d = int(has_depth.sum())
-        if n3d < 30:
+        if self.cfg.init_min_feats:
+            # MIN_FEATS: wait for a frame with >150 triangulated intra
+            # matches; no two-view bootstrap (FrontEnd.cpp:2485-2494)
+            if n3d <= 150:
+                return False
+        elif n3d < 30:
             from mcslam_tpu.frontend import seventeen
 
             if self.rig.num_cams >= 2 and seventeen.is_noncentral(self.rig):
@@ -1005,6 +1027,28 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
     def finalize(self):
         """Flush asynchronous backend work (call before reading poses/map)."""
         self._finish_pending_ba()
+        # batch-LM mode (Optimization=1): one full-batch re-optimization of
+        # all keyframes + landmarks at session end (reference LM path,
+        # Backend.cpp:3269-3317 re-solves the whole accumulated graph)
+        if (self.cfg.final_global_ba and not getattr(
+                self, "_final_gba_done", False)
+                and self.state == INITIALIZED and len(self.keyframes) >= 3):
+            self._final_gba_done = True
+            vis = [k for k in self.keyframes if not k.is_dummy]
+            pre = {k.kf_id: k.world_T_ref.copy() for k in vis}
+            self._run_global_ba()
+            # retro-correct the recorded per-frame trajectory by the
+            # nearest (in time) keyframe's correction so the TUM output
+            # reflects the batch solve
+            kf_ts = np.array([k.timestamp for k in vis])
+            corr = [
+                (k.world_T_ref @ np.linalg.inv(pre[k.kf_id])).astype(
+                    np.float32)
+                for k in vis
+            ]
+            for i, (t, p) in enumerate(self.trajectory):
+                j = int(np.argmin(np.abs(kf_ts - t)))
+                self.trajectory[i] = (t, (corr[j] @ p).astype(np.float32))
 
     def trajectory_arrays(self):
         self.finalize()
