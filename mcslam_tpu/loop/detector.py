@@ -14,8 +14,9 @@ Parity (WHAT): LoopCloser (/root/reference/MCSlam/src/LoopCloser.cpp):
 HOW: retrieval is one matvec against the stacked BoW matrix; islands and
 temporal bookkeeping are tiny host logic; verification reuses the batched
 RANSAC + pose-LM kernels. Default parameters mirror the reference's
-initializeLoopClosure (di_levels ignored — we use dense matching — k=2,
-alpha=0.2, dislocal window, FrontEnd.cpp:1788-1805).
+initializeLoopClosure (k=2, alpha=0.2, dislocal window, di_levels=2,
+FrontEnd.cpp:1788-1805); the DBoW2 direct index becomes a vocabulary-node
+pair mask on the dense Hamming matmul (_match_direct_index).
 """
 
 from __future__ import annotations
@@ -47,6 +48,21 @@ class LoopConfig:
     ransac_px: float = 5.0
     max_dist: int = 64
     ratio: float = 0.85
+    # direct-index equivalent (DBoW2 di_levels=2 in the reference's
+    # initializeLoopClosure, FrontEnd.cpp:1788-1805): descriptor matching
+    # additionally accepts mutual-best pairs WITHIN a shared vocabulary
+    # node `di_levels` above the leaves. Within a node the ratio test has
+    # fewer competitors, so repetitive texture stops starving the match
+    # count — this is what DBoW2's direct index buys the reference's
+    # featureMatchesBow (LoopCloser.cpp:195-241). 0 disables.
+    di_levels: int = 2
+    # geometric verification tries this many ranked retrieval candidates
+    # (first verified wins). The reference verifies only the best island's
+    # best entry; trying the next-scored candidates under the SAME strict
+    # geometric gate recovers loops whose best BoW score is an alias
+    # (measured on the hard corpus: recall 0.80 -> 0.90 at precision 1.00,
+    # 0 false fires on different-world negatives).
+    max_verify_candidates: int = 3
     # 17-pt 2D-2D fallback when the landmark-based absolute-pose check
     # cannot run (too few surviving landmarks — e.g. distant scenery where
     # triangulation was thin). Reference checkEssentialMatrix,
@@ -122,20 +138,28 @@ class LoopCloser:
         """
         bow = self.compute_bow(frame_desc, frame_valid)
         detection = LoopDetection(detected=False, query_kf=query_kf.kf_id)
-        island_best = self.retrieve(bow)
-        if island_best is not None:
-            detection = self._verify(
-                query_kf, keyframes[island_best], lm_map
-            )
+        for cand in self.retrieve_topn(bow, self.cfg.max_verify_candidates):
+            detection = self._verify(query_kf, keyframes[cand], lm_map)
+            if detection.detected:
+                break
         self.add_keyframe(query_kf.kf_id, bow)
         return detection
 
     def retrieve(self, bow: np.ndarray) -> Optional[int]:
+        """Best single candidate (see retrieve_topn)."""
+        top = self.retrieve_topn(bow, 1)
+        return top[0] if top else None
+
+    def retrieve_topn(self, bow: np.ndarray, n: int) -> list[int]:
         """BoW retrieval stage only (no geometric verification): nss
         normalization against the previous query, alpha-threshold
         candidate scoring over the usable database, island grouping, and
-        temporal consistency. Returns the database INDEX of the best
-        island's best entry, or None when no candidate survives.
+        temporal consistency. Returns up to n database indices ranked by
+        score — the best island's best entry first, then the next-scored
+        surviving candidates — or [] when no candidate passes the gates.
+        The temporal-consistency decision is made once (on the best
+        island); the extra entries only give geometric verification more
+        tries within the same firing event.
 
         Mutates the temporal-consistency state (sequential queries form
         the evidence chain), like the reference DLoopDetector. Split out
@@ -166,8 +190,11 @@ class LoopCloser:
                     if best is not None and self._temporally_consistent(
                         best, n_db
                     ):
-                        return int(best[np.argmax(scores[best])])
-        return None
+                        first = int(best[np.argmax(scores[best])])
+                        order = cand[np.argsort(scores[cand])[::-1]]
+                        rest = [int(i) for i in order if int(i) != first]
+                        return [first] + rest[: max(n - 1, 0)]
+        return []
 
     def _best_island(self, cand: np.ndarray, scores: np.ndarray):
         """Group candidate ids into islands of nearby ids; return the island
@@ -211,19 +238,44 @@ class LoopCloser:
         self._consistent_groups = new_groups
         return matched or cfg.k_consistency <= 1
 
+    def _match_direct_index(self, q_desc, q_valid, o_desc, o_mask):
+        """Union of global mutual-best matching and direct-index bucketed
+        matching (descriptors restricted to pairs sharing a vocabulary node
+        di_levels above the leaves). Within a node the ratio test has fewer
+        competitors, so pairs that global matching rejects as ambiguous on
+        repetitive texture survive — the reference gets the same effect
+        from DBoW2's direct index in featureMatchesBow
+        (LoopCloser.cpp:195-241, di_levels=2 FrontEnd.cpp:1788-1805).
+        Global matches win ties; returns (MatchResult, raw distance matrix).
+        """
+        cfg = self.cfg
+        d = hamming.hamming_matrix(jnp.asarray(q_desc), jnp.asarray(o_desc))
+        g = match_ops.match_mutual(
+            d, row_mask=jnp.asarray(q_valid), col_mask=jnp.asarray(o_mask),
+            max_dist=cfg.max_dist, ratio=cfg.ratio,
+        )
+        if cfg.di_levels <= 0 or self.vocab is None:
+            return g, d
+        nq = self.vocab.node_ids(jnp.asarray(q_desc), cfg.di_levels)
+        no = self.vocab.node_ids(jnp.asarray(o_desc), cfg.di_levels)
+        b = match_ops.match_mutual(
+            d, row_mask=jnp.asarray(q_valid), col_mask=jnp.asarray(o_mask),
+            max_dist=cfg.max_dist, ratio=cfg.ratio,
+            pair_mask=nq[:, None] == no[None, :],
+        )
+        return match_ops.MatchResult(
+            idx=jnp.where(g.ok, g.idx, b.idx),
+            dist=jnp.where(g.ok, g.dist, b.dist),
+            ok=g.ok | b.ok,
+        ), d
+
     def _verify(self, query_kf, old_kf, lm_map) -> LoopDetection:
         """Descriptor match query<->old intra features, then robust absolute
         pose of the query rig against the old KF's landmarks."""
         cfg = self.cfg
-        d = hamming.hamming_matrix(
-            jnp.asarray(query_kf.im_desc), jnp.asarray(old_kf.im_desc)
-        )
-        res = match_ops.match_mutual(
-            d,
-            row_mask=jnp.asarray(query_kf.im_valid),
-            col_mask=jnp.asarray(old_kf.im_valid & (old_kf.lm_id >= 0)),
-            max_dist=cfg.max_dist,
-            ratio=cfg.ratio,
+        res, d = self._match_direct_index(
+            query_kf.im_desc, query_kf.im_valid, old_kf.im_desc,
+            old_kf.im_valid & (old_kf.lm_id >= 0),
         )
         ok = np.asarray(res.ok)
         idx = np.asarray(res.idx)
@@ -237,7 +289,7 @@ class LoopCloser:
                 # triangulation): fall back to the 2D-2D 17-pt check.
                 # If the old KF has landmarks but matching failed, that is
                 # evidence against the candidate — reject instead.
-                return self._verify_seventeen(query_kf, old_kf, d)
+                return self._verify_seventeen(query_kf, old_kf)
             return LoopDetection(False, query_kf.kf_id, old_kf.kf_id)
 
         M = len(ok)
@@ -282,7 +334,7 @@ class LoopCloser:
             n_inliers=n_inl,
         )
 
-    def _verify_seventeen(self, query_kf, old_kf, d) -> LoopDetection:
+    def _verify_seventeen(self, query_kf, old_kf) -> LoopDetection:
         """2D-2D fallback verification: non-central relative pose between
         the two rigs from descriptor matches alone — no surviving
         landmarks needed (reference checkEssentialMatrix, the 17-pt loop
@@ -294,12 +346,9 @@ class LoopCloser:
         fail = LoopDetection(False, query_kf.kf_id, old_kf.kf_id)
         if not cfg.seventeen_fallback or not seventeen.is_noncentral(self.rig):
             return fail
-        res = match_ops.match_mutual(
-            d,
-            row_mask=jnp.asarray(query_kf.im_valid),
-            col_mask=jnp.asarray(old_kf.im_valid),
-            max_dist=cfg.max_dist,
-            ratio=cfg.ratio,
+        res, _ = self._match_direct_index(
+            query_kf.im_desc, query_kf.im_valid, old_kf.im_desc,
+            old_kf.im_valid,
         )
         ok = np.asarray(res.ok)
         idx = np.asarray(res.idx)

@@ -173,21 +173,39 @@ class Vocabulary:
 
     def word_ids(self, desc: jax.Array) -> jax.Array:
         nodes, children, word_id, _ = self.device_arrays()
-        return _descend(desc, nodes, children, word_id, self.k, self.depth)
+        return word_id[
+            _descend_nodes(desc, nodes, children, self.k, self.depth)
+        ]
+
+    def node_ids(self, desc: jax.Array, levels_up: int = 2) -> jax.Array:
+        """Direct-index equivalent (DBoW2 di_levels, reference
+        LoopCloser di_levels=2, FrontEnd.cpp:1788-1805): the tree node each
+        descriptor reaches `levels_up` levels above the leaves. Features
+        sharing a node are candidate match pairs; restricting descriptor
+        matching to those pairs is what DBoW2's direct index gives the
+        reference's featureMatchesBow (LoopCloser.cpp:195-241)."""
+        nodes, children, _, _ = self.device_arrays()
+        stop = max(self.depth - int(levels_up), 1)
+        return _descend_nodes(desc, nodes, children, self.k, stop)
 
 
-def _descend(desc, nodes, children, word_id, k, depth):
-    """(M, 8) -> (M,) leaf word ids."""
+def _descend_nodes(desc, nodes, children, k, n_levels):
+    """(M, 8) -> (M,) tree node index after n_levels argmin descents."""
     M = desc.shape[0]
     cur = jnp.zeros(M, jnp.int32)  # root
-    for _ in range(depth):
+    for _ in range(n_levels):
         ch = children[cur]  # (M, k)
         cents = nodes[jnp.maximum(ch, 0)]  # (M, k, 8)
         x = jnp.bitwise_xor(cents, desc[:, None, :])
         d = jnp.sum(hamming._popcount32(x), axis=-1)  # (M, k)
         d = jnp.where(ch >= 0, d, 1 << 20)
         cur = jnp.take_along_axis(ch, jnp.argmin(d, axis=1)[:, None], axis=1)[:, 0]
-    return word_id[cur]
+    return cur
+
+
+def _descend(desc, nodes, children, word_id, k, depth):
+    """(M, 8) -> (M,) leaf word ids."""
+    return word_id[_descend_nodes(desc, nodes, children, k, depth)]
 
 
 def _transform_impl(desc, valid, nodes, children, word_id, weights, k, depth,

@@ -177,22 +177,30 @@ def retrieval_corpus():
 
 
 @jax.jit
-def _verify_pair(key, d_q, v_q, xy_q, d_o, v_o, xy_o):
-    """Geometric verification of a retrieval candidate: mutual Hamming
-    match + central essential RANSAC (the mono analogue of the loop
-    verifier's pose check; reference LoopCloser.cpp:353-446)."""
+def _verify_pair(key, d_q, v_q, xy_q, d_o, v_o, xy_o, bucket_eq):
+    """Geometric verification of a retrieval candidate: union of global and
+    direct-index bucketed mutual Hamming matching (the production
+    LoopCloser._match_direct_index semantics) + central essential RANSAC
+    (the mono analogue of the loop verifier's pose check; reference
+    LoopCloser.cpp:353-446, featureMatchesBow :195-241)."""
     dm = hamming.hamming_matrix(d_q, d_o)
-    res = match_ops.match_mutual(
+    g = match_ops.match_mutual(
         dm, row_mask=v_q, col_mask=v_o, max_dist=64, ratio=0.85
     )
+    b = match_ops.match_mutual(
+        dm, row_mask=v_q, col_mask=v_o, max_dist=64, ratio=0.85,
+        pair_mask=bucket_eq,
+    )
+    ok = g.ok | b.ok
+    idx = jnp.where(g.ok, g.idx, b.idx)
     c = jnp.array([_W / 2, _H / 2])
     xn_q = (xy_q - c) / _F
-    xn_o = (xy_o[res.idx] - c) / _F
+    xn_o = (xy_o[idx] - c) / _F
     er = ransac.ransac_essential(
-        key, xn_q, xn_o, res.ok, num_hyp=256, thresh_n=2.0 / _F,
+        key, xn_q, xn_o, ok, num_hyp=256, thresh_n=2.0 / _F,
         min_inliers=25,
     )
-    return jnp.sum(res.ok), er.num_inliers
+    return jnp.sum(ok), er.num_inliers
 
 
 def test_loop_retrieval_precision_recall(retrieval_corpus):
@@ -202,12 +210,21 @@ def test_loop_retrieval_precision_recall(retrieval_corpus):
     BoW retrieval alone fires on most negatives (procedural worlds share
     texture statistics — this is WHY the reference geometric check
     exists); verification must reject them. Reference headline: >95%
-    precision (/root/reference/README.md:241). Measured here (2026-08):
-    precision 1.00, recall 0.77 at min_matches=20/min_inliers=25.
+    precision (/root/reference/README.md:241). Measured here (2026-08,
+    direct-index union matching + top-3 candidate verification):
+    precision 1.00, recall 0.90 at min_matches=20/min_inliers=25
+    (was 0.77 with global-only matching of the single best candidate;
+    the two structural misses are the k_consistency=2 warm-up queries,
+    so 0.933 is the ceiling of this harness).
     """
     rig, poses, vocab, bows, descs, valids, xys = retrieval_corpus
     key = jax.random.PRNGKey(0)
     min_matches, min_inl = 20, 25
+    # direct-index node ids (di_levels=2, like the reference's loop DB)
+    nids = np.stack([
+        np.asarray(vocab.node_ids(jnp.asarray(descs[i]), levels_up=2))
+        for i in range(len(descs))
+    ])
 
     def verified(qi, ri):
         nm, ni = _verify_pair(
@@ -216,6 +233,7 @@ def test_loop_retrieval_precision_recall(retrieval_corpus):
             jnp.asarray(xys[qi]),
             jnp.asarray(descs[ri]), jnp.asarray(valids[ri]),
             jnp.asarray(xys[ri]),
+            jnp.asarray(nids[qi])[:, None] == jnp.asarray(nids[ri])[None, :],
         )
         return int(nm) >= min_matches and int(ni) >= min_inl
 
@@ -228,12 +246,13 @@ def test_loop_retrieval_precision_recall(retrieval_corpus):
     fires = 0
     correct = 0
     for q in range(_N_Q):
-        r = lc.retrieve(bows[_N_DB + q])
-        if r is not None and verified(_N_DB + q, r):
-            fires += 1
-            d = np.linalg.norm(poses[r][:3, 3] - poses[_N_DB + q][:3, 3])
-            if d < 1.0:
-                correct += 1
+        for r in lc.retrieve_topn(bows[_N_DB + q], 3):
+            if verified(_N_DB + q, r):
+                fires += 1
+                d = np.linalg.norm(poses[r][:3, 3] - poses[_N_DB + q][:3, 3])
+                if d < 1.0:
+                    correct += 1
+                break
 
     # negative queries run against the same database with fresh temporal
     # state (a separate session revisiting a different world)
@@ -241,12 +260,13 @@ def test_loop_retrieval_precision_recall(retrieval_corpus):
     lc_neg.bows, lc_neg.kf_ids = lc.bows[:_N_DB], lc.kf_ids[:_N_DB]
     false_fires = 0
     for q in range(_N_NEG):
-        r = lc_neg.retrieve(bows[_N_DB + _N_Q + q])
-        if r is not None and verified(_N_DB + _N_Q + q, r):
-            false_fires += 1
+        for r in lc_neg.retrieve_topn(bows[_N_DB + _N_Q + q], 3):
+            if verified(_N_DB + _N_Q + q, r):
+                false_fires += 1
+                break
 
     precision = correct / max(fires + false_fires, 1)
     recall = correct / _N_Q
     assert precision >= 0.95, f"precision {precision:.3f}"
-    assert recall >= 0.60, f"recall {recall:.3f}"
+    assert recall >= 0.85, f"recall {recall:.3f}"
     assert false_fires == 0, f"{false_fires} different-world false loops"
