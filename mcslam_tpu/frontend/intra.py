@@ -115,24 +115,36 @@ def intra_match(
                 max_dist=max_dist, ratio=ratio, pair_mask=gate,
             )
             # candidate parent for each cam-pj feature: the flat index of
-            # its matched cam-pi feature
-            tgt = jnp.where(res.ok, res.idx, N)  # N = dummy slot
-            cand = jnp.full((N + 1,), jnp.int32(C * N), jnp.int32)
-            cand = cand.at[tgt].min(flat_self[pi])
-            return cand[:N]  # (N,)
+            # its matched cam-pi feature. The row->col inversion is a dense
+            # equality + first-true reduce instead of a scatter-min (TPU
+            # scatters trace/compile to serialized emulation; mutual-best
+            # makes the mapping 1-1, and argmax picks the lowest row =
+            # the old scatter-min result even under duplicates).
+            eq = res.ok[:, None] & (
+                res.idx[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]
+            )  # (N rows, N cols)
+            row = jnp.argmax(eq, axis=0).astype(jnp.int32)
+            return jnp.where(
+                jnp.any(eq, axis=0), flat_self[pi][row], jnp.int32(C * N)
+            )  # (N,)
 
         cands = jax.vmap(match_pair)(Ii, Jj, E_all)  # (P, N)
         # combine per target camera: min flat index over all incoming pairs
-        # == "lowest camera wins" of the reference's sequential merge
+        # == "lowest camera wins" of the reference's sequential merge.
+        # Rows are rebuilt and stacked (static layout) rather than written
+        # with .at[j].set — each in-place row write lowers to a scatter.
+        rows = [flat_self[0]]
         for j in range(1, C):
             sel = [p for p in range(P) if pair_j[p] == j]
             if not sel:
+                rows.append(flat_self[j])
                 continue
             best = cands[sel[0]]
             for p in sel[1:]:
                 best = jnp.minimum(best, cands[p])
             take = best < flat_self[j]  # found a lower-camera parent
-            parent = parent.at[j].set(jnp.where(take, best, parent[j]))
+            rows.append(jnp.where(take, best, flat_self[j]))
+        parent = jnp.stack(rows)
 
     # pointer jumping: resolve chains to their root (<= C hops, log2 steps)
     flat_parent = parent.reshape(C * N)
@@ -143,15 +155,22 @@ def intra_match(
     flat_valid = valid.reshape(C * N)
     is_root = (flat_parent == jnp.arange(C * N, dtype=jnp.int32)) & flat_valid
 
-    # group table: for each root r, ray_idx[r, c] = feature idx in camera c
-    feat_cam = jnp.arange(C * N, dtype=jnp.int32) // N
-    feat_idx = jnp.arange(C * N, dtype=jnp.int32) % N
-    table = jnp.full((C * N, C), -1, jnp.int32)
-    rows = jnp.where(flat_valid, flat_parent, C * N)  # invalid -> dropped row
-    table = jnp.full((C * N + 1, C), -1, jnp.int32).at[rows, feat_cam].max(feat_idx)
-    table = table[: C * N]
+    # Group-table construction is fully DENSE (equality compares + reduces):
+    # the earlier scatter-max formulation of ray_idx[r, c] traced fine but
+    # compiled to minutes-long serialized scatter emulation on the remote
+    # TPU backend. Per-camera presence and the per-slot ray table are
+    # regular (rows, N) compare/reduce sweeps instead — identical outputs.
+    parent_cn = flat_parent.reshape(C, N)
+    root_ids = jnp.arange(C * N, dtype=jnp.int32)
 
-    n_rays = jnp.sum(table >= 0, axis=-1)
+    def _cam_presence(parent_c, valid_c):
+        # (C*N,) bool: does camera c contribute a ray to root r?
+        eq = (parent_c[None, :] == root_ids[:, None]) & valid_c[None, :]
+        return jnp.any(eq, axis=1)
+
+    pres = jax.vmap(_cam_presence)(parent_cn, valid)  # (C, C*N)
+    n_rays = jnp.sum(pres, axis=0)  # cameras with a ray, as before
+
     flat_resp = response.reshape(C * N)
     # priority: many-ray groups first, then strong responses
     priority = jnp.where(
@@ -160,7 +179,18 @@ def intra_match(
     k = min(max_out, C * N)
     top_p, top_i = jax.lax.top_k(priority, k)
     out_valid = top_p > 0.0
-    ray_idx = jnp.where(out_valid[:, None], table[top_i], -1)
+
+    def _cam_rays(parent_c, valid_c):
+        # (k,) int32: the feature index in camera c whose root is top_i[m]
+        # (max over duplicates = the old scatter-max tie rule), -1 if none
+        eq = (parent_c[None, :] == top_i[:, None]) & valid_c[None, :]
+        return jnp.max(
+            jnp.where(eq, jnp.arange(N, dtype=jnp.int32)[None, :], -1),
+            axis=1,
+        )
+
+    table_k = jax.vmap(_cam_rays)(parent_cn, valid).T  # (k, C)
+    ray_idx = jnp.where(out_valid[:, None], table_k, -1)
     out_desc = desc.reshape(C * N, 8)[top_i]
     if k < max_out:
         pad = max_out - k
