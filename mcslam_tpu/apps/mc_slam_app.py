@@ -83,7 +83,27 @@ def main(argv=None):
         from mcslam_tpu.parallel.sharded_ba import make_mesh
 
         mesh = make_mesh(n_mesh)
-    slam = MultiCameraSLAM(rig, slam_cfg, vocab=vocab, mesh=mesh)
+
+    # inertial / GPS wiring (reference FrontEnd ctor reads the imu/gps
+    # calibration blocks, FrontEnd.h:263-407): use_imu/use_gps only take
+    # effect when the calibration actually carries the sensor block
+    imu_p = gps_lever = None
+    if settings.use_imu and imu_params:
+        from mcslam_tpu.backend.imu import ImuParams
+
+        imu_p = ImuParams(
+            accel_noise=imu_params["acc_noise"],
+            gyro_noise=imu_params["gyr_noise"],
+            accel_walk=imu_params["acc_walk"],
+            gyro_walk=imu_params["gyr_walk"],
+            g_norm=imu_params["g_norm"],
+        )
+    if settings.use_gps and gps_params is not None:
+        tbg = gps_params.get("Tbg")
+        gps_lever = tbg[:3, 3] if tbg is not None else np.zeros(3, np.float32)
+
+    slam = MultiCameraSLAM(rig, slam_cfg, vocab=vocab, mesh=mesh,
+                           imu_params=imu_p, gps_lever_arm=gps_lever)
 
     # map-reuse session (reference relocal app mode, mc_slam_app.cpp:347-521):
     # relocalization=true loads the saved map + BoW DB and localizes against

@@ -1,0 +1,51 @@
+#!/bin/bash
+# Round-4 on-chip measurement session (VERDICT r3 item #1).
+#
+# Polls the axon TPU relay; the moment it answers, runs the committed
+# measurement kit sequentially into docs/onchip_r04/ logs:
+#   bench.py, bisect_track.py, bisect_ba.py, bisect_frame.py,
+#   bench_aux.py, plus the pre-registered env A/Bs
+#   (MCSLAM_INVCDF_SAMPLING=1, MCSLAM_NO_UNROLL=1).
+#
+# Designed to run unattended (memory: axon-tunnel-operations —
+# wait-then-measure turns relay downtime into zero lost wall-clock).
+set -u
+cd /root/repo
+OUT=docs/onchip_r04
+mkdir -p "$OUT"
+STAMP() { date -u +%Y-%m-%dT%H:%M:%SZ; }
+
+echo "$(STAMP) session start" >> "$OUT/session.log"
+
+# ---- phase 1: wait for the relay ----
+while true; do
+  if timeout 240 python -c "import jax; d=jax.devices(); assert d" \
+      >> "$OUT/session.log" 2>&1; then
+    echo "$(STAMP) RELAY UP" >> "$OUT/session.log"
+    break
+  fi
+  echo "$(STAMP) relay down (probe failed)" >> "$OUT/session.log"
+  sleep 180
+done
+
+run() {
+  local name="$1"; shift
+  echo "$(STAMP) RUN $name: $*" >> "$OUT/session.log"
+  timeout 1800 "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
+  local rc=$?
+  echo "$(STAMP) DONE $name rc=$rc" >> "$OUT/session.log"
+  return $rc
+}
+
+# ---- phase 2: the measurement kit, priority order ----
+run bench python bench.py
+run bisect_track python scripts/bisect_track.py
+run bisect_frame python scripts/bisect_frame.py
+run bisect_ba python scripts/bisect_ba.py
+run bench_aux python scripts/bench_aux.py
+run bisect_track_invcdf env MCSLAM_INVCDF_SAMPLING=1 python scripts/bisect_track.py
+run bisect_track_nounroll env MCSLAM_NO_UNROLL=1 python scripts/bisect_track.py
+# second bench pass for a quieter-window sample
+run bench2 python bench.py
+
+echo "$(STAMP) session complete" >> "$OUT/session.log"

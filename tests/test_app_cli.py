@@ -103,6 +103,67 @@ def test_app_runs_end_to_end(dataset):
     assert d.ndim == 2 and np.isfinite(d).all()
 
 
+def test_app_wires_imu_gps_params(dataset, tmp_path, monkeypatch):
+    """Regression: use_imu=true/use_gps=true used to run silently
+    vision-only — the app loaded the calibration's imu/gps blocks
+    (reference FrontEnd ctor, FrontEnd.h:263-407) but never passed them to
+    the SLAM constructor."""
+    import textwrap as tw
+
+    root, _ = dataset
+    calib = tmp_path / "camchain_imu.yaml"
+    calib.write_text(
+        (root / "camchain.yaml").read_text()
+        + tw.dedent("""
+        imu:
+          acc_noise: 0.0123
+          gyr_noise: 0.00045
+          acc_walk: 0.0002
+          gyr_walk: 0.00003
+          g_norm: 9.805
+        gps:
+          Tbg:
+            - [1.0, 0.0, 0.0, 0.25]
+            - [0.0, 1.0, 0.0, -0.1]
+            - [0.0, 0.0, 1.0, 0.05]
+            - [0.0, 0.0, 0.0, 1.0]
+        """)
+    )
+    cfg = tmp_path / "imu.cfg"
+    cfg.write_text(tw.dedent(f"""
+        data_path={root}
+        images_path={root}
+        calib_file_path={calib}
+        frontend_params_file=frontend.yaml
+        kalibr=true
+        num_cams=2
+        use_imu=true
+        use_gps=true
+        traj_file={tmp_path}/traj.txt
+    """))
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_slam(*a, **kw):
+        captured.update(kw)
+        raise _Stop
+
+    monkeypatch.setattr("mcslam_tpu.slam.MultiCameraSLAM", fake_slam)
+    from mcslam_tpu.apps import mc_slam_app
+
+    with pytest.raises(_Stop):
+        mc_slam_app.main(["--config_file", str(cfg)])
+    imu_p = captured["imu_params"]
+    assert imu_p is not None
+    np.testing.assert_allclose(imu_p.accel_noise, 0.0123)
+    np.testing.assert_allclose(imu_p.gyro_noise, 0.00045)
+    np.testing.assert_allclose(imu_p.g_norm, 9.805)
+    np.testing.assert_allclose(captured["gps_lever_arm"], [0.25, -0.1, 0.05])
+
+
 def test_app_relocalization_fast_tracking_round_trip(dataset):
     """Map-reuse session (reference mc_slam_app relocal mode,
     mc_slam_app.cpp:347-521): session A (test above) saved map.json +
