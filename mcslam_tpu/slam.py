@@ -638,6 +638,7 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         M = frame.im_valid.shape[0]
         pose = v[:16].reshape(4, 4)
         n_inl, n_matches, n_lm, rr_ok, fastpath = v[16:21]
+        self.stats["track_dispatch"] = self.stats.get("track_dispatch", 0) + 1
         self.stats["track_fastpath"] = (
             self.stats.get("track_fastpath", 0) + int(fastpath > 0.5)
         )

@@ -6,9 +6,14 @@ and the BoW vocabulary transform.
 Prints one line per stage; run on the TPU (ambient env). These are
 diagnostics, intentionally separate from bench.py so the driver's bench
 budget stays bounded (every extra program is minutes of remote compile
-through the tunnel).
+through the tunnel). Results are also written machine-readable to
+docs/bench_aux.json (override with --out); bench.py embeds that file
+as an "aux" key in its single JSON line so these stages are recorded
+round-over-round next to the headline (VERDICT r3 item #8).
 """
 
+import argparse
+import json
 import sys
 import time
 from pathlib import Path
@@ -30,7 +35,12 @@ def timeit(fn, n=10, reps=3):
     return best
 
 
-def main():
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(Path(__file__).parent.parent
+                                         / "docs" / "bench_aux.json"))
+    args = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
 
@@ -41,6 +51,7 @@ def main():
     from mcslam_tpu.slam import SlamConfig
 
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
+    results = {"backend": str(jax.devices()[0])}
     scfg = SlamConfig()
     rng = np.random.RandomState(0)
     C = 4
@@ -81,6 +92,7 @@ def main():
     t = timeit(lambda i: gba(problem).poses.sum(), n=3, reps=3)
     print(f"global BA (K={K}, L={L}, O={O}, {scfg.global_ba_iters} it)"
           f" {t*1e3:9.2f} ms")
+    results["global_ba_ms"] = round(t * 1e3, 2)
 
     # ---- loop-closure spike 2: SE(3) and Sim(3) PGO over the trajectory ----
     N = 64
@@ -99,9 +111,11 @@ def main():
     pg = jax.jit(lambda g: pgo.pgo_solve(g, iters=10))
     t = timeit(lambda i: pg(graph).sum(), n=5, reps=3)
     print(f"PGO SE(3)  (N={N}, 10 it)            {t*1e3:9.2f} ms")
+    results["pgo_se3_ms"] = round(t * 1e3, 2)
     pgs = jax.jit(lambda g: pgo.pgo_solve_sim3(g, iters=10)[0])
     t = timeit(lambda i: pgs(graph).sum(), n=5, reps=3)
     print(f"PGO Sim(3) (N={N}, 10 it)            {t*1e3:9.2f} ms")
+    results["pgo_sim3_ms"] = round(t * 1e3, 2)
 
     # ---- reloc mode: BoW transform + database matvec + GP3P verify ----
     descs = synthetic.make_descriptors(4000, seed=1)
@@ -111,6 +125,7 @@ def main():
     tr = jax.jit(vocab.transform)
     t = timeit(lambda i: tr(q_desc, q_valid).sum())
     print(f"BoW transform (768 desc)             {t*1e3:9.2f} ms")
+    results["bow_transform_ms"] = round(t * 1e3, 2)
 
     W = vocab.num_words
     db = jnp.asarray(rng.rand(512, W).astype(np.float32))
@@ -122,6 +137,7 @@ def main():
 
     t = timeit(lambda i: k_retrieve(bow))
     print(f"DB retrieve matvec (512 entries)     {t*1e3:9.2f} ms")
+    results["db_retrieve_ms"] = round(t * 1e3, 2)
 
     M = 768
     Xw = jnp.asarray((rng.uniform(-5, 5, (M, 3)) + [0, 0, 8]).astype(np.float32))
@@ -139,6 +155,13 @@ def main():
 
     t = timeit(k_verify)
     print(f"reloc GP3P verify (256 hyp, 768 pts) {t*1e3:9.2f} ms")
+    results["reloc_gp3p_ms"] = round(t * 1e3, 2)
+
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f)
+        f.write("\n")
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

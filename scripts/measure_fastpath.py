@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Measure the motion-fast-path take-rate ON THE CURRENT BACKEND.
+
+The bench headline mixes the two compiled tracking paths (fast path /
+full portfolio) at a take-rate; this script produces that rate by driving
+the hard-mode canary scene (textured ray-cast world + photometric
+corruption — the most adversarial drive in the suite, so the rate
+UNDER-states clean footage) through the production SLAM driver and
+reading the driver's own counters (stats[track_fastpath]/[track_dispatch],
+slam.py:641-644). Run it on the TPU before bench.py and the headline
+inherits a chip-measured mix instead of a CPU assumption.
+
+Writes JSON to --out (default docs/fastpath_rate.json), which bench.py
+picks up automatically.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np  # noqa: E402
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(Path(__file__).parent.parent
+                                         / "docs" / "fastpath_rate.json"))
+    # NOTE: the loop trajectory spans one revolution regardless of the
+    # frame count, so fewer frames = larger inter-frame motion = a
+    # different (harder) scene. 34 is the calibrated canary; don't
+    # lower it to save wall-clock (20 frames loses tracking outright).
+    ap.add_argument("--frames", type=int, default=34)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mcslam_tpu.data import synthetic
+    from mcslam_tpu.frontend.frame import build_frame
+    from mcslam_tpu.slam import MultiCameraSLAM, SlamConfig
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    # the hard-mode canary scene (tests/test_hard_synthetic.py textured
+    # session): continuous texture + exposure flicker + noise + blur
+    rig = synthetic.make_synthetic_rig(
+        synthetic.SyntheticRigSpec(
+            num_cams=3, baseline=0.2, image_size=(320, 240), focal=260.0
+        )
+    )
+    poses = synthetic.loop_trajectory(args.frames, radius=4.0,
+                                      revisit_frames=7, seed=0)
+    imgs = synthetic.render_textured_world(rig, poses, radius=10.0, seed=11)
+    imgs = synthetic.apply_photometric(
+        imgs, seed=5, exposure_flicker=0.25, pixel_noise=0.02,
+        motion_blur_px=3,
+    )
+
+    slam = MultiCameraSLAM(
+        rig,
+        SlamConfig(
+            window_size=4, ba_obs_capacity=8192, ba_lm_capacity=1024,
+            local_map_landmarks=1024, kf_translation=0.25, kf_rotation=0.15,
+            min_inter_matches=40,
+        ),
+    )
+    t0 = time.time()
+    for k in range(len(imgs)):
+        ff = build_frame(jnp.asarray(imgs[k]), rig, num_points=512,
+                         num_levels=3, max_intra=768)
+        slam.process_frame(ff, k / 20.0)
+    taken = int(slam.stats.get("track_fastpath", 0))
+    disp = int(slam.stats.get("track_dispatch", 0))
+    rate = taken / disp if disp else 0.0
+    out = {
+        "rate": round(rate, 4),
+        "taken": taken,
+        "dispatches": disp,
+        "frames": len(imgs),
+        "failures": int(slam.stats.get("failures", 0)),
+        "backend": str(dev),
+        "scene": "hard_textured_photometric",
+        "wall_s": round(time.time() - t0, 1),
+    }
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+        f.write("\n")
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

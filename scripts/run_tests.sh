@@ -22,6 +22,7 @@ run tests/test_slam_vo.py tests/test_slam_mono.py tests/test_slam_vio.py \
     tests/test_async_ba.py
 run tests/test_loop_pipeline.py tests/test_loop_reloc.py \
     tests/test_replay_and_utils.py tests/test_live_segmask.py
-run tests/test_image_e2e.py tests/test_app_cli.py tests/test_scripts_cli.py
+run tests/test_image_e2e.py tests/test_app_cli.py tests/test_scripts_cli.py \
+    tests/test_euroc.py tests/test_config_knobs.py
 run tests/test_hard_synthetic.py
 exit $FAILED

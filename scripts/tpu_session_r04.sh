@@ -38,6 +38,9 @@ run() {
 }
 
 # ---- phase 2: the measurement kit, priority order ----
+# chip-measured fast-path take-rate first: bench.py reads
+# docs/fastpath_rate.json for its stage-B mixing ratio
+run fastpath python scripts/measure_fastpath.py
 run bench python bench.py
 run bisect_track python scripts/bisect_track.py
 run bisect_frame python scripts/bisect_frame.py
