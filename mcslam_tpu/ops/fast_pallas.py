@@ -114,7 +114,7 @@ def fast_corners_pallas(img: jax.Array, threshold: float, tile_h: int = 64,
     out = pl.pallas_call(
         kernel,
         grid=(C, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, tile_h, Wp), lambda c, i: (c, i, 0),
             memory_space=pltpu.VMEM,

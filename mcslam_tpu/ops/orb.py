@@ -22,6 +22,7 @@ the same pattern) but not bit-compatible with OpenCV ORB.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -81,6 +82,25 @@ def extract_patches(img: jax.Array, yx: jax.Array) -> tuple[jax.Array, jax.Array
         return jax.lax.dynamic_slice(img, (y, x), (PATCH, PATCH))
 
     patches = jax.vmap(slc)(y0, x0)
+    return patches, jnp.stack([y0, x0], axis=-1)
+
+
+def extract_patches_indexed(
+    imgs: jax.Array,  # (B, H, W)
+    yx: jax.Array,  # (T, 2) int
+    img_idx: jax.Array,  # (T,) int source image per keypoint
+) -> tuple[jax.Array, jax.Array]:
+    """Flat-list patch extraction: each keypoint names its source image
+    (post-compaction lists mix pyramid levels). XLA fallback for
+    patch_pallas.extract_patches_indexed_pallas."""
+    _, h, w = imgs.shape
+    y0 = jnp.clip(yx[:, 0] - PATCH_R, 0, h - PATCH)
+    x0 = jnp.clip(yx[:, 1] - PATCH_R, 0, w - PATCH)
+
+    def slc(i, y, x):
+        return jax.lax.dynamic_slice(imgs, (i, y, x), (1, PATCH, PATCH))[0]
+
+    patches = jax.vmap(slc)(img_idx, y0, x0)
     return patches, jnp.stack([y0, x0], axis=-1)
 
 
@@ -299,6 +319,68 @@ def extract_orb_rig(
     )
     valid = valid & inb
 
+    # slot metadata at (L*C, maxb): level-0 coords, octave, variance
+    # factor, source-image index into the stacked/blurred batch
+    s_lvl = jnp.asarray(
+        [scale**lvl for lvl in range(L)], jnp.float32
+    )  # (L,)
+    xy_lvl = jnp.stack([yx[..., 1], yx[..., 0]], axis=-1).astype(jnp.float32)
+    xy0 = (
+        xy_lvl.reshape(L, C, maxb, 2) * s_lvl[:, None, None, None]
+    ).reshape(L * C, maxb, 2)
+    octv = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[:, None, None], (L, C, maxb)
+    ).reshape(L * C, maxb)
+    sigma2 = jnp.broadcast_to(
+        (s_lvl**2)[:, None, None], (L, C, maxb)
+    ).reshape(L * C, maxb)
+    img_idx = jnp.broadcast_to(
+        jnp.arange(L * C, dtype=jnp.int32)[:, None], (L * C, maxb)
+    )
+
+    def merge(x):
+        # (L*C, maxb, ...) -> (C, L*maxb, ...), level-major slot order
+        x = x.reshape(L, C, maxb, *x.shape[2:])
+        return jnp.moveaxis(x, 1, 0).reshape(C, L * maxb, *x.shape[3:])
+
+    if os.environ.get("MCSLAM_LATE_COMPACT", "0") == "1":
+        # reference ordering for A/B: descriptors for ALL L*maxb slots,
+        # compaction after (the pre-round-4 formulation)
+        return _finish_late_compact(
+            blurred, yx, resp, valid, xy0, octv, sigma2, merge, C, maxb,
+            num_points, angle_bins,
+        )
+
+    # EARLY cross-level compaction: the per-level quota pads each level
+    # to maxb slots (L*maxb ~ 1.3x num_points at the production shape),
+    # and the late formulation paid patch DMA + moment matmul + BRIEF
+    # matmul for padding it then threw away. Selection rule and slot
+    # ordering are IDENTICAL to the late top-k (same prio, same merged
+    # order), so the surviving keypoints and their descriptors are
+    # unchanged; only dead work is removed.
+    yxm = merge(yx)
+    resp_m = merge(resp)
+    valid_m = merge(valid)
+    img_m = merge(img_idx)
+    octv_m = merge(octv)
+    sig2_m = merge(sigma2)
+    xy0_m = merge(xy0)
+    M = L * maxb
+    n_out = min(num_points, M)
+    if M > n_out:
+        prio = jnp.where(valid_m, resp_m + 1e3, -1.0)
+        _, top = jax.lax.top_k(prio, n_out)  # (C, n_out)
+
+        def take(a):
+            return jnp.take_along_axis(
+                a, top.reshape(C, n_out, *([1] * (a.ndim - 2))), axis=1
+            )
+
+        yxm, resp_m, valid_m, img_m, octv_m, sig2_m, xy0_m = (
+            take(yxm), take(resp_m), take(valid_m), take(img_m),
+            take(octv_m), take(sig2_m), take(xy0_m),
+        )
+
     # patch-local orientation + descriptors (one contiguous window per
     # keypoint; no dense conv, no global point gathers).
     # bf16 patches were tried (halve the DMA band traffic) and REVERTED:
@@ -308,6 +390,37 @@ def extract_orb_rig(
     # descriptors then decorrelate across views. Measured: loop-retrieval
     # recall on the hard-mode corpus 0.77 -> 0.567 (precision held).
     # Orientation quality is load-bearing; patches stay f32.
+    T = C * n_out
+    flat_yx = yxm.reshape(T, 2)
+    flat_img = img_m.reshape(T)
+    if _use_pallas():
+        from mcslam_tpu.ops.patch_pallas import extract_patches_indexed_pallas
+
+        patches, origin = extract_patches_indexed_pallas(
+            blurred, flat_yx, flat_img
+        )
+    else:
+        patches, origin = extract_patches_indexed(blurred, flat_yx, flat_img)
+    ang = patch_orientation(patches, flat_yx, origin)
+    desc = compute_descriptors_patch(
+        patches, (flat_yx - origin).astype(jnp.float32), ang, angle_bins
+    )
+    return Keypoints(
+        xy=xy0_m,
+        response=resp_m,
+        angle=ang.reshape(C, n_out),
+        octave=octv_m,
+        sigma2=sig2_m,
+        desc=desc.reshape(C, n_out, 8),
+        valid=valid_m,
+    )
+
+
+def _finish_late_compact(blurred, yx, resp, valid, xy0, octv, sigma2, merge,
+                         C, maxb, num_points, angle_bins):
+    """Pre-round-4 tail of extract_orb_rig (descriptors for all slots,
+    top-k compaction after). Kept for on-chip A/B against the early-
+    compaction default; selects the identical keypoint set."""
     if _use_pallas():
         from mcslam_tpu.ops.patch_pallas import extract_patches_pallas
 
@@ -319,37 +432,11 @@ def extract_orb_rig(
     desc = jax.vmap(
         lambda p, c, a: compute_descriptors_patch(p, c, a, angle_bins)
     )(patches, center, ang)
-
-    # (L*C, maxb, ...) -> (C, L*maxb, ...) with level-0 coordinate scaling
-    s_lvl = jnp.asarray(
-        [scale**lvl for lvl in range(L)], jnp.float32
-    )  # (L,)
-    xy_lvl = jnp.stack([yx[..., 1], yx[..., 0]], axis=-1).astype(jnp.float32)
-    xy0 = xy_lvl.reshape(L, C, maxb, 2) * s_lvl[:, None, None, None]
-    octv = jnp.broadcast_to(
-        jnp.arange(L, dtype=jnp.int32)[:, None, None], (L, C, maxb)
-    )
-    sigma2 = jnp.broadcast_to(
-        (s_lvl**2)[:, None, None], (L, C, maxb)
-    )
-
-    def merge(x):
-        x = x.reshape(L, C, *x.shape[1:]) if x.ndim == 2 else x
-        return jnp.moveaxis(x, 1, 0).reshape(C, L * maxb, *x.shape[3:])
-
     kp = Keypoints(
-        xy=merge(xy0.reshape(L, C, maxb, 2)),
-        response=merge(resp),
-        angle=merge(ang),
-        octave=merge(octv),
-        sigma2=merge(sigma2),
-        desc=merge(desc.reshape(L, C, maxb, 8)),
+        xy=merge(xy0), response=merge(resp), angle=merge(ang),
+        octave=merge(octv), sigma2=merge(sigma2), desc=merge(desc),
         valid=merge(valid),
     )
-    # compact the L*maxb slots (only <= num_points valid, the rest are
-    # per-level quota padding) back to num_points: downstream distance
-    # matrices are quadratic in the slot count, so shipping padding costs
-    # (L*maxb/num_points)^2 on the intra matmuls
     M = kp.valid.shape[1]
     if M > num_points:
         prio = jnp.where(kp.valid, kp.response + 1e3, -1.0)

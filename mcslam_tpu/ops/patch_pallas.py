@@ -105,7 +105,7 @@ def extract_patches_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(C, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (None, B, Psub, 128), lambda c, t, org_sp: (c, t, 0, 0),
             memory_space=pltpu.VMEM,
@@ -122,3 +122,93 @@ def extract_patches_pallas(
         interpret=interpret,
     )(org_p, imgs_p)
     return patches[:, :N, :P, :P], origins
+
+
+def _patch_kernel_indexed(org_ref, idx_ref, img_hbm, out_ref, scratch, sems,
+                          *, B, P, Psub, Rows, Lanes, Sub):
+    t = pl.program_id(0)
+    dmas = []
+    for b in range(B):
+        n = t * B + b
+        packed = org_ref[n]
+        y0 = packed // 65536
+        x0 = packed % 65536
+        ya = (y0 // Sub) * Sub
+        xa = (x0 // 128) * 128
+        dma = pltpu.make_async_copy(
+            img_hbm.at[idx_ref[n], pl.ds(ya, Rows), pl.ds(xa, Lanes)],
+            scratch.at[b],
+            sems.at[b],
+        )
+        dma.start()
+        dmas.append(dma)
+    for b, dma in enumerate(dmas):
+        dma.wait()
+        n = t * B + b
+        packed = org_ref[n]
+        dy = (packed // 65536) % Sub
+        dx = (packed % 65536) % 128
+        band = scratch[b]
+        band = pltpu.roll(band, (-dy) % band.shape[0], axis=0)
+        band = pltpu.roll(band, (-dx) % band.shape[1], axis=1)
+        out_ref[b] = band[:Psub, :128]
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "interpret"))
+def extract_patches_indexed_pallas(
+    imgs: jax.Array,  # (B_img, H, W) float32
+    yx: jax.Array,  # (T, 2) int32 keypoint (y, x)
+    img_idx: jax.Array,  # (T,) int32 source image per keypoint
+    batch: int = 64,
+    interpret: bool = False,
+):
+    """Flat-list variant of extract_patches_pallas: every keypoint carries
+    its own source-image index (used after cross-level compaction, where
+    one camera's keypoint list mixes pyramid levels). Same DMA scheme; the
+    image index is scalar-prefetched alongside the packed origins.
+
+    -> ((T, P, P) patches, (T, 2) int32 patch origins).
+    """
+    from mcslam_tpu.ops.orb import PATCH, PATCH_R
+
+    _, H, W = imgs.shape
+    T = yx.shape[0]
+    P = PATCH
+    Sub = 8 if imgs.dtype.itemsize >= 4 else 16
+    Psub = -(-P // Sub) * Sub
+    Rows = Psub + Sub
+    Lanes = 256
+    y0 = jnp.clip(yx[:, 0] - PATCH_R, 0, H - P)
+    x0 = jnp.clip(yx[:, 1] - PATCH_R, 0, W - P)
+    origins = jnp.stack([y0, x0], axis=-1).astype(jnp.int32)  # (T, 2)
+    imgs_p = jnp.pad(imgs, ((0, 0), (0, Rows), (0, Lanes)), mode="edge")
+
+    B = batch
+    n_tiles = -(-T // B)
+    Tp = n_tiles * B
+    packed = origins[..., 0] * 65536 + origins[..., 1]
+    org_p = jnp.pad(packed, (0, Tp - T))
+    idx_p = jnp.pad(img_idx.astype(jnp.int32), (0, Tp - T))
+
+    kernel = functools.partial(_patch_kernel_indexed, B=B, P=P, Psub=Psub,
+                               Rows=Rows, Lanes=Lanes, Sub=Sub)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (B, Psub, 128), lambda t, org_sp, idx_sp: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, Rows, Lanes), imgs.dtype),
+            pltpu.SemaphoreType.DMA((B,)),
+        ],
+    )
+    patches = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, Psub, 128), imgs.dtype),
+        interpret=interpret,
+    )(org_p, idx_p, imgs_p)
+    return patches[:T, :P, :P], origins

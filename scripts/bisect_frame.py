@@ -102,37 +102,58 @@ def main():
     )(score)
     yx = jax.block_until_ready(yx)
 
+    # early cross-level compaction (mirrors extract_orb_rig's round-4
+    # default): patches/orientation/descriptors run on the flat compacted
+    # list of T = C*NPTS keypoints, each naming its source image
+    L = NLVL
+    Cb = C  # cameras
+
+    def _merge(x):
+        x = x.reshape(L, Cb, maxb, *x.shape[2:])
+        return jnp.moveaxis(x, 1, 0).reshape(Cb, L * maxb, *x.shape[3:])
+
+    img_idx = jnp.broadcast_to(
+        jnp.arange(L * Cb, dtype=jnp.int32)[:, None], (L * Cb, maxb))
+    yxm, resp_m, valid_m, img_m = (
+        _merge(yx), _merge(resp), _merge(valid), _merge(img_idx))
+    prio = jnp.where(valid_m, resp_m + 1e3, -1.0)
+    _, top = jax.lax.top_k(prio, NPTS)
+    take = lambda a: jnp.take_along_axis(
+        a, top.reshape(Cb, NPTS, *([1] * (a.ndim - 2))), axis=1)
+    flat_yx = take(yxm).reshape(Cb * NPTS, 2)
+    flat_img = take(img_m).reshape(Cb * NPTS)
+
     if use_pallas:
-        from mcslam_tpu.ops.patch_pallas import extract_patches_pallas
+        from mcslam_tpu.ops.patch_pallas import extract_patches_indexed_pallas
 
         @jax.jit
-        def k_patch(b, y):
-            p, o = extract_patches_pallas(b, y)
+        def k_patch(b, y, ii):
+            p, o = extract_patches_indexed_pallas(b, y, ii)
             return p.sum()
 
-        patches, origin = extract_patches_pallas(blurred, yx)
+        patches, origin = extract_patches_indexed_pallas(
+            blurred, flat_yx, flat_img)
     else:
         @jax.jit
-        def k_patch(b, y):
-            p, o = jax.vmap(orb.extract_patches)(b, y)
+        def k_patch(b, y, ii):
+            p, o = orb.extract_patches_indexed(b, y, ii)
             return p.sum()
 
-        patches, origin = jax.vmap(orb.extract_patches)(blurred, yx)
+        patches, origin = orb.extract_patches_indexed(
+            blurred, flat_yx, flat_img)
     patches = jax.block_until_ready(patches)
 
     @jax.jit
     def k_orient(p, y, o):
-        return jax.vmap(orb.patch_orientation)(p, y, o).sum()
+        return orb.patch_orientation(p, y, o).sum()
 
-    ang = jax.vmap(orb.patch_orientation)(patches, yx, origin)
+    ang = orb.patch_orientation(patches, flat_yx, origin)
     ang = jax.block_until_ready(ang)
-    center = (yx - origin).astype(jnp.float32)
+    center = (flat_yx - origin).astype(jnp.float32)
 
     @jax.jit
     def k_desc(p, c, a):
-        return jax.vmap(
-            lambda pp, cc, aa: orb.compute_descriptors_patch(pp, cc, aa, BINS)
-        )(p, c, a).sum()
+        return orb.compute_descriptors_patch(p, c, a, BINS).sum()
 
     # full extraction + full frame build (jit the standalone extraction:
     # called raw it executes EAGERLY — hundreds of per-op dispatches)
@@ -177,8 +198,9 @@ def main():
         ("pyramid+pad+blur", lambda i: k_pyr_blur(imgs[i % 2])),
         ("FAST", lambda i: k_fast(blurred if i % 2 else stacked)),
         ("select (grid+approx topk)", lambda i: k_select(score)),
-        ("patch extraction", lambda i: k_patch(blurred, yx)),
-        ("orientation matmul", lambda i: k_orient(patches, yx, origin)),
+        ("patch extraction (compacted)",
+         lambda i: k_patch(blurred, flat_yx, flat_img)),
+        ("orientation matmul", lambda i: k_orient(patches, flat_yx, origin)),
         ("descriptor matmul", lambda i: k_desc(patches, center, ang)),
         ("intra match", lambda i: k_intra(kp_desc, kp_uv, kp_valid, kp_resp)),
         ("triangulate", lambda i: k_tri(g, kp_uv, kp_sig)),

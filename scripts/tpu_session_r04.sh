@@ -5,7 +5,8 @@
 # measurement kit sequentially into docs/onchip_r04/ logs:
 #   bench.py, bisect_track.py, bisect_ba.py, bisect_frame.py,
 #   bench_aux.py, plus the pre-registered env A/Bs
-#   (MCSLAM_INVCDF_SAMPLING=1, MCSLAM_NO_UNROLL=1).
+#   (MCSLAM_INVCDF_SAMPLING=1, MCSLAM_NO_UNROLL=1,
+#    MCSLAM_LATE_COMPACT=1).
 #
 # Designed to run unattended (memory: axon-tunnel-operations —
 # wait-then-measure turns relay downtime into zero lost wall-clock).
@@ -37,6 +38,31 @@ run() {
   return $rc
 }
 
+# ---- phase 1.5: sanity-gate the round-4 frame-build rewrite ----
+# The early-compaction path adds an indexed-DMA Pallas kernel whose
+# Mosaic lowering has only been exercised in interpret mode (no chip was
+# up all round). If one frame build fails on the real chip, fall back to
+# the late-compaction tail for THE WHOLE KIT rather than burning the
+# relay window on a crash cascade.
+if ! run sanity_frame python - <<'EOF'
+import numpy as np, jax.numpy as jnp
+from mcslam_tpu.data import synthetic
+from mcslam_tpu.frontend.frame import build_frame
+rig = synthetic.make_synthetic_rig(
+    synthetic.SyntheticRigSpec(num_cams=4, image_size=(640, 480)))
+rng = np.random.RandomState(0)
+imgs = jnp.asarray(rng.rand(4, 480, 640).astype(np.float32))
+ff = build_frame(imgs, rig, num_points=768, num_levels=4, max_intra=2048)
+n = int(np.asarray(ff.kp_valid.sum()))
+assert n > 100, n
+print("sanity ok:", n, "keypoints")
+EOF
+then
+  echo "$(STAMP) SANITY FAILED -> MCSLAM_LATE_COMPACT=1 for the kit" \
+    >> "$OUT/session.log"
+  export MCSLAM_LATE_COMPACT=1
+fi
+
 # ---- phase 2: the measurement kit, priority order ----
 # chip-measured fast-path take-rate first: bench.py reads
 # docs/fastpath_rate.json for its stage-B mixing ratio
@@ -48,6 +74,11 @@ run bisect_ba python scripts/bisect_ba.py
 run bench_aux python scripts/bench_aux.py
 run bisect_track_invcdf env MCSLAM_INVCDF_SAMPLING=1 python scripts/bisect_track.py
 run bisect_track_nounroll env MCSLAM_NO_UNROLL=1 python scripts/bisect_track.py
+# early-vs-late compaction A/B on the frame build (skip if the sanity
+# gate already forced late)
+if [ -z "${MCSLAM_LATE_COMPACT:-}" ]; then
+  run bisect_frame_latecompact env MCSLAM_LATE_COMPACT=1 python scripts/bisect_frame.py
+fi
 # second bench pass for a quieter-window sample
 run bench2 python bench.py
 

@@ -148,6 +148,59 @@ def test_patch_pallas_matches_xla():
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
 
 
+def test_patch_pallas_indexed_matches_xla():
+    """Flat-list variant (per-keypoint source-image index) must match the
+    dynamic-slice reference bit-exactly, with keypoints hitting arbitrary
+    images of the batch in arbitrary order."""
+    from mcslam_tpu.ops import orb
+    from mcslam_tpu.ops.patch_pallas import extract_patches_indexed_pallas
+
+    rng = np.random.RandomState(13)
+    B, H, W, T = 5, 96, 200, 70
+    imgs = jnp.asarray(rng.rand(B, H, W).astype(np.float32))
+    yx = jnp.asarray(np.stack([
+        rng.randint(0, H, T), rng.randint(0, W, T),
+    ], axis=-1).astype(np.int32))
+    idx = jnp.asarray(rng.randint(0, B, T).astype(np.int32))
+    got_p, got_o = extract_patches_indexed_pallas(
+        imgs, yx, idx, batch=16, interpret=True
+    )
+    ref_p, ref_o = orb.extract_patches_indexed(imgs, yx, idx)
+    np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+
+
+def test_early_compaction_matches_late():
+    """extract_orb_rig's early cross-level compaction (round-4 speedup:
+    patches/orientation/descriptors only for the surviving num_points
+    slots) must select the identical keypoint set with identical
+    descriptors as the late-compaction formulation it replaced
+    (MCSLAM_LATE_COMPACT=1)."""
+    import os
+
+    from mcslam_tpu.ops import orb
+
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.rand(2, 120, 160).astype(np.float32) ** 2)
+    kw = dict(num_points=96, num_levels=3, approx_topk=False)
+    early = orb.extract_orb_rig(imgs, **kw)
+    os.environ["MCSLAM_LATE_COMPACT"] = "1"
+    try:
+        late = orb.extract_orb_rig(imgs, **kw)
+    finally:
+        del os.environ["MCSLAM_LATE_COMPACT"]
+    np.testing.assert_array_equal(np.asarray(early.valid), np.asarray(late.valid))
+    np.testing.assert_array_equal(np.asarray(early.octave), np.asarray(late.octave))
+    np.testing.assert_array_equal(np.asarray(early.xy), np.asarray(late.xy))
+    np.testing.assert_array_equal(np.asarray(early.desc), np.asarray(late.desc))
+    np.testing.assert_allclose(
+        np.asarray(early.angle), np.asarray(late.angle), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(early.response), np.asarray(late.response)
+    )
+
+
 # ---------- topk_grid ----------
 
 def test_select_keypoints_balanced():
