@@ -29,7 +29,28 @@ def _fast_kernel(img_hbm, out_ref, scratch, sem, *, tile_h, width, height,
                  threshold):
     c = pl.program_id(0)
     i = pl.program_id(1)
+    _fast_tile_body(img_hbm, out_ref, scratch, sem, c, i, tile_h=tile_h,
+                    width=width, height=height, threshold=threshold)
 
+
+def _fast_kernel_hskip(h_ref, img_hbm, out_ref, scratch, sem, *, tile_h,
+                       width, height, threshold):
+    """Variant with per-image true heights (scalar-prefetched): pyramid
+    levels are edge-padded to the level-0 shape, and a tile whose output
+    rows all fall at or beyond h_img - BORDER produces only scores the
+    caller's interior mask zeroes — skip its DMA and compute entirely."""
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when(i * tile_h < h_ref[c] - BORDER)
+    def _():
+        _fast_tile_body(img_hbm, out_ref, scratch, sem, c, i, tile_h=tile_h,
+                        width=width, height=height, threshold=threshold)
+
+
+def _fast_tile_body(img_hbm, out_ref, scratch, sem, c, i, *, tile_h, width,
+                    height, threshold):
     # DMA this row band (tile + halos) into VMEM
     dma = pltpu.make_async_copy(
         img_hbm.at[c, pl.ds(i * tile_h, tile_h + 2 * HALO), :],
@@ -97,8 +118,17 @@ def _fast_kernel(img_hbm, out_ref, scratch, sem, *, tile_h, width, height,
 @functools.partial(jax.jit, static_argnames=("threshold", "tile_h",
                                               "interpret"))
 def fast_corners_pallas(img: jax.Array, threshold: float, tile_h: int = 64,
-                        interpret: bool = False) -> jax.Array:
-    """(C, H, W) float32 -> (C, H, W) NMS'd FAST score map."""
+                        interpret: bool = False,
+                        heights: jax.Array | None = None) -> jax.Array:
+    """(C, H, W) float32 -> (C, H, W) NMS'd FAST score map.
+
+    `heights` (optional, (C,) int32): each image's TRUE row count when the
+    batch packs edge-padded pyramid levels (extract_orb_rig). Row tiles
+    entirely at or beyond heights[c] - BORDER skip their DMA + compute and
+    write zeros — bit-identical after the caller's per-level interior mask
+    (which zeroes those rows regardless), ~19% fewer tiles at the
+    production 4-level VGA shape.
+    """
     C, H, W = img.shape
     n_tiles = -(-H // tile_h)
     pad_h = n_tiles * tile_h - H
@@ -108,22 +138,47 @@ def fast_corners_pallas(img: jax.Array, threshold: float, tile_h: int = 64,
         img, ((0, 0), (HALO, HALO + pad_h), (0, Wp - W)), mode="edge"
     )
 
-    kernel = functools.partial(
-        _fast_kernel, tile_h=tile_h, width=W, height=H, threshold=threshold
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(C, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, tile_h, Wp), lambda c, i: (c, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((C, n_tiles * tile_h, Wp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * HALO, Wp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(padded)
+    out_shape = jax.ShapeDtypeStruct((C, n_tiles * tile_h, Wp), jnp.float32)
+    scratch_shapes = [
+        pltpu.VMEM((tile_h + 2 * HALO, Wp), jnp.float32),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if heights is None:
+        kernel = functools.partial(
+            _fast_kernel, tile_h=tile_h, width=W, height=H,
+            threshold=threshold,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(C, n_tiles),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, tile_h, Wp), lambda c, i: (c, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(padded)
+    else:
+        kernel = functools.partial(
+            _fast_kernel_hskip, tile_h=tile_h, width=W, height=H,
+            threshold=threshold,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(C, n_tiles),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, tile_h, Wp), lambda c, i, h_sp: (c, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=scratch_shapes,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(heights.astype(jnp.int32), padded)
     return out[:, :H, :W]

@@ -278,16 +278,23 @@ def extract_orb_rig(
         axis=0,
     )
     blurred = image_ops.gaussian_blur(stacked, 7, 2.0)
+    h_l = jnp.repeat(jnp.asarray([h for h, _ in hw], jnp.int32), C)
+    w_l = jnp.repeat(jnp.asarray([w for _, w in hw], jnp.int32), C)
     if _use_pallas():
         from mcslam_tpu.ops.fast_pallas import fast_corners_pallas
 
-        score = fast_corners_pallas(stacked, min_threshold)
+        # per-image true heights let the kernel skip row tiles that lie
+        # entirely in a level's edge-padding (their scores are zeroed by
+        # the interior mask below anyway); MCSLAM_FAST_NO_HSKIP=1 is the
+        # on-chip A/B + fallback
+        hskip = os.environ.get("MCSLAM_FAST_NO_HSKIP", "0") != "1"
+        score = fast_corners_pallas(
+            stacked, min_threshold, heights=h_l if hskip else None
+        )
     else:
         score = fast_ops.fast_corners(stacked, min_threshold)
     # mask scores outside each level's TRUE bounds (the kernel's interior
     # mask only knows the padded shape)
-    h_l = jnp.repeat(jnp.asarray([h for h, _ in hw], jnp.int32), C)
-    w_l = jnp.repeat(jnp.asarray([w for _, w in hw], jnp.int32), C)
     yy = jnp.arange(H0, dtype=jnp.int32)[None, :, None]
     xx = jnp.arange(W0, dtype=jnp.int32)[None, None, :]
     interior = (yy < (h_l[:, None, None] - fast_ops.BORDER)) & (

@@ -73,19 +73,36 @@ def main():
     blurred = jax.block_until_ready(blurred)
 
     use_pallas = orb._use_pallas()
+    # per-image true heights: the production extract passes these so the
+    # FAST kernel skips row tiles lying in a level's edge-padding
+    # (MCSLAM_FAST_NO_HSKIP=1 reverts, mirroring extract_orb_rig)
+    import os as _os
+    hskip = _os.environ.get("MCSLAM_FAST_NO_HSKIP", "0") != "1"
+    h_l = jnp.repeat(jnp.asarray([h for h, _ in hw], jnp.int32), C)
     if use_pallas:
         from mcslam_tpu.ops.fast_pallas import fast_corners_pallas
 
         @jax.jit
         def k_fast(s):
-            return fast_corners_pallas(s, 7.0 / 255.0).sum()
+            return fast_corners_pallas(
+                s, 7.0 / 255.0, heights=h_l if hskip else None).sum()
     else:
         @jax.jit
         def k_fast(s):
             return fast_ops.fast_corners(s, 7.0 / 255.0).sum()
 
-    score = (fast_corners_pallas(stacked, 7.0 / 255.0) if use_pallas
-             else fast_ops.fast_corners(stacked, 7.0 / 255.0))
+    score = (fast_corners_pallas(stacked, 7.0 / 255.0,
+                                 heights=h_l if hskip else None)
+             if use_pallas else fast_ops.fast_corners(stacked, 7.0 / 255.0))
+    # mask to true level bounds before selection (extract_orb_rig does
+    # this after FAST; without it the two FAST variants would select
+    # different keypoints in the padded region)
+    w_l = jnp.repeat(jnp.asarray([w for _, w in hw], jnp.int32), C)
+    yy = jnp.arange(H0, dtype=jnp.int32)[None, :, None]
+    xx = jnp.arange(W0, dtype=jnp.int32)[None, None, :]
+    interior = (yy < (h_l[:, None, None] - fast_ops.BORDER)) & (
+        xx < (w_l[:, None, None] - fast_ops.BORDER))
+    score = jnp.where(interior, score, 0.0)
     score = jax.block_until_ready(score)
 
     @jax.jit

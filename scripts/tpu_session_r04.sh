@@ -38,13 +38,14 @@ run() {
   return $rc
 }
 
-# ---- phase 1.5: sanity-gate the round-4 frame-build rewrite ----
-# The early-compaction path adds an indexed-DMA Pallas kernel whose
-# Mosaic lowering has only been exercised in interpret mode (no chip was
-# up all round). If one frame build fails on the real chip, fall back to
-# the late-compaction tail for THE WHOLE KIT rather than burning the
-# relay window on a crash cascade.
-if ! run sanity_frame python - <<'EOF'
+# ---- phase 1.5: sanity-gate the round-4 frame-build rewrites ----
+# Round 4 adds two Pallas paths whose Mosaic lowering has only been
+# exercised in interpret mode (no chip was up all round): the
+# indexed-DMA patch kernel (early compaction) and the FAST height-skip
+# variant. If a frame build fails on the real chip, fall back
+# progressively rather than burning the relay window on a crash cascade.
+sanity() {
+  run "$1" python - <<'EOF'
 import numpy as np, jax.numpy as jnp
 from mcslam_tpu.data import synthetic
 from mcslam_tpu.frontend.frame import build_frame
@@ -57,10 +58,17 @@ n = int(np.asarray(ff.kp_valid.sum()))
 assert n > 100, n
 print("sanity ok:", n, "keypoints")
 EOF
-then
-  echo "$(STAMP) SANITY FAILED -> MCSLAM_LATE_COMPACT=1 for the kit" \
-    >> "$OUT/session.log"
-  export MCSLAM_LATE_COMPACT=1
+}
+if ! sanity sanity_frame; then
+  echo "$(STAMP) SANITY FAILED -> MCSLAM_FAST_NO_HSKIP=1" >> "$OUT/session.log"
+  export MCSLAM_FAST_NO_HSKIP=1
+  if ! sanity sanity_frame_nohskip; then
+    echo "$(STAMP) SANITY STILL FAILED -> MCSLAM_LATE_COMPACT=1" \
+      >> "$OUT/session.log"
+    export MCSLAM_LATE_COMPACT=1
+    sanity sanity_frame_latecompact || \
+      echo "$(STAMP) SANITY FAILED ON ALL FALLBACKS" >> "$OUT/session.log"
+  fi
 fi
 
 # ---- phase 2: the measurement kit, priority order ----
@@ -78,6 +86,10 @@ run bisect_track_nounroll env MCSLAM_NO_UNROLL=1 python scripts/bisect_track.py
 # gate already forced late)
 if [ -z "${MCSLAM_LATE_COMPACT:-}" ]; then
   run bisect_frame_latecompact env MCSLAM_LATE_COMPACT=1 python scripts/bisect_frame.py
+fi
+# FAST height-skip A/B (skip if the sanity gate already disabled it)
+if [ -z "${MCSLAM_FAST_NO_HSKIP:-}" ]; then
+  run bisect_frame_nohskip env MCSLAM_FAST_NO_HSKIP=1 python scripts/bisect_frame.py
 fi
 # second bench pass for a quieter-window sample
 run bench2 python bench.py

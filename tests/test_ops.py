@@ -127,6 +127,34 @@ def test_fast_pallas_matches_xla():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_fast_pallas_height_skip_matches_masked():
+    """The per-image true-height tile skip (pyramid levels edge-padded to
+    the level-0 shape) must equal the full kernel everywhere the caller's
+    interior mask keeps: rows < h_img - BORDER. Rows at or beyond that are
+    zero by construction in the skip variant and zeroed by the mask in
+    extract_orb_rig either way."""
+    from mcslam_tpu.ops.fast_pallas import fast_corners_pallas
+
+    rng = np.random.RandomState(11)
+    H, W = 120, 160
+    heights = np.asarray([120, 77, 40], np.int32)  # tile_h=40 -> skip 0/1/2
+    img_np = rng.rand(3, H, W).astype(np.float32)
+    for c, h in enumerate(heights):  # edge-pad like build_pyramid stacking
+        img_np[c, h:] = img_np[c, h - 1]
+    img = jnp.asarray(img_np)
+    full = np.asarray(fast_corners_pallas(img, 0.05, tile_h=40,
+                                          interpret=True))
+    skip = np.asarray(fast_corners_pallas(img, 0.05, tile_h=40,
+                                          interpret=True,
+                                          heights=jnp.asarray(heights)))
+    for c, h in enumerate(heights):
+        keep = h - fast.BORDER
+        np.testing.assert_array_equal(skip[c, :keep], full[c, :keep])
+    # skipped tiles wrote zeros
+    assert not np.any(skip[1, 80:])
+    assert not np.any(skip[2, 40:])
+
+
 def test_patch_pallas_matches_xla():
     """The DMA patch-extraction kernel (interpret mode on CPU) must
     reproduce the dynamic-slice reference bit-exactly, including clamped
