@@ -35,3 +35,30 @@ if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"
+
+# Lazy top-level re-exports of the main user entry points (PEP 562): kept
+# lazy so `import mcslam_tpu` stays cheap for tools that only need config
+# parsing or IO, while `from mcslam_tpu import MultiCameraSLAM` works as
+# the README shows.
+_EXPORTS = {
+    "MultiCameraSLAM": "mcslam_tpu.slam",
+    "SlamConfig": "mcslam_tpu.slam",
+    "build_frame": "mcslam_tpu.frontend.frame",
+    "CameraRig": "mcslam_tpu.geometry.camera",
+    "load_kalibr": "mcslam_tpu.data.calib",
+    "load_euroc_rig": "mcslam_tpu.data.euroc",
+    "ate_rmse": "mcslam_tpu.utils.metrics",
+}
+
+
+def __getattr__(name):
+    target = _EXPORTS.get(name)
+    if target is None:
+        raise AttributeError(f"module 'mcslam_tpu' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(target), name)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))

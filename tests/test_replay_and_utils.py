@@ -218,6 +218,21 @@ def test_full_graph_replay_vio_gps(tmp_path):
     np.testing.assert_array_equal(out["poses_out"], out2["poses_out"])
 
 
+def test_top_level_exports():
+    """The README's `from mcslam_tpu import ...` entry points resolve via
+    the lazy PEP 562 re-exports; unknown names raise AttributeError."""
+    import pytest
+
+    import mcslam_tpu
+
+    for name in ("MultiCameraSLAM", "SlamConfig", "build_frame", "CameraRig",
+                 "load_kalibr", "load_euroc_rig", "ate_rmse"):
+        assert callable(getattr(mcslam_tpu, name)), name
+        assert name in dir(mcslam_tpu)
+    with pytest.raises(AttributeError):
+        mcslam_tpu.not_a_real_export
+
+
 def test_stage_timers():
     from mcslam_tpu.utils.profiling import StageTimers
 
