@@ -297,3 +297,32 @@ def test_sharded_hamming_match_matches_single_device():
     sel = ok & unique_min
     assert sel.sum() > Q // 3
     assert np.array_equal(idx[sel], i1[sel])
+
+
+def test_sharded_frame_build_matches_single_device():
+    """Camera-sharded frame build (4 cams over a 4-device mesh) must be
+    BIT-EXACT vs build_frame: extraction/undistortion are per-camera
+    independent and the gathered intra/triangulate inputs are identical."""
+    from mcslam_tpu.data import synthetic
+    from mcslam_tpu.frontend.frame import build_frame
+    from mcslam_tpu.parallel import sharded_frame
+
+    rig = synthetic.make_synthetic_rig(synthetic.SyntheticRigSpec(
+        num_cams=4, baseline=0.25, image_size=(256, 192), focal=210.0))
+    poses = synthetic.smooth_trajectory(1, radius=5.0, step_angle=0.03, seed=3)
+    lms = synthetic.make_landmarks(500, seed=4, depth_range=(4.0, 12.0))
+    imgs = jnp.asarray(synthetic.render_blob_images(rig, poses, lms, seed=5)[0])
+
+    kw = dict(num_points=256, num_levels=3, max_intra=512, approx_topk=False)
+    ref = build_frame(imgs, rig, **kw)
+    mesh = sharded_frame.make_mesh(4)
+    got = sharded_frame.sharded_build_frame(mesh, imgs, rig, **kw)
+
+    for name in ref._fields:
+        a, b = np.asarray(getattr(got, name)), np.asarray(getattr(ref, name))
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+    # indivisible camera counts are rejected loudly
+    with pytest.raises(ValueError):
+        sharded_frame.sharded_build_frame(
+            sharded_frame.make_mesh(3), imgs, rig, **kw)
