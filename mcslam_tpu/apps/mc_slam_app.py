@@ -84,6 +84,10 @@ def main(argv=None):
 
         mesh = make_mesh(n_mesh)
 
+    # camera-sharded frame build when the mesh divides the rig (bit-exact
+    # vs single device; parallel/sharded_frame.py) — set up after the rig
+    # loads below
+
     # inertial / GPS wiring (reference FrontEnd ctor reads the imu/gps
     # calibration blocks, FrontEnd.h:263-407): use_imu/use_gps only take
     # effect when the calibration actually carries the sensor block
@@ -195,6 +199,18 @@ def main(argv=None):
     # result fetch of frame N. The build has no dependency on SLAM state,
     # so reordering is sound. (The reference overlaps the same stages with
     # its per-camera extraction threads, FrontEnd.cpp extractFeaturesParallel.)
+    if mesh is not None and rig.num_cams % n_mesh == 0:
+        from mcslam_tpu.parallel import sharded_frame
+
+        _cam_mesh = sharded_frame.make_mesh(n_mesh)
+
+        def _build(imgs):
+            return sharded_frame.sharded_build_frame(
+                _cam_mesh, jnp.asarray(imgs), rig, **extract_cfg)
+    else:
+        def _build(imgs):
+            return build_frame(jnp.asarray(imgs), rig, **extract_cfg)
+
     pending = None  # (ff, ts, imgs) of the not-yet-processed frame
     while True:
         n_queued = n + (1 if pending is not None else 0)
@@ -202,7 +218,7 @@ def main(argv=None):
             else reader.get_next()
         if nxt is not None:
             imgs, ts = nxt
-            ff = build_frame(jnp.asarray(imgs), rig, **extract_cfg)
+            ff = _build(imgs)
         else:
             imgs = ff = ts = None
         if pending is None:

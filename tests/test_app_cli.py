@@ -103,6 +103,30 @@ def test_app_runs_end_to_end(dataset):
     assert d.ndim == 2 and np.isfinite(d).all()
 
 
+def test_app_mesh_devices_shards_frame_and_ba(dataset, tmp_path):
+    """mesh_devices=2 on a 2-camera rig routes frame builds through the
+    camera-sharded path and BA through the mesh solver; same trajectory
+    quality as the single-device run (the frame build is bit-exact)."""
+    root, poses = dataset
+    from mcslam_tpu.apps import mc_slam_app
+
+    cfg = (root / "app.cfg").read_text().replace(
+        "calc_depth=true", "calc_depth=false")
+    mesh_cfg = tmp_path / "app_mesh.cfg"
+    mesh_cfg.write_text(cfg + "\nmesh_devices=2\n")
+    rc = mc_slam_app.main([
+        "--config_file", str(mesh_cfg),
+        "--traj_file", str(tmp_path / "traj_mesh.txt"),
+    ])
+    assert rc == 0
+    from mcslam_tpu.utils import metrics, tum
+
+    ts, est = tum.read_tum(tmp_path / "traj_mesh.txt")
+    assert len(ts) == 6
+    ate = metrics.ate_rmse(est, poses)
+    assert ate < 0.2, ate
+
+
 def test_app_wires_imu_gps_params(dataset, tmp_path, monkeypatch):
     """Regression: use_imu=true/use_gps=true used to run silently
     vision-only — the app loaded the calibration's imu/gps blocks
