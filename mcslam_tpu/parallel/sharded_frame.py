@@ -103,6 +103,84 @@ def _sharded_fused_stage(
     return fn(imgs, rig)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "num_points", "num_levels", "fast_threshold",
+        "min_threshold", "max_intra", "min_z", "max_z", "angle_bins",
+        "approx_topk",
+    ),
+)
+def _frames_batch_stage(
+    mesh: Mesh, imgs, rig, num_points, num_levels, fast_threshold,
+    min_threshold, max_intra, min_z, max_z, angle_bins, approx_topk,
+):
+    def shard_fn(im_local, rig_full):
+        # one frame per device: the full fused single-frame build
+        kps, xy_ud, groups, tri = frame_mod._fused_stage.__wrapped__(
+            im_local[0], rig_full, None, num_points, num_levels,
+            fast_threshold, min_threshold, max_intra, min_z, max_z,
+            angle_bins, approx_topk,
+        )
+        add_b = lambda t: jax.tree.map(lambda x: x[None], t)
+        return add_b(kps), xy_ud[None], add_b(groups), add_b(tri)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    return fn(imgs, rig)
+
+
+def sharded_build_frames(
+    mesh: Mesh,
+    imgs: jax.Array,  # (B, C, H, W), B == mesh size
+    rig,
+    **kw,
+) -> list[frame_mod.FrameFeatures]:
+    """Frame-parallel batch build: B frames built simultaneously, ONE per
+    mesh device (pure data parallelism over the frame axis; bit-exact vs
+    B sequential `build_frame` calls). The throughput mode for offline
+    mapping / trajectory evaluation, where frame builds have no
+    dependency on SLAM state — the reference's closest analogue is its
+    rosbag producer thread running ahead of the pipeline.
+
+    Returns a list of B FrameFeatures (host-side unstack of the sharded
+    batch).
+    """
+    B = imgs.shape[0]
+    n_dev = mesh.devices.size
+    if B != n_dev:
+        raise ValueError(f"batch={B} must equal mesh devices={n_dev}")
+    defaults = dict(
+        num_points=1024, num_levels=8, fast_threshold=20.0 / 255.0,
+        min_threshold=7.0 / 255.0, max_intra=2048, min_z=0.5, max_z=40.0,
+        angle_bins=orb.ANGLE_BINS, approx_topk=True,
+    )
+    defaults.update(kw)
+    kps, xy_ud, groups, tri = _frames_batch_stage(mesh, imgs, rig,
+                                                  **defaults)
+    out = []
+    for b in range(B):
+        X, has_depth, anchor_cam, uv_ref, anchor_sigma2, n_rays = (
+            jax.tree.map(lambda x: x[b], tri)
+        )
+        k = jax.tree.map(lambda x: x[b], kps)
+        g = jax.tree.map(lambda x: x[b], groups)
+        out.append(frame_mod.FrameFeatures(
+            kp_xy=k.xy, kp_xy_ud=xy_ud[b], kp_response=k.response,
+            kp_angle=k.angle, kp_octave=k.octave, kp_sigma2=k.sigma2,
+            kp_desc=k.desc, kp_valid=k.valid,
+            im_ray_idx=g.ray_idx, im_desc=g.desc, im_uv_ref=uv_ref,
+            im_anchor_cam=anchor_cam, im_point3d=X, im_has_depth=has_depth,
+            im_n_rays=n_rays, im_valid=g.valid, im_sigma2=anchor_sigma2,
+        ))
+    return out
+
+
 def sharded_build_frame(
     mesh: Mesh,
     imgs: jax.Array,

@@ -326,3 +326,30 @@ def test_sharded_frame_build_matches_single_device():
     with pytest.raises(ValueError):
         sharded_frame.sharded_build_frame(
             sharded_frame.make_mesh(3), imgs, rig, **kw)
+
+
+def test_sharded_frames_batch_matches_sequential():
+    """Frame-parallel batch build (one frame per device) must be bit-exact
+    vs sequential single-device build_frame calls."""
+    from mcslam_tpu.data import synthetic
+    from mcslam_tpu.frontend.frame import build_frame
+    from mcslam_tpu.parallel import sharded_frame
+
+    rig = synthetic.make_synthetic_rig(synthetic.SyntheticRigSpec(
+        num_cams=2, baseline=0.25, image_size=(192, 144), focal=160.0))
+    poses = synthetic.smooth_trajectory(4, radius=4.0, step_angle=0.04, seed=6)
+    lms = synthetic.make_landmarks(300, seed=7, depth_range=(3.0, 10.0))
+    imgs = jnp.asarray(synthetic.render_blob_images(rig, poses, lms, seed=8))
+
+    kw = dict(num_points=128, num_levels=2, max_intra=256, approx_topk=False)
+    mesh = sharded_frame.make_mesh(4)
+    got = sharded_frame.sharded_build_frames(mesh, imgs, rig, **kw)
+    assert len(got) == 4
+    for b in range(4):
+        ref = build_frame(imgs[b], rig, **kw)
+        for name in ref._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got[b], name)),
+                np.asarray(getattr(ref, name)), err_msg=f"frame {b} {name}")
+    with pytest.raises(ValueError):
+        sharded_frame.sharded_build_frames(mesh, imgs[:3], rig, **kw)
