@@ -92,7 +92,14 @@ class LoopCloser:
         self.vocab = vocab
         self.rig = rig
         self.cfg = config or LoopConfig()
-        self.bows: list[np.ndarray] = []  # per-KF dense BoW
+        # per-KF dense BoW vectors, stored in a preallocated row matrix
+        # (amortized-doubling growth): retrieval is ONE matvec over a
+        # contiguous view — the naive list-of-rows form restacked the
+        # whole O(D*V) database on every query
+        self._bow_mat: np.ndarray = np.zeros(
+            (64, vocab.num_words), np.float32
+        )
+        self._n_bows: int = 0
         self.kf_ids: list[int] = []
         self._last_bow: Optional[np.ndarray] = None
         # temporal-consistency groups: (island ids, count, last db size at
@@ -110,20 +117,41 @@ class LoopCloser:
     def compute_bow(self, desc, valid) -> np.ndarray:
         return np.asarray(self.vocab.transform(desc, valid))
 
+    @property
+    def bows(self) -> list[np.ndarray]:
+        """Row views of the stored BoW vectors (compat accessor)."""
+        return [self._bow_mat[i] for i in range(self._n_bows)]
+
+    @bows.setter
+    def bows(self, rows):
+        rows = list(rows)
+        cap = max(64, len(rows))
+        self._bow_mat = np.zeros((cap, self.vocab.num_words), np.float32)
+        for i, r in enumerate(rows):
+            self._bow_mat[i] = r
+        self._n_bows = len(rows)
+
     def add_keyframe(self, kf_id: int, bow: np.ndarray):
-        self.bows.append(bow)
+        if self._n_bows == self._bow_mat.shape[0]:
+            grown = np.zeros(
+                (2 * self._bow_mat.shape[0], self._bow_mat.shape[1]),
+                np.float32,
+            )
+            grown[: self._n_bows] = self._bow_mat
+            self._bow_mat = grown
+        self._bow_mat[self._n_bows] = bow
+        self._n_bows += 1
         self.kf_ids.append(kf_id)
 
     def save_database(self, path):
         np.savez_compressed(
-            path, bows=np.stack(self.bows) if self.bows else
-            np.zeros((0, self.vocab.num_words), np.float32),
+            path, bows=self._bow_mat[: self._n_bows].copy(),
             kf_ids=np.asarray(self.kf_ids, np.int32),
         )
 
     def load_database(self, path):
         z = np.load(path)
-        self.bows = [b for b in z["bows"]]
+        self.bows = z["bows"]
         self.kf_ids = [int(i) for i in z["kf_ids"]]
 
     # -- detection ---------------------------------------------------------
@@ -170,7 +198,7 @@ class LoopCloser:
         prev_bow = self._last_bow
         self._last_bow = bow
 
-        n_db = len(self.bows)
+        n_db = self._n_bows
         # expire stale consistency groups on EVERY keyframe (also ones with
         # no candidates — the reference expires groups not extended within
         # the window; a candidate-less frame must age groups, not skip them)
@@ -182,7 +210,7 @@ class LoopCloser:
         if usable > 0 and prev_bow is not None:
             nss = float(bow @ prev_bow)
             if nss >= cfg.min_nss:
-                scores = np.stack(self.bows[:usable]) @ bow
+                scores = self._bow_mat[:usable] @ bow
                 thresh = cfg.alpha * nss
                 cand = np.nonzero(scores >= thresh)[0]
                 if len(cand):
