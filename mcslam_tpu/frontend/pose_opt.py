@@ -31,6 +31,9 @@ CHI2_2DOF = 5.991
 # TPU) at ~2x compile time; MCSLAM_NO_UNROLL=1 flips back to looped scans
 # for on-chip A/B (identical math either way).
 _UNROLL = os.environ.get("MCSLAM_NO_UNROLL") != "1"
+# 6x6 LM solves via unrolled scalar Cholesky instead of LU (chip A/B;
+# default off — see the lm_step note)
+_CHOL6 = os.environ.get("MCSLAM_CHOL6") == "1"
 
 
 class PoseOptResult(NamedTuple):
@@ -141,9 +144,12 @@ def optimize_pose(
             # stays OFF until the on-chip bisection proves it — swapping
             # the solver reshuffles f32 rounding and the suite's mono
             # canary is chaotically sensitive to that (see PERF.md).
-            dx = -jnp.linalg.solve(
-                H_b + lam * jnp.eye(6, dtype=T_b.dtype), g_b
-            )
+            # MCSLAM_CHOL6=1 flips it on for the push-button chip A/B.
+            H_lm = H_b + lam * jnp.eye(6, dtype=T_b.dtype)
+            if _CHOL6:
+                dx = -linalg3.chol_solve6(H_lm, g_b)
+            else:
+                dx = -jnp.linalg.solve(H_lm, g_b)
             T_t = lie.se3_retract(T_b, dx)
             H_t, g_t, c_t, r_t = linearize(T_t, active)
             improved = c_t < c_b

@@ -82,6 +82,7 @@ run bisect_ba python scripts/bisect_ba.py
 run bench_aux python scripts/bench_aux.py
 run bisect_track_invcdf env MCSLAM_INVCDF_SAMPLING=1 python scripts/bisect_track.py
 run bisect_track_nounroll env MCSLAM_NO_UNROLL=1 python scripts/bisect_track.py
+run bisect_track_chol6 env MCSLAM_CHOL6=1 python scripts/bisect_track.py
 # early-vs-late compaction A/B on the frame build (skip if the sanity
 # gate already forced late)
 if [ -z "${MCSLAM_LATE_COMPACT:-}" ]; then
