@@ -115,7 +115,11 @@ class SensorsMixin:
         gravity_aligned = self.use_imu and self.imu_initialized
         if gravity_aligned:
             # horizontal spread must dominate the noise for yaw to be
-            # observable
+            # observable. The initial yaw is necessarily rough on a short
+            # track (a few degrees); what keeps that benign is that the
+            # window solve can NEVER rotate E_T_V (rot-pinned prior,
+            # driver_window) — only _refit_gps_alignment updates the
+            # rotation, and only once the session has real geometry.
             ext = 2.0 * np.linalg.norm(Vc[:, :2], axis=1).max()
             if ext < 3.0 * self.cfg.gps_sigma:
                 return
@@ -139,6 +143,77 @@ class SensorsMixin:
         self.E_T_V[:3, :3] = R.astype(np.float32)
         self.E_T_V[:3, 3] = t.astype(np.float32)
         self.gps_initialized = True
+
+    def _refit_gps_alignment(self) -> bool:
+        """Re-fit E_T_V against the WHOLE session's GPS-carrying keyframes.
+
+        The reference keeps the alignment 't0' as one ISAM2 variable that
+        every GPS factor of the session constrains (Backend.cpp:2652-2663,
+        3170) — its estimate only sharpens with time. A fixed-lag window
+        sees ~4 of those factors at once, and on a short arc E_T_V yaw is
+        near-degenerate with translation, so the in-window estimate WANDERS
+        (measured: the -3.7 deg Kabsch init drifted to -10.4 deg over 3
+        windows on a degraded-vision drive, dragging GPS-fused ATE 2x above
+        VIO-only). This host-side Procrustes over all (keyframe, fix) pairs
+        is the fixed-lag equivalent of the accumulated constraint: O(n)
+        per call, and it cannot wander because the whole history votes.
+        Returns True when a re-fit was applied (caller then carries the
+        fit's information into the next window's E_T_V prior)."""
+        if len(self.kf_gps) < 4:
+            return False
+        inv_btc0 = np.linalg.inv(
+            np.asarray(self.rig.body_T_cam, np.float64)[0]
+        )
+        by_id = {k.kf_id: k for k in self.keyframes}
+        pts_v, pts_e = [], []
+        for kf_id, enu in self.kf_gps.items():
+            kf = by_id.get(kf_id)
+            if kf is None:
+                continue
+            wTb = np.asarray(kf.world_T_ref, np.float64) @ inv_btc0
+            pts_v.append(wTb[:3, 3] + wTb[:3, :3] @ self.gps_lever_arm)
+            pts_e.append(np.asarray(enu, np.float64))
+        if len(pts_v) < 4:
+            return False
+        V = np.stack(pts_v)
+        E = np.stack(pts_e)
+        Vc = V - V.mean(axis=0)
+        Ec = E - E.mean(axis=0)
+        if self.use_imu and self.imu_initialized:
+            # gravity-aligned worlds: yaw-only (see _try_gps_init)
+            spread2 = float((Vc[:, :2] ** 2).sum(axis=1).mean())
+            if spread2 < (2.0 * self.cfg.gps_sigma) ** 2:
+                return False
+            M = Ec[:, :2].T @ Vc[:, :2]
+            yaw = np.arctan2(M[1, 0] - M[0, 1], M[0, 0] + M[1, 1])
+            c, s = np.cos(yaw), np.sin(yaw)
+            R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        else:
+            sv = np.linalg.svd(Vc, compute_uv=False)
+            if sv[1] < 3.0 * self.cfg.gps_sigma:
+                return False
+            Rj, _, _ = alignment.kabsch(
+                jnp.asarray(V, jnp.float32), jnp.asarray(E, jnp.float32)
+            )
+            R = np.asarray(Rj, np.float64)
+            spread2 = float((Vc ** 2).sum(axis=1).mean())
+        t = E.mean(axis=0) - R @ V.mean(axis=0)
+        self.E_T_V = np.eye(4, dtype=np.float32)
+        self.E_T_V[:3, :3] = R.astype(np.float32)
+        self.E_T_V[:3, 3] = t.astype(np.float32)
+        # information of the fit, for the next window's E_T_V prior
+        # (right-retract (omega, v) tangent): n/sigma^2 on translation,
+        # n*spread^2/sigma^2 on rotation (a yaw perturbation moves a point
+        # by ~its horizontal radius). Diagonal is enough — the fit is
+        # recomputed after every window, the prior only has to stop the
+        # in-window estimate from wandering between refits.
+        n = len(pts_v)
+        inv_s2 = 1.0 / max(float(self.cfg.gps_sigma) ** 2, 1e-12)
+        H = np.zeros((6, 6), np.float32)
+        H[:3, :3] = np.eye(3) * n * spread2 * inv_s2
+        H[3:, 3:] = np.eye(3) * n * inv_s2
+        self._etv_prior_H = np.clip(H, -1e7, 1e7)
+        return True
 
     # merge window: a GPS fix this close to a vision KF is attached to it
     # rather than spawning a dummy KF (reference merges when within 10 ms

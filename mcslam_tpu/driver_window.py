@@ -346,12 +346,16 @@ class WindowBAMixin:
                 prior_H[e0:, e0:] = carry
             else:
                 prior_H[e0:, e0:] = np.eye(6) * 1.0
-            if self.use_imu and self.imu_initialized:
-                # gravity-aligned world: ENU and VIO share the up axis, so
-                # E_T_V roll/pitch is structurally zero — pin it hard
-                prior_H[e0, e0] = max(prior_H[e0, e0], 1e8)  # roll
-                prior_H[e0 + 1, e0 + 1] = max(prior_H[e0 + 1, e0 + 1],
-                                              1e8)  # pitch
+            # Pin the FULL E_T_V rotation in-window (reference: the t0
+            # prior is rot-tight / translation-weak, Backend.cpp:2652-2663).
+            # A 4-KF window spans a short arc where E_T_V yaw is
+            # near-degenerate with translation; letting the window
+            # re-estimate it measurably wandered the alignment (-3.7 ->
+            # -10.4 deg over 3 windows) and dragged the poses with it.
+            # Rotation updates come only from _refit_gps_alignment, which
+            # fits the whole session's history after each window.
+            for d in range(3):
+                prior_H[e0 + d, e0 + d] = max(prior_H[e0 + d, e0 + d], 1e8)
 
         problem = ba_vio.VioProblem(
             poses=jnp.asarray(poses_body),
@@ -388,19 +392,20 @@ class WindowBAMixin:
         self.bias = new_biases[len(window) - 1]
         if gps_factors is not None:
             self.E_T_V = np.asarray(result.E_T_V)
-            # accumulate E_T_V information for the next window (see the
-            # prior assembly above): conditional block of the reduced
-            # Hessian with exponential forgetting (x0.5) and a cap. The
-            # forgetting matters: the initial Procrustes alignment is
-            # slightly biased, and carrying the full conditional
-            # information froze that bias in (GPS-fused ATE worse than
-            # VIO-only); half-life accumulation still prevents per-window
-            # wander but lets the alignment keep converging.
-            margH = np.asarray(result.marginal_H)
-            e0 = K * ba_vio.D
-            blk = margH[e0:, e0:]
-            blk = (blk + blk.T) * 0.5
-            self._etv_prior_H = np.clip(blk, -1e5, 1e5) * 0.5
+            # E_T_V is a global state: re-fit it against the WHOLE history
+            # of GPS-carrying keyframes (the fixed-lag equivalent of the
+            # reference's accumulated t0 factors — see _refit_gps_alignment;
+            # the in-window estimate alone wanders on short arcs and the
+            # earlier half-life information carry measurably froze in /
+            # amplified the init bias). Fall back to the half-life carry of
+            # the window's conditional block only while the history is too
+            # small or too flat to fit.
+            if not self._refit_gps_alignment():
+                margH = np.asarray(result.marginal_H)
+                e0 = K * ba_vio.D
+                blk = margH[e0:, e0:]
+                blk = (blk + blk.T) * 0.5
+                self._etv_prior_H = np.clip(blk, -1e5, 1e5) * 0.5
         new_lms = np.asarray(result.landmarks)[: len(lm_ids)]
         self._map_update_positions(lm_ids, new_lms)
         self.cur_pose = window[-1].world_T_ref.copy()

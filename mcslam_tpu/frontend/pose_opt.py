@@ -27,13 +27,26 @@ from mcslam_tpu.geometry import lie, linalg3
 
 CHI2_2DOF = 5.991
 
-# Unrolling the LM chains removes per-step scan bookkeeping (latency on
-# TPU) at ~2x compile time; MCSLAM_NO_UNROLL=1 flips back to looped scans
-# for on-chip A/B (identical math either way).
-_UNROLL = os.environ.get("MCSLAM_NO_UNROLL") != "1"
-# 6x6 LM solves via unrolled scalar Cholesky instead of LU (chip A/B;
-# default off — see the lm_step note)
-_CHOL6 = os.environ.get("MCSLAM_CHOL6") == "1"
+# Unrolling the LM chains removes per-step scan bookkeeping at ~2x compile
+# time; identical math either way. DEFAULT: LOOPED. The round-4 on-chip
+# paired kit measured the looped scans not slower (FULL fused track prod
+# 5.02 ms looped vs 5.09 unrolled, docs/onchip_r04/bisect_track_nounroll.out)
+# and the pre-registered rule (docs/onchip_r04/PLAN.md step 6) says prefer
+# looped at equal speed for the halved compile time. MCSLAM_UNROLL=1 opts
+# back in for A/B. Read at TRACE time so the paired harness
+# (scripts/ab_paired.py) can host both variants in one process.
+def _unroll() -> bool:
+    if os.environ.get("MCSLAM_NO_UNROLL") == "1":  # round-4 kit back-compat
+        return False
+    return os.environ.get("MCSLAM_UNROLL") == "1"
+
+
+# 6x6 LM solves via unrolled scalar Cholesky instead of LU. REJECTED as
+# default by the round-4 chip A/B (FULL fused track prod 5.41 ms with
+# chol6 vs 5.09 base, docs/onchip_r04/bisect_track_chol6.out); kept as an
+# opt-in A/B vehicle.
+def _chol6() -> bool:
+    return os.environ.get("MCSLAM_CHOL6") == "1"
 
 
 class PoseOptResult(NamedTuple):
@@ -146,7 +159,7 @@ def optimize_pose(
             # canary is chaotically sensitive to that (see PERF.md).
             # MCSLAM_CHOL6=1 flips it on for the push-button chip A/B.
             H_lm = H_b + lam * jnp.eye(6, dtype=T_b.dtype)
-            if _CHOL6:
+            if _chol6():
                 dx = -linalg3.chol_solve6(H_lm, g_b)
             else:
                 dx = -jnp.linalg.solve(H_lm, g_b)
@@ -167,7 +180,7 @@ def optimize_pose(
         # math while letting XLA schedule across steps
         (T, _, _, _, r, _), _ = jax.lax.scan(
             lm_step, (T, H0, g, c, r, jnp.asarray(lm_lambda, T.dtype)),
-            None, length=iters, unroll=_UNROLL,
+            None, length=iters, unroll=_unroll(),
         )
         # chi2 re-gate for the next round from the carried residuals
         chi2 = jnp.sum(r * r, axis=-1) * inv_sig2
@@ -175,7 +188,7 @@ def optimize_pose(
         return (T, active), None
 
     (T, active), _ = jax.lax.scan(
-        lm_round, (T_init, mask), None, length=rounds, unroll=_UNROLL
+        lm_round, (T_init, mask), None, length=rounds, unroll=_unroll()
     )
     r = _residuals(jnp.zeros(6, T.dtype), T, X_world, uv, cam_T_ref, fxycxy)
     chi2 = jnp.sum(r * r, axis=-1) * inv_sig2

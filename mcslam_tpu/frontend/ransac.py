@@ -42,15 +42,18 @@ import os as _os
 # categorical but needs K*S threefry uniforms instead of K*S*M (~6M per
 # RANSAC dispatch at K=512, M=2048). It is OPT-IN because changing the
 # draw stream reshuffles every RANSAC outcome, and the suite's mono
-# canary is chaotically draw-sensitive — flip it on only together with
-# an on-chip measurement that the RNG cost is real (scripts/
-# bisect_track.py exercises both).
-_INVCDF = _os.environ.get("MCSLAM_INVCDF_SAMPLING") == "1"
+# canary is chaotically draw-sensitive. REJECTED as default by the
+# round-4 chip A/B: FULL fused track prod 6.27 ms with invcdf vs 5.09 ms
+# base (docs/onchip_r04/bisect_track_invcdf.out) — the threefry stream
+# is not the bottleneck and the searchsorted costs more than it saves.
+# Trace-time read so the paired A/B harness can host both variants.
+def _invcdf() -> bool:
+    return _os.environ.get("MCSLAM_INVCDF_SAMPLING") == "1"
 
 
 def _sample_idx_invcdf(key, num_hyp: int, sample_size: int, m: int,
                        weights) -> jax.Array:
-    """Weighted index sampling via inverse CDF (see _INVCDF note)."""
+    """Weighted index sampling via inverse CDF (see _invcdf note)."""
     w = jnp.maximum(weights.astype(jnp.float32), 0.0)
     cdf = jnp.cumsum(w)
     total = cdf[-1]
@@ -64,7 +67,7 @@ def _sample_idx_invcdf(key, num_hyp: int, sample_size: int, m: int,
 
 def _sample_idx(key, num_hyp: int, sample_size: int, m: int, weights) -> jax.Array:
     """(K, S) random correspondence indices drawn with probability ~ weights."""
-    if _INVCDF:
+    if _invcdf():
         return _sample_idx_invcdf(key, num_hyp, sample_size, m, weights)
     logits = jnp.log(jnp.maximum(weights, 1e-9))
     return jax.random.categorical(

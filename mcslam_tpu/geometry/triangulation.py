@@ -19,9 +19,14 @@ import jax.numpy as jnp
 
 from mcslam_tpu.geometry import lie, linalg3
 
-# see pose_opt._UNROLL: scan/loop unrolling is a latency-vs-compile-time
-# trade, A/B-able on chip via MCSLAM_NO_UNROLL=1
-_UNROLL = os.environ.get("MCSLAM_NO_UNROLL") != "1"
+# see pose_opt._unroll: scan/loop unrolling is a latency-vs-compile-time
+# trade. Default LOOPED since the round-4 chip A/B (not slower, half the
+# compile time); MCSLAM_UNROLL=1 opts back in. Trace-time read so the
+# paired A/B harness can host both variants in one process.
+def _unroll() -> bool:
+    if os.environ.get("MCSLAM_NO_UNROLL") == "1":
+        return False
+    return os.environ.get("MCSLAM_UNROLL") == "1"
 
 
 def triangulate_rays(
@@ -120,7 +125,7 @@ def refine_points_gn(
     # unrolled: the body is a handful of fused elementwise kernels, so the
     # while-loop bookkeeping (condition sync per step) costs more than the
     # straight-line repetition on TPU
-    return jax.lax.fori_loop(0, iters, step, X0, unroll=_UNROLL)
+    return jax.lax.fori_loop(0, iters, step, X0, unroll=_unroll())
 
 
 def chi2_gate(
@@ -285,7 +290,7 @@ def triangulate_and_refine(
         dX, _ = _solve3_elem(H, g, damping=damping)
         return [X[i] - dX[i] for i in range(3)]
 
-    X = jax.lax.fori_loop(0, gn_iters, step, X0, unroll=_UNROLL)
+    X = jax.lax.fori_loop(0, gn_iters, step, X0, unroll=_unroll())
     # fall back to the linear solution if GN diverged
     fin = jnp.isfinite(X[0]) & jnp.isfinite(X[1]) & jnp.isfinite(X[2])
     X = [jnp.where(fin, X[i], X0[i]) for i in range(3)]

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mcslam_tpu.backend import ba
+from mcslam_tpu.backend import imu as imu_mod
 from mcslam_tpu.frontend import ransac
 from mcslam_tpu.frontend.frame import FrameFeatures
 from mcslam_tpu.geometry import lie, triangulation
@@ -583,8 +584,6 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
                 and span[1] > span[0]):
             pre = self._preintegrate_span(span[0], span[1])
             if pre is not None:
-                from mcslam_tpu.backend import imu as imu_mod
-
                 body_T_cam0 = np.asarray(self.rig.body_T_cam)[0]
                 wTb = (self.cur_pose @ np.linalg.inv(body_T_cam0)).astype(
                     np.float32
@@ -768,14 +767,39 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
             self.kf_time[kf.kf_id] = timestamp
             prev_kfs = [k for k in self.keyframes[:-1]]
             if prev_kfs:
-                t_prev = prev_kfs[-1].timestamp
+                prev = prev_kfs[-1]
+                t_prev = prev.timestamp
                 pre = self._preintegrate_span(t_prev, timestamp)
                 if pre is not None:
-                    self._kf_preints[kf.kf_id] = (prev_kfs[-1].kf_id, pre)
-                # velocity init: finite difference of keyframe positions
-                dt = max(timestamp - t_prev, 1e-3)
-                v = (pose[:3, 3] - prev_kfs[-1].world_T_ref[:3, 3]) / dt
-                self.kf_vel[kf.kf_id] = v.astype(np.float32)
+                    self._kf_preints[kf.kf_id] = (prev.kf_id, pre)
+                # velocity init: IMU propagation of the previous KF's
+                # optimized state (reference: the preintegrator's predicted
+                # NavState seeds each new state). The old finite difference
+                # of positions amplified pixel-scale pose noise by 1/dt —
+                # a KF 17 ms after a GPS dummy measured a 5 m/s seed on a
+                # 1.4 m/s drive, and the dummy-heavy VIO window diverged
+                # from it.
+                v = None
+                if pre is not None and prev.kf_id in self.kf_vel:
+                    body_T_cam0 = np.asarray(self.rig.body_T_cam)[0]
+                    state = imu_mod.ImuState(
+                        world_T_body=jnp.asarray(
+                            prev.world_T_ref @ np.linalg.inv(body_T_cam0),
+                            jnp.float32,
+                        ),
+                        vel=jnp.asarray(self.kf_vel[prev.kf_id], jnp.float32),
+                        bias=jnp.asarray(self.bias, jnp.float32),
+                    )
+                    pred = imu_mod.predict(state, pre, self.imu_params)
+                    v = np.asarray(pred.vel, np.float32)
+                if v is None:
+                    # no usable preintegration: finite difference over a
+                    # noise-safe baseline
+                    dt = max(timestamp - t_prev, 0.05)
+                    v = (
+                        (pose[:3, 3] - prev.world_T_ref[:3, 3]) / dt
+                    ).astype(np.float32)
+                self.kf_vel[kf.kf_id] = v
             else:
                 self.kf_vel[kf.kf_id] = np.zeros(3, np.float32)
             self.kf_bias[kf.kf_id] = self.bias.copy()
@@ -886,8 +910,6 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
                 and self._reloc_prev_ts is not None):
             pre = self._preintegrate_span(self._reloc_prev_ts, timestamp)
             if pre is not None:
-                from mcslam_tpu.backend import imu as imu_mod
-
                 body_T_cam0 = np.asarray(self.rig.body_T_cam)[0]
                 wTb = (self.cur_pose @ np.linalg.inv(body_T_cam0)).astype(
                     np.float32

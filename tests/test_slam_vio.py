@@ -49,9 +49,24 @@ def _vio_sequence(num_frames=10, fps=20.0, with_gps=False, seed=0):
     return rig, poses, imu_ts, gyro, accel, frames, gps
 
 
-def test_vio_pipeline_runs_and_tracks():
-    fps = 20.0
-    rig, poses, imu_ts, gyro, accel, frames, _ = _vio_sequence(num_frames=16)
+# Seed-ensemble canaries: the small noisy scenes here are chaotically
+# sensitive to f32 reduction order — three mathematically equivalent
+# compilations of the tracking step (scan looped / scan unrolled / refine
+# hoisted out of the candidate vmap) measured single-seed ATE 0.079 /
+# 0.087 / 0.104 on identical inputs (marginal observations flip across
+# the chi2 gate and the discrete inlier set shifts). A single-run bound
+# must therefore sit at the equivalence-class ceiling (~0.13), where
+# genuine <~30% regressions are invisible, and every program
+# restructuring costs a recalibration pass. The MEDIAN over 3 scene
+# seeds is stable across equivalent compilations (an order flip moves
+# one seed, not the middle of three), so the bounds below are TIGHTER
+# than the old single-seed ones while surviving restructurings.
+
+
+def _run_vio_session(seed, num_frames=16, fps=20.0):
+    rig, poses, imu_ts, gyro, accel, frames, _ = _vio_sequence(
+        num_frames=num_frames, seed=seed
+    )
     imu_params = ImuParams(accel_noise=2e-3, gyro_noise=2e-4)
     cfg = SlamConfig(window_size=4, ba_obs_capacity=8192, ba_lm_capacity=1024,
                      local_map_landmarks=1024, kf_translation=0.15,
@@ -75,26 +90,25 @@ def test_vio_pipeline_runs_and_tracks():
     ts, est = slam.trajectory_arrays()
     # skip the pre-initialization prefix (IMU gravity gate) for ATE
     k0 = 6
-    ate = metrics.ate_rmse(est[k0:], poses[k0:])
-    # Bound calibration: this 16-frame noisy scene is chaotically
-    # sensitive to f32 reduction order — three mathematically equivalent
-    # compilations of the tracking step (scan looped / scan unrolled /
-    # refine hoisted out of the candidate vmap) measured ATE 0.079,
-    # 0.087 and 0.104 with identical inputs (marginal observations flip
-    # across the chi2 gate and the discrete inlier set shifts). The
-    # bound must cover that equivalence class, not one lucky
-    # compilation; genuine regressions (e.g. a broken IMU factor) sit
-    # far above it (>0.25 when the preintegration sign flipped during
-    # development).
-    assert ate < 0.13, ate
-    # biases were estimated (moved off zero toward truth)
-    assert np.linalg.norm(slam.bias) > 1e-4
+    return metrics.ate_rmse(est[k0:], poses[k0:]), slam
 
 
-def test_gps_fused_pipeline():
-    fps = 20.0
+def test_vio_pipeline_runs_and_tracks():
+    ates = []
+    for seed in (0, 11, 22):
+        ate, slam = _run_vio_session(seed)
+        ates.append(ate)
+        # biases were estimated (moved off zero toward truth)
+        assert np.linalg.norm(slam.bias) > 1e-4
+    med = float(np.median(ates))
+    # median-of-3-seeds bound (see ensemble note above); per-seed values
+    # under the round-5 looped-scan default: see the assert message
+    assert med < 0.11, (med, ates)
+
+
+def _run_gps_session(seed, fps=20.0):
     rig, poses, imu_ts, gyro, accel, frames, gps = _vio_sequence(
-        num_frames=18, with_gps=True, seed=5
+        num_frames=18, with_gps=True, seed=seed
     )
     imu_params = ImuParams(accel_noise=2e-3, gyro_noise=2e-4)
     cfg = SlamConfig(window_size=4, ba_obs_capacity=8192, ba_lm_capacity=1024,
@@ -122,26 +136,28 @@ def test_gps_fused_pipeline():
     assert len(slam.kf_gps) >= 1
     ts, est = slam.trajectory_arrays()
     k0 = 6
-    ate = metrics.ate_rmse(est[k0:], poses[k0:])
-    assert ate < 0.12, ate
+    return metrics.ate_rmse(est[k0:], poses[k0:])
 
 
-def test_gps_dummy_keyframes_between_vision_kfs():
-    """GPS fixes that fall BETWEEN vision keyframes must spawn IMU-predicted
-    dummy keyframes carrying GPS factors (reference FrontEnd.cpp:1452-1484,
-    Backend.cpp:1610-1642) instead of being dropped; with degraded vision
-    the GPS-fused run must beat the vision+IMU-only run."""
-    fps = 20.0
-    num_frames = 30
+def test_gps_fused_pipeline():
+    ates = [_run_gps_session(seed) for seed in (5, 16, 27)]
+    med = float(np.median(ates))
+    assert med < 0.11, (med, ates)
+
+
+def _run_gps_dummy_pair(seed, fps=20.0, num_frames=30,
+                        check_structure=False):
+    """One degraded-vision low-rate session with and without GPS; returns
+    (ate_gps, ate_vio)."""
     rig, poses, imu_ts, gyro, accel, frames, _ = _vio_sequence(
-        num_frames=num_frames, seed=7
+        num_frames=num_frames, seed=seed
     )
     # degrade vision: strong pixel noise -> visible drift without GPS
-    lms = synthetic.make_landmarks(900, seed=8, depth_range=(5.0, 16.0))
-    descs = synthetic.make_descriptors(900, seed=9)
+    lms = synthetic.make_landmarks(900, seed=seed + 1, depth_range=(5.0, 16.0))
+    descs = synthetic.make_descriptors(900, seed=seed + 2)
     frames = synthetic.render_feature_frames(
         rig, poses, lms, descs, kps_per_cam=320, px_noise=1.6,
-        desc_bit_noise=5, fps=fps, seed=10,
+        desc_bit_noise=5, fps=fps, seed=seed + 3,
     )
     # GPS at intra-frame offsets (2 fixes per frame gap): timestamps that
     # can never coincide with a vision keyframe
@@ -200,14 +216,17 @@ def test_gps_dummy_keyframes_between_vision_kfs():
 
     slam_gps = run(True)
     assert slam_gps.state == INITIALIZED
-    # dummy keyframes were created at non-vision timestamps
-    assert slam_gps.stats.get("gps_dummy_kfs", 0) >= 1
-    dummies = [k for k in slam_gps.keyframes if k.is_dummy]
-    assert dummies
-    vision_ts = {k.timestamp for k in slam_gps.keyframes if not k.is_dummy}
-    for d in dummies:
-        assert d.timestamp not in vision_ts
-        assert d.kf_id in slam_gps.kf_gps  # carries a GPS factor
+    if check_structure:
+        # dummy keyframes were created at non-vision timestamps
+        assert slam_gps.stats.get("gps_dummy_kfs", 0) >= 1
+        dummies = [k for k in slam_gps.keyframes if k.is_dummy]
+        assert dummies
+        vision_ts = {
+            k.timestamp for k in slam_gps.keyframes if not k.is_dummy
+        }
+        for d in dummies:
+            assert d.timestamp not in vision_ts
+            assert d.kf_id in slam_gps.kf_gps  # carries a GPS factor
 
     slam_vio = run(False)
     ts_g, est_g = slam_gps.trajectory_arrays()
@@ -216,7 +235,22 @@ def test_gps_dummy_keyframes_between_vision_kfs():
     k0 = 3  # skip the IMU-init prefix
     ate_g = metrics.ate_rmse(est_g[k0:], gt[k0:])
     ate_v = metrics.ate_rmse(est_v[k0:], gt[k0:])
-    assert ate_g < ate_v, (ate_g, ate_v)
+    return ate_g, ate_v
+
+
+def test_gps_dummy_keyframes_between_vision_kfs():
+    """GPS fixes that fall BETWEEN vision keyframes must spawn IMU-predicted
+    dummy keyframes carrying GPS factors (reference FrontEnd.cpp:1452-1484,
+    Backend.cpp:1610-1642) instead of being dropped; with degraded vision
+    the GPS-fused run must beat the vision+IMU-only run ON THE MEDIAN SEED
+    (single-seed deltas flip sign across equivalent compilations — see the
+    ensemble note above)."""
+    deltas, pairs = [], []
+    for i, seed in enumerate((7, 18, 29)):
+        ate_g, ate_v = _run_gps_dummy_pair(seed, check_structure=(i == 0))
+        deltas.append(ate_v - ate_g)
+        pairs.append((ate_g, ate_v))
+    assert float(np.median(deltas)) > 0.0, pairs
 
 
 def test_gps_duplicate_timestamps_and_bounded_buffer():
