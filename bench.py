@@ -32,6 +32,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mcslam_tpu.utils import compile_cache
+
+    # Persistent compile cache: measured 2026-08-19, cache-hit compiles on
+    # the axon tunnel return in 0.00 s vs minutes of remote tracing — a
+    # repeat bench session reaches its first number almost immediately.
+    compile_cache.enable()
+
     from mcslam_tpu.backend import ba
     from mcslam_tpu.data import synthetic
     from mcslam_tpu.frontend import frame as frame_mod

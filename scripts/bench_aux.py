@@ -44,6 +44,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from mcslam_tpu.utils import compile_cache
+
+    compile_cache.enable()  # cache hits make repeat chip sessions ~free
+
     from mcslam_tpu.backend import ba, pgo
     from mcslam_tpu.data import synthetic
     from mcslam_tpu.frontend import ransac

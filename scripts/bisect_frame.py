@@ -32,6 +32,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mcslam_tpu.utils import compile_cache
+
+    compile_cache.enable()  # cache hits make repeat chip sessions ~free
+
     from mcslam_tpu.data import synthetic
     from mcslam_tpu.frontend import frame as frame_mod, intra as intra_ops
     from mcslam_tpu.geometry import triangulation

@@ -36,6 +36,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mcslam_tpu.utils import compile_cache
+
+    compile_cache.enable()  # cache hits make repeat chip sessions ~free
+
     from mcslam_tpu.data import synthetic
     from mcslam_tpu.frontend import frame as frame_mod, pose_opt, ransac
     from mcslam_tpu.ops import hamming, match as match_ops

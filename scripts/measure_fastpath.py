@@ -39,6 +39,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from mcslam_tpu.utils import compile_cache
+
+    compile_cache.enable()  # cache hits make repeat chip sessions ~free
+
     from mcslam_tpu.data import synthetic
     from mcslam_tpu.frontend.frame import build_frame
     from mcslam_tpu.slam import MultiCameraSLAM, SlamConfig
