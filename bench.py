@@ -138,6 +138,36 @@ def main():
     fast_taken = float(np.asarray(packed)[20])  # header slot 5: fastpath
     _ = stage_b_slow(key, ff1, d_prev_desc, d_prev_valid)
 
+    # ---- stage A+B FUSED: the production steady-state program ----
+    # slam.process_image dispatches frame build + tracking as ONE device
+    # program (_build_and_track_step): one dispatch floor + no HBM round
+    # trip of the frame arrays at the A/B boundary. This is what the CLI
+    # app runs per frame in INITIALIZED steady state (fused_frontend,
+    # default on), so the headline is built from it.
+    def _stage_ab(i, fastpath_frac):
+        cur = imgs[i % 2]
+        prev = (ff0.im_desc, ff0.im_valid) if i % 2 \
+            else (ff1.im_desc, ff1.im_valid)
+        *_, pk = tk._build_and_track_step(
+            key, cur, rig, *prev, d_prev_lm, d_map_pos, d_map_valid,
+            d_map_desc, d_map_normal, d_cand, d_cand_valid, pred_T,
+            num_points=NPTS, num_levels=NLVL,
+            fast_threshold=20.0 / 255.0, min_threshold=7.0 / 255.0,
+            max_intra=MAXI, min_z=0.5, max_z=40.0, angle_bins=BINS,
+            approx_topk=True,
+            num_hyp=scfg.ransac_hyps, px=scfg.ransac_px,
+            max_dist=scfg.inter_max_dist, ratio=scfg.inter_ratio,
+            image_wh=rig.image_size, lm_radius=scfg.local_map_radius_px,
+            lm_max_dist=scfg.local_map_max_dist,
+            gate_px=scfg.track_match_radius_px,
+            fastpath_frac=fastpath_frac,
+            fastpath_min=scfg.track_fastpath_min_inliers,
+        )
+        return pk
+
+    _ = np.asarray(_stage_ab(0, scfg.track_fastpath_frac)[:21])  # compile
+    _ = np.asarray(_stage_ab(0, 2.0)[:21])
+
     # ---- stage C: window BA (6 KFs, 2048 lms, 8192-obs tier) ----
     # kf-blocked observation layout + warm-window iteration budget: exactly
     # what the SLAM driver (_run_window_ba) compiles in steady state for
@@ -276,6 +306,10 @@ def main():
               else (ff1.im_desc, ff1.im_valid)),
         )[:20].sum()
     )
+    t_ab_prod = timeit(
+        lambda i: _stage_ab(i, scfg.track_fastpath_frac)[:20].sum()
+    )
+    t_ab_slow = timeit(lambda i: _stage_ab(i, 2.0)[:20].sum())
     t_c = timeit(lambda i: solve(problem).poses.sum(), n=10, reps=5)
     t_d = timeit(lambda i: vio_jit(vio_problem).poses.sum(), n=10, reps=5)
 
@@ -306,27 +340,39 @@ def main():
         pass
     t_b = (fast_share * t_b_prod + (1.0 - fast_share) * t_b_slow) \
         if fast_taken > 0.5 else t_b_prod
+    t_ab = (fast_share * t_ab_prod + (1.0 - fast_share) * t_ab_slow) \
+        if fast_taken > 0.5 else t_ab_prod
 
-    # Headline: pipelined per-stage throughput (the production-TPU number;
-    # comparable with BENCH_r01/r02). The per-frame-fetch loop below pays
-    # the tunneled relay's ~20 ms host round-trip latency PER FRAME — a
-    # tunnel artifact (~0.1 ms on directly attached TPUs), reported as a
-    # diagnostic, not the device's throughput.
-    per_frame = t_a + t_b + t_c / kf_interval
+    # Headline: pipelined per-stage throughput (the production-TPU number).
+    # Since round 5 the steady-state driver dispatches frame build +
+    # tracking as ONE fused program (slam.process_image / fused_frontend),
+    # so the headline is t_AB + t_C/kf_interval; the split stage A / B
+    # numbers stay on stderr for the breakdown and round-over-round
+    # comparability. The per-frame-fetch loop below pays the tunneled
+    # relay's ~20 ms host round-trip latency PER FRAME — a tunnel artifact
+    # (~0.1 ms on directly attached TPUs), reported as a diagnostic, not
+    # the device's throughput.
+    per_frame = t_ab + t_c / kf_interval
     fps = 1.0 / per_frame
+    # VIO configuration (the reference's flagship mode): same fused
+    # front-end, VIO window solve instead of vision-only BA
+    fps_vio = 1.0 / (t_ab + t_d / kf_interval)
     print(
         f"# stage_a(frame build)={t_a*1e3:.2f}ms stage_b(track)={t_b*1e3:.2f}ms"
         f" [fast-path dispatch {t_b_prod*1e3:.2f}, full portfolio "
         f"{t_b_slow*1e3:.2f}, mixed at {fast_share:.0%} fast ({fast_src})]"
+        f" stage_ab(FUSED build+track)={t_ab*1e3:.2f}ms"
+        f" [fast {t_ab_prod*1e3:.2f}, full {t_ab_slow*1e3:.2f}]"
         f" stage_c(BA solve)={t_c*1e3:.2f}ms"
-        f" stage_d(VIO solve, diagnostic)={t_d*1e3:.2f}ms",
+        f" stage_d(VIO solve)={t_d*1e3:.2f}ms",
         file=sys.stderr,
     )
     print(
         f"# fps assumes BA amortized over kf_interval={kf_interval} frames "
         f"(BA runs per keyframe, not per frame): per-frame = "
-        f"{t_a*1e3:.2f} + {t_b*1e3:.2f} + {t_c*1e3:.2f}/{kf_interval} ms "
-        f"-> {fps:.1f} fps",
+        f"{t_ab*1e3:.2f} + {t_c*1e3:.2f}/{kf_interval} ms "
+        f"-> {fps:.1f} fps (VIO: + {t_d*1e3:.2f}/{kf_interval} "
+        f"-> {fps_vio:.1f} fps)",
         file=sys.stderr,
     )
     print(
@@ -346,6 +392,10 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 10.0, 2),
+        # the visual-inertial configuration (reference flagship mode,
+        # SURVEY §3.4) rides along so the fused-sensor path can't regress
+        # silently (VERDICT r4 item 6)
+        "frontend_vio_fps": round(fps_vio, 2),
     }
     try:
         aux_file = pathlib.Path(__file__).parent / "docs" / "bench_aux.json"

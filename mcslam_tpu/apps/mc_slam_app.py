@@ -39,6 +39,24 @@ def build_reader(settings):
     )
 
 
+def _postprocess_frame(info, imgs, slam, rig, settings, depth_dir, fuser):
+    """Per-frame data products (dense depth / fusion) on keyframes —
+    shared by the fused and split process loops."""
+    if depth_dir is not None and info.get("keyframe") and rig.num_cams >= 2:
+        from mcslam_tpu.ops.stereo import depth_from_rig_pair
+
+        depth, dvalid = depth_from_rig_pair(
+            jnp.asarray(imgs), rig,
+            max_disp=int(settings.raw.get("depth_max_disp", 64)),
+        )
+        kf_id = slam.keyframes[-1].kf_id
+        np.save(depth_dir / f"depth_{kf_id:06d}.npy",
+                np.where(np.asarray(dvalid), np.asarray(depth), 0.0))
+    if fuser is not None and info.get("keyframe"):
+        fuser.add_keyframe(jnp.asarray(imgs),
+                           slam.keyframes[-1].world_T_ref)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="mcslam_tpu SLAM app")
     ap.add_argument("--config_file", required=True)
@@ -211,8 +229,46 @@ def main(argv=None):
         def _build(imgs):
             return build_frame(jnp.asarray(imgs), rig, **extract_cfg)
 
+    # Fused frontend (default): in INITIALIZED steady state the frame
+    # build and the tracking step run as ONE device program
+    # (slam.process_image) — one dispatch + one packed fetch per frame
+    # instead of two programs with an HBM round trip at the boundary.
+    # The split pipelined loop below stays for camera-sharded builds
+    # (mesh) and as the fused_frontend=false escape hatch.
+    fused_frontend = (
+        (mesh is None or rig.num_cams % n_mesh != 0)
+        and str(settings.raw.get("fused_frontend", "true")).lower()
+        not in ("false", "0")
+    )
+    if fused_frontend:
+        while True:
+            if args.max_frames and n >= args.max_frames:
+                break
+            nxt = reader.get_next()
+            if nxt is None:
+                break
+            imgs, ts = nxt
+            imu_slice = imu_stream.until(ts) if imu_stream else None
+            gps_slice = gps_stream.until(ts) if gps_stream else None
+            info = slam.process_image(
+                jnp.asarray(imgs), ts, imu=imu_slice, gps=gps_slice,
+                extract_cfg=extract_cfg,
+            )
+            _postprocess_frame(
+                info, imgs, slam, rig, settings, depth_dir, fuser
+            )
+            n += 1
+            if n % 20 == 0:
+                fps = n / (time.time() - t_start)
+                print(
+                    f"[mc_slam_app] frame {n} state={slam.state} "
+                    f"kfs={slam.stats['keyframes']} "
+                    f"loops={slam.stats['loops']} {fps:.1f} fps",
+                    file=sys.stderr,
+                )
+
     pending = None  # (ff, ts, imgs) of the not-yet-processed frame
-    while True:
+    while not fused_frontend:
         n_queued = n + (1 if pending is not None else 0)
         nxt = None if (args.max_frames and n_queued >= args.max_frames) \
             else reader.get_next()

@@ -158,6 +158,32 @@ def _fused_stage(imgs, rig, seg_masks, num_points, num_levels,
 # --------------------------------------------------------------------------
 
 
+def assemble_frame(kps, xy_ud, groups, tri) -> FrameFeatures:
+    """Package the raw device outputs of the fused extraction stage into a
+    FrameFeatures pytree (shared by build_frame and the fused
+    frame-build+track program in tracking_kernels)."""
+    X, has_depth, anchor_cam, uv_ref, anchor_sigma2, n_rays = tri
+    return FrameFeatures(
+        kp_xy=kps.xy,
+        kp_xy_ud=xy_ud,
+        kp_response=kps.response,
+        kp_angle=kps.angle,
+        kp_octave=kps.octave,
+        kp_sigma2=kps.sigma2,
+        kp_desc=kps.desc,
+        kp_valid=kps.valid,
+        im_ray_idx=groups.ray_idx,
+        im_desc=groups.desc,
+        im_uv_ref=uv_ref,
+        im_anchor_cam=anchor_cam,
+        im_point3d=X,
+        im_has_depth=has_depth,
+        im_n_rays=n_rays,
+        im_valid=groups.valid,
+        im_sigma2=anchor_sigma2,
+    )
+
+
 def build_frame(
     imgs: jax.Array,
     rig,
@@ -189,26 +215,7 @@ def build_frame(
         imgs, rig, seg_masks, num_points, num_levels, fast_threshold,
         min_threshold, max_intra, min_z, max_z, angle_bins, approx_topk,
     )
-    X, has_depth, anchor_cam, uv_ref, anchor_sigma2, n_rays = tri
-    return FrameFeatures(
-        kp_xy=kps.xy,
-        kp_xy_ud=xy_ud,
-        kp_response=kps.response,
-        kp_angle=kps.angle,
-        kp_octave=kps.octave,
-        kp_sigma2=kps.sigma2,
-        kp_desc=kps.desc,
-        kp_valid=kps.valid,
-        im_ray_idx=groups.ray_idx,
-        im_desc=groups.desc,
-        im_uv_ref=uv_ref,
-        im_anchor_cam=anchor_cam,
-        im_point3d=X,
-        im_has_depth=has_depth,
-        im_n_rays=n_rays,
-        im_valid=groups.valid,
-        im_sigma2=anchor_sigma2,
-    )
+    return assemble_frame(kps, xy_ud, groups, tri)
 
 
 def build_frame_from_keypoints(

@@ -26,7 +26,9 @@ import numpy as np
 from mcslam_tpu.backend import ba
 from mcslam_tpu.backend import imu as imu_mod
 from mcslam_tpu.frontend import ransac
-from mcslam_tpu.frontend.frame import FrameFeatures
+from mcslam_tpu.frontend.frame import (
+    FrameFeatures, assemble_frame, build_frame,
+)
 from mcslam_tpu.geometry import lie, triangulation
 from mcslam_tpu.mapping.landmarks import LandmarkMap
 
@@ -166,9 +168,19 @@ class SlamConfig:
     gps_min_move: float = 0.5
 
 
+import inspect  # noqa: E402
+
+# build_frame's own keyword defaults, used by process_image to parameterize
+# the fused frame-build+track program identically to the split path
+_BUILD_FRAME_DEFAULTS = {
+    k: v.default
+    for k, v in inspect.signature(build_frame).parameters.items()
+    if v.default is not inspect.Parameter.empty and k != "seg_masks"
+}
+
 from mcslam_tpu.keyframe import Keyframe, _pack_kf  # noqa: F401,E402
 from mcslam_tpu.tracking_kernels import (  # noqa: F401,E402
-    _match_descriptors, _mutual_match,
+    _build_and_track_step, _match_descriptors, _mutual_match,
     _project_and_match_local, _track_and_map_step,
     _triangulate_pairs,
     _triangulate_pairs_far,
@@ -602,36 +614,42 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
         delta = np.linalg.inv(self.last_pose) @ self.cur_pose
         return (self.cur_pose @ delta).astype(np.float32)
 
-    def _track_frame_fused(self, frame: FrameFeatures, kf: Keyframe):
+    def _track_frame_fused(self, frame: FrameFeatures, kf: Keyframe,
+                           packed=None):
         """Inter-frame tracking + local-map tracking as ONE dispatch and
         ONE host fetch (_track_and_map_step): through a tunneled TPU each
         fetch costs a ~20 ms round trip, so the split two-step frame paid
         a full extra RTT. Returns (ok, pose, (m_ok, m_idx), lm_of_match,
         lm_match, inliers); when ok is False the local-map section is
-        ignored (its compute was speculative)."""
+        ignored (its compute was speculative).
+
+        `packed`: an already-dispatched result buffer with the same layout
+        (the fused frame-build+track program of process_image) — parse it
+        instead of dispatching."""
         cfg = self.cfg
-        cand = self._local_map_candidates()
-        L = cfg.local_map_landmarks
-        n = len(cand)
-        cand_pad = np.zeros(L, np.int32)
-        cand_pad[:n] = cand
-        with self.timers.span("track.dispatch"):
-            packed = _track_and_map_step(
-                self._next_key(), frame.im_desc, frame.im_valid,
-                frame.im_uv_ref, frame.im_anchor_cam, frame.im_sigma2,
-                frame.im_point3d, frame.im_has_depth,
-                *kf.device_desc(),
-                kf.d_lm_id(), self.dmap.pos, self.dmap.valid,
-                self.dmap.desc, self.dmap.normal,
-                jnp.asarray(cand_pad), jnp.asarray(np.arange(L) < n),
-                self.rig.cam_T_ref, self.rig.fxycxy,
-                jnp.asarray(self._predict_pose()),
-                cfg.ransac_hyps, cfg.ransac_px, cfg.inter_max_dist,
-                cfg.inter_ratio, self.rig.image_size,
-                cfg.local_map_radius_px, cfg.local_map_max_dist,
-                cfg.track_match_radius_px,
-                self._fastpath_frac, cfg.track_fastpath_min_inliers,
-            )
+        if packed is None:
+            cand = self._local_map_candidates()
+            L = cfg.local_map_landmarks
+            n = len(cand)
+            cand_pad = np.zeros(L, np.int32)
+            cand_pad[:n] = cand
+            with self.timers.span("track.dispatch"):
+                packed = _track_and_map_step(
+                    self._next_key(), frame.im_desc, frame.im_valid,
+                    frame.im_uv_ref, frame.im_anchor_cam, frame.im_sigma2,
+                    frame.im_point3d, frame.im_has_depth,
+                    *kf.device_desc(),
+                    kf.d_lm_id(), self.dmap.pos, self.dmap.valid,
+                    self.dmap.desc, self.dmap.normal,
+                    jnp.asarray(cand_pad), jnp.asarray(np.arange(L) < n),
+                    self.rig.cam_T_ref, self.rig.fxycxy,
+                    jnp.asarray(self._predict_pose()),
+                    cfg.ransac_hyps, cfg.ransac_px, cfg.inter_max_dist,
+                    cfg.inter_ratio, self.rig.image_size,
+                    cfg.local_map_radius_px, cfg.local_map_max_dist,
+                    cfg.track_match_radius_px,
+                    self._fastpath_frac, cfg.track_fastpath_min_inliers,
+                )
         with self.timers.span("track.fetch"):
             v = np.asarray(packed)
         M = frame.im_valid.shape[0]
@@ -926,11 +944,89 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
                 )
         return (self.cur_pose @ self._reloc_delta).astype(np.float32)
 
+    def process_image(self, imgs, timestamp: float, imu=None, gps=None,
+                      seg_masks=None, extract_cfg=None) -> dict:
+        """One SLAM step straight from (C, H, W) images. In INITIALIZED
+        steady state the frame build (stage A) and the tracking step
+        (stage B) run as ONE fused device program with one packed fetch
+        (_build_and_track_step): the tunneled TPU charges ~1 ms of
+        dispatch floor plus an HBM round trip per program boundary, so
+        the split A/B structure paid both every frame. Outside steady
+        state (init, reinit, relocalization, seg-mask veto, VIO gravity
+        wait) it falls back to build_frame + process_frame, which is
+        behaviorally identical.
+
+        extract_cfg: build_frame keyword overrides (num_points,
+        num_levels, max_intra, ...) — the same dict the app passes to
+        build_frame on the split path."""
+        cfg = self.cfg
+        imgs = jnp.asarray(imgs)
+        ecfg = dict(extract_cfg or {})
+        if (self.state != INITIALIZED or self.relocalizer is not None
+                or seg_masks is not None or not self.keyframes
+                or (self.use_imu and not self.imu_initialized)):
+            frame = build_frame(imgs, self.rig, seg_masks=seg_masks, **ecfg)
+            return self.process_frame(frame, timestamp, imu=imu, gps=gps)
+        # Sensor ingestion + matured async-BA landing must precede the
+        # fused dispatch (the program consumes the predicted pose and the
+        # map mirror); process_frame skips both when it sees _packed.
+        if imu is not None and self.use_imu:
+            self._ingest_imu(imu)
+        if gps is not None and self.use_gps:
+            self._ingest_gps(gps)
+            self._process_gps_dummies(timestamp)
+        if (getattr(self, "_pending_ba", None) is not None
+                and self.stats["frames"] + 1
+                - getattr(self, "_ba_dispatch_frame", 0)
+                >= cfg.async_ba_land_frames):
+            self._finish_pending_ba()
+        kf_prev = self._prev_kf()
+        self._pred_span = (
+            (getattr(self, "_last_track_ts", None), timestamp)
+            if getattr(self, "_last_track_ts", None) is not None else None
+        )
+        cand = self._local_map_candidates()
+        L = cfg.local_map_landmarks
+        n = len(cand)
+        cand_pad = np.zeros(L, np.int32)
+        cand_pad[:n] = cand
+        kw = dict(_BUILD_FRAME_DEFAULTS)
+        kw.update(ecfg)
+        with self.timers.span("track.dispatch"):
+            kps, xy_ud, groups, tri, packed = _build_and_track_step(
+                self._next_key(), imgs, self.rig, *kf_prev.device_desc(),
+                kf_prev.d_lm_id(), self.dmap.pos, self.dmap.valid,
+                self.dmap.desc, self.dmap.normal,
+                jnp.asarray(cand_pad), jnp.asarray(np.arange(L) < n),
+                jnp.asarray(self._predict_pose()),
+                num_points=kw["num_points"], num_levels=kw["num_levels"],
+                fast_threshold=kw["fast_threshold"],
+                min_threshold=kw["min_threshold"],
+                max_intra=kw["max_intra"],
+                min_z=kw["min_z"], max_z=kw["max_z"],
+                angle_bins=kw["angle_bins"],
+                approx_topk=kw["approx_topk"],
+                num_hyp=cfg.ransac_hyps, px=cfg.ransac_px,
+                max_dist=cfg.inter_max_dist, ratio=cfg.inter_ratio,
+                image_wh=self.rig.image_size,
+                lm_radius=cfg.local_map_radius_px,
+                lm_max_dist=cfg.local_map_max_dist,
+                gate_px=cfg.track_match_radius_px,
+                fastpath_frac=self._fastpath_frac,
+                fastpath_min=cfg.track_fastpath_min_inliers,
+            )
+        frame = assemble_frame(kps, xy_ud, groups, tri)
+        return self.process_frame(frame, timestamp, _packed=packed)
+
     def process_frame(self, frame: FrameFeatures, timestamp: float,
-                      imu=None, gps=None) -> dict:
+                      imu=None, gps=None, _packed=None) -> dict:
         """One SLAM step on an already-built FrameFeatures. Returns a stats
         dict for this frame. Optional imu=(ts, gyro, accel) and
-        gps=(ts, lla) message slices since the previous frame."""
+        gps=(ts, lla) message slices since the previous frame.
+
+        `_packed`: internal — a pre-dispatched tracking result buffer from
+        the fused frame-build+track program (process_image); the first
+        tracking pass parses it instead of dispatching again."""
         cfg = self.cfg
         self.stats["frames"] += 1
         info = {"keyframe": False, "tracked": 0, "state": self.state}
@@ -979,7 +1075,7 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
             if getattr(self, "_last_track_ts", None) is not None else None
         with self.timers.span("track"):
             ok, pose, (m_ok, m_idx), lm_of_match, lm_match, inliers = (
-                self._track_frame_fused(frame, kf_prev)
+                self._track_frame_fused(frame, kf_prev, packed=_packed)
             )
         if not ok and getattr(self, "_pending_ba", None) is not None:
             # async rescue: the deferred window corrections may be exactly

@@ -303,6 +303,62 @@ def _track_and_map_step(
     return jnp.concatenate([track_packed, lm_packed])
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_points", "num_levels", "fast_threshold", "min_threshold",
+        "max_intra", "min_z", "max_z", "angle_bins", "approx_topk",
+        "num_hyp", "px", "max_dist", "ratio", "image_wh", "lm_radius",
+        "lm_max_dist", "gate_px", "fastpath_frac", "fastpath_min",
+    ),
+)
+def _build_and_track_step(
+    key, imgs, rig, prev_desc, prev_valid, prev_lm_id, map_pos, map_valid,
+    map_desc, map_normal, cand_ids, cand_valid, pred_T_wr, *,
+    num_points: int, num_levels: int, fast_threshold: float,
+    min_threshold: float, max_intra: int, min_z: float, max_z: float,
+    angle_bins: int, approx_topk: bool,
+    num_hyp: int, px: float, max_dist: int, ratio: float, image_wh,
+    lm_radius: float, lm_max_dist: int, gate_px: float,
+    fastpath_frac: float, fastpath_min: int,
+):
+    """Frame build (stage A) + inter-frame/local-map tracking (stage B) as
+    ONE device program: extraction -> intra-match -> triangulate ->
+    projection-gated match -> pose portfolio -> local-map track, with one
+    dispatch and one packed host fetch per frame. The round-4 chip
+    bisection put the tunnel's per-dispatch floor at ~1 ms and the A/B
+    program boundary paid it (plus an HBM round trip of the frame arrays)
+    every frame; the tracking consumes the freshly built frame without it
+    ever leaving the program. The reference couples the same stages inside
+    one thread (FrontEnd::trackFrame consuming extractFeaturesParallel's
+    output, /root/reference/MCSlam/src/FrontEnd.cpp); here the coupling is
+    the XLA program boundary instead.
+
+    Returns (kps, xy_ud, groups, tri, packed): the frame pieces stay on
+    device for keyframe insertion (frame.assemble_frame); `packed` has the
+    same layout _track_and_map_step produces.
+    """
+    from mcslam_tpu.frontend import frame as frame_mod
+
+    kps, xy_ud, groups, tri = frame_mod._fused_stage.__wrapped__(
+        imgs, rig, None, num_points, num_levels, fast_threshold,
+        min_threshold, max_intra, min_z, max_z, angle_bins, approx_topk,
+    )
+    X, has_depth, anchor_cam, uv_ref, anchor_sigma2, _n_rays = tri
+    track_packed, pose = _track_core(
+        key, groups.desc, groups.valid, uv_ref, anchor_cam, anchor_sigma2,
+        X, has_depth, prev_desc, prev_valid, prev_lm_id, map_pos,
+        map_valid, rig.cam_T_ref, rig.fxycxy, pred_T_wr, num_hyp, px,
+        max_dist, ratio, gate_px, fastpath_frac, fastpath_min,
+    )
+    lm_packed = _localmap_core(
+        pose, cand_ids, cand_valid, map_pos, map_desc, map_normal,
+        groups.desc, uv_ref, anchor_cam, groups.valid, anchor_sigma2,
+        rig.cam_T_ref, rig.fxycxy, image_wh, lm_radius, lm_max_dist,
+    )
+    return kps, xy_ud, groups, tri, jnp.concatenate([track_packed, lm_packed])
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "max_dist"))
 def _project_and_match_local(
     T_wr, lm_pos, lm_desc, lm_valid, im_desc, im_uv, im_anchor, im_valid,

@@ -121,6 +121,124 @@ def test_image_level_loop_fires(loop_image_session):
     assert slam.stats["loops"] >= 1
 
 
+def _smooth_image_scene():
+    rig = synthetic.make_synthetic_rig(synthetic.SyntheticRigSpec(
+        num_cams=3, baseline=0.2, image_size=(320, 240), focal=260.0))
+    poses = synthetic.smooth_trajectory(8, radius=5.0, step_angle=0.03,
+                                        seed=0)
+    lms = synthetic.make_landmarks(700, seed=1, depth_range=(4.0, 12.0))
+    imgs = synthetic.render_blob_images(rig, poses, lms, seed=2)
+    cfg = SlamConfig(window_size=4, ba_obs_capacity=8192,
+                     ba_lm_capacity=1024, local_map_landmarks=1024,
+                     kf_translation=0.2, kf_rotation=0.1,
+                     min_inter_matches=40)
+    return rig, poses, imgs, cfg
+
+
+def test_process_image_fused_path():
+    """The fused frame-build+track program (process_image) must drive the
+    same scene to the same quality as the split build_frame+process_frame
+    path: same init behavior, comparable keyframe count, ATE within the
+    scene bound for BOTH. (Bit-parity is not required — the fused program
+    is a different XLA compilation and f32 reduction order may flip
+    marginal matches; the bound is the equivalence-class criterion from
+    docs/PERF.md.)"""
+    rig, poses, imgs, cfg = _smooth_image_scene()
+    ecfg = dict(num_points=512, num_levels=3, max_intra=768)
+
+    split = MultiCameraSLAM(rig, cfg)
+    for k in range(len(poses)):
+        ff = build_frame(jnp.asarray(imgs[k]), rig, **ecfg)
+        split.process_frame(ff, k / 20.0)
+
+    fused = MultiCameraSLAM(rig, cfg)
+    for k in range(len(poses)):
+        fused.process_image(jnp.asarray(imgs[k]), k / 20.0,
+                            extract_cfg=ecfg)
+
+    assert split.state == INITIALIZED and fused.state == INITIALIZED
+    _, est_s = split.trajectory_arrays()
+    _, est_f = fused.trajectory_arrays()
+    ate_s = metrics.ate_rmse(est_s, poses)
+    ate_f = metrics.ate_rmse(est_f, poses)
+    assert ate_s < 0.1, ate_s
+    assert ate_f < 0.1, ate_f
+    assert abs(split.stats["keyframes"] - fused.stats["keyframes"]) <= 1
+
+
+def test_fused_kernel_packed_parity():
+    """_build_and_track_step's packed tracking buffer must agree with the
+    split _fused_stage -> _track_and_map_step chain on identical inputs:
+    identical pose (same math, tolerance for fusion-order f32 drift) and
+    nearly identical match vectors."""
+    import jax
+
+    from mcslam_tpu import tracking_kernels as tk
+    from mcslam_tpu.slam import _BUILD_FRAME_DEFAULTS
+
+    rig, poses, imgs, cfg = _smooth_image_scene()
+    ecfg = dict(_BUILD_FRAME_DEFAULTS)
+    ecfg.update(num_points=512, num_levels=3, max_intra=768)
+    ff0 = build_frame(jnp.asarray(imgs[0]), rig, num_points=512,
+                      num_levels=3, max_intra=768)
+    M = int(ff0.im_valid.shape[0])
+    valid0 = np.asarray(ff0.im_valid) & np.asarray(ff0.im_has_depth)
+    prev_lm = jnp.asarray(
+        np.where(valid0, np.arange(M, dtype=np.int32), -1))
+    CAP = 4096
+    map_pos = np.zeros((CAP, 3), np.float32)
+    map_pos[:M] = np.asarray(ff0.im_point3d)
+    map_valid = np.zeros(CAP, bool)
+    map_valid[:M] = valid0
+    map_desc = np.zeros((CAP, 8), np.uint32)
+    map_desc[:M] = np.asarray(ff0.im_desc)
+    map_normal = np.zeros((CAP, 3), np.float32)
+    L = cfg.local_map_landmarks
+    cand = np.flatnonzero(map_valid)[:L]
+    cand_pad = np.zeros(L, np.int32)
+    cand_pad[:len(cand)] = cand
+    cand_valid = jnp.asarray(np.arange(L) < len(cand))
+    key = jax.random.PRNGKey(7)
+    pred_T = jnp.eye(4, dtype=jnp.float32)
+    args = (jnp.asarray(map_pos), jnp.asarray(map_valid),
+            jnp.asarray(map_desc), jnp.asarray(map_normal),
+            jnp.asarray(cand_pad), cand_valid)
+    track_kw = dict(
+        num_hyp=cfg.ransac_hyps, px=cfg.ransac_px,
+        max_dist=cfg.inter_max_dist, ratio=cfg.inter_ratio,
+        image_wh=rig.image_size, lm_radius=cfg.local_map_radius_px,
+        lm_max_dist=cfg.local_map_max_dist,
+        gate_px=cfg.track_match_radius_px,
+        fastpath_frac=cfg.track_fastpath_frac,
+        fastpath_min=cfg.track_fastpath_min_inliers,
+    )
+
+    ff1 = build_frame(jnp.asarray(imgs[1]), rig, num_points=512,
+                      num_levels=3, max_intra=768)
+    packed_split = np.asarray(tk._track_and_map_step(
+        key, ff1.im_desc, ff1.im_valid, ff1.im_uv_ref, ff1.im_anchor_cam,
+        ff1.im_sigma2, ff1.im_point3d, ff1.im_has_depth,
+        ff0.im_desc, ff0.im_valid, prev_lm, *args,
+        rig.cam_T_ref, rig.fxycxy, pred_T, **track_kw,
+    ))
+    *_, packed_fused = tk._build_and_track_step(
+        key, jnp.asarray(imgs[1]), rig, ff0.im_desc, ff0.im_valid,
+        prev_lm, *args, pred_T, **ecfg, **track_kw,
+    )
+    packed_fused = np.asarray(packed_fused)
+    assert packed_split.shape == packed_fused.shape
+    # pose blocks (track pose + local-map pose)
+    np.testing.assert_allclose(packed_fused[:16], packed_split[:16],
+                               atol=1e-3)
+    off = 21 + 3 * M
+    np.testing.assert_allclose(packed_fused[off:off + 16],
+                               packed_split[off:off + 16], atol=1e-3)
+    # match vectors: allow a tiny fraction of marginal flips
+    rest_f, rest_s = packed_fused[16:], packed_split[16:]
+    frac_equal = float(np.mean(rest_f == rest_s))
+    assert frac_equal > 0.99, frac_equal
+
+
 def test_image_level_e2e_fisheye():
     """Equidistant (fisheye) rig end-to-end: render through the distortion
     model, extract, undistort, track, BA — ATE-checked (the equidistant
