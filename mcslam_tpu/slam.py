@@ -115,7 +115,13 @@ class SlamConfig:
     init_min_feats: bool = False
     # window BA
     window_size: int = 6
-    ba_iters: int = 2  # per gate round (x2 rounds); warm-started windows
+    # per gate round (x2 rounds) for WARM windows. Round-4 chip sweep
+    # (docs/onchip_r04/bisect_ba.out): warm 1x2 solves cost 5.86 ms vs
+    # 8.32 ms at 2x2 — a re-linearization of an already-converged window
+    # doesn't need the second LM step per round. Accuracy-gated on the
+    # full suite (hard-synthetic, VIO seed-ensemble, mono Sim(3), image
+    # e2e all within bounds at 1x2).
+    ba_iters: int = 1
     ba_iters_cold: int = 8  # first solve after init / reinit / loop closure
     ba_obs_capacity: int = 16384
     ba_lm_capacity: int = 2048
