@@ -22,8 +22,11 @@ class LoopClosingMixin:
         first-observing keyframe (the reference achieves the same global
         correction through ISAM2 + smart-factor re-triangulation)."""
 
-        # an in-flight window BA linearized at pre-loop poses is invalid
+        # an in-flight window BA linearized at pre-loop poses is invalid;
+        # a still-deferred global BA from the PREVIOUS closure must land
+        # before this closure re-anchors the map
         self._finish_pending_ba()
+        self._finish_pending_gba()
         self.stats["loops"] += 1
         self._ba_warm = False  # post-loop windows need the full LM budget
         self._ba_sync_left = self.cfg.window_size  # young post-loop geometry
@@ -323,30 +326,71 @@ class LoopClosingMixin:
             )
             sp, sl = result.poses, result.landmarks
 
-        new_poses = np.asarray(sp)[:K]
-        new_lms = np.asarray(sl)[: len(lm_ids)]
-        # write back selected keyframes; propagate each skipped keyframe by
-        # its nearest optimized neighbor's correction
-        corr = {}
-        for j, i in enumerate(sel_idx):
-            corr[i] = (
-                new_poses[j] @ np.linalg.inv(poses_old[j])
-            ).astype(np.float32)
-            vis[i].world_T_ref = new_poses[j]
-        if len(sel_idx) < len(vis):
-            sel_arr = np.asarray(sel_idx)
-            for i, k in enumerate(vis):
-                if i in corr:
+        # DEFERRED write-back (reference analogue: ISAM2's closure-time
+        # full-graph update runs synchronously, Backend.cpp:3060-3267 — the
+        # ~90 ms solve stalls ~6 frame budgets; nothing in the math needs
+        # that). The solve is already dispatched and runs on device; the
+        # PGO bend + landmark merge (applied synchronously above in
+        # _close_loop) carry tracking meanwhile, and the refined poses/
+        # landmarks land at the next matured process_frame (or before the
+        # next window solve / loop / finalize, whichever first).
+        self._pending_gba = {
+            "sp": sp, "sl": sl,
+            "sel_kf_ids": [k.kf_id for k in sel],
+            "poses_old": poses_old[:K].copy(),
+            "lm_ids": lm_ids,
+        }
+        self._gba_dispatch_frame = self.stats["frames"]
+        if not cfg.async_gba:
+            self._finish_pending_gba()
+
+    def _finish_pending_gba(self):
+        """Land a deferred global-BA solve: fetch, write back the selected
+        keyframes, propagate each remaining vision keyframe (including any
+        inserted since dispatch) by its nearest optimized neighbor's
+        correction, write the landmark block."""
+        pg = getattr(self, "_pending_gba", None)
+        if pg is None:
+            return
+        self._pending_gba = None
+        sel_kf_ids = pg["sel_kf_ids"]
+        lm_ids = pg["lm_ids"]
+        new_poses = np.asarray(pg["sp"])[: len(sel_kf_ids)]
+        new_lms = np.asarray(pg["sl"])[: len(lm_ids)]
+        id2kf = {k.kf_id: k for k in self.keyframes}
+        corr_ids, corrs = [], []
+        for j, kid in enumerate(sel_kf_ids):
+            kf = id2kf.get(kid)
+            if kf is None:
+                continue
+            corrs.append((
+                new_poses[j] @ np.linalg.inv(pg["poses_old"][j])
+            ).astype(np.float32))
+            corr_ids.append(kid)
+            kf.world_T_ref = new_poses[j].astype(np.float32)
+        if corr_ids:
+            corr_arr = np.asarray(corr_ids)
+            sel_set = set(corr_ids)
+            for k in self.keyframes:
+                if k.is_dummy or k.kf_id in sel_set:
                     continue
-                nearest = int(sel_arr[np.argmin(np.abs(sel_arr - i))])
+                nearest = int(np.argmin(np.abs(corr_arr - k.kf_id)))
                 k.world_T_ref = (
-                    corr[nearest] @ k.world_T_ref
+                    corrs[nearest] @ k.world_T_ref
                 ).astype(np.float32)
+            # motion-model continuity: the live pose rides the newest
+            # keyframe's correction (tracking may have advanced past the
+            # last keyframe since dispatch)
+            self.cur_pose = (corrs[-1] @ self.cur_pose).astype(np.float32)
+            self.last_pose = (corrs[-1] @ self.last_pose).astype(np.float32)
         # landmarks: direct write (global corrections legitimately exceed
-        # the incremental UPDATE_GATE)
-        self.map.pos[lm_ids] = new_lms
-        self.dmap.upsert(lm_ids, pos=new_lms)
-        self.cur_pose = self.keyframes[-1].world_T_ref.copy()
+        # the incremental UPDATE_GATE); skip slots freed since dispatch
+        alive = self.map.valid[lm_ids]
+        lm_ids = lm_ids[alive]
+        new_lms = new_lms[alive]
+        if len(lm_ids):
+            self.map.pos[lm_ids] = new_lms
+            self.dmap.upsert(lm_ids, pos=new_lms)
         self.stats["global_ba"] = self.stats.get("global_ba", 0) + 1
         # marginal priors are linearized at pre-global-BA poses
         self._vis_marg_prior = None

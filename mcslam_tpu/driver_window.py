@@ -31,6 +31,9 @@ class WindowBAMixin:
         cfg = self.cfg
         if len(window) < 2:
             return
+        # a deferred global BA must land first: this window would otherwise
+        # linearize at poses the landing is about to move
+        self._finish_pending_gba()
         K = cfg.window_size
         C = self.rig.num_cams
 

@@ -163,6 +163,14 @@ class SlamConfig:
     # to fully-synchronous. Raise only if a window solve needs more
     # device-side overlap than one frame build provides.
     async_ba_land_frames: int = 1
+    # post-loop global BA (~90 ms solve, docs/bench_aux.json) runs
+    # deferred: dispatched at closure, landed gba_land_frames frames later
+    # (or before the next window solve / loop / finalize). The PGO bend +
+    # landmark merge stay synchronous — tracking runs on them meanwhile.
+    # The reference stalls its main loop on the equivalent ISAM2
+    # full-graph update (Backend.cpp:3060-3267).
+    async_gba: bool = True
+    gba_land_frames: int = 4
     # inertial
     imu_init_samples: int = 200  # reference collects >= 200 before alignment
     # GPS position measurement sigma [m] (reference reads it from the
@@ -986,6 +994,11 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
                 - getattr(self, "_ba_dispatch_frame", 0)
                 >= cfg.async_ba_land_frames):
             self._finish_pending_ba()
+        if (getattr(self, "_pending_gba", None) is not None
+                and self.stats["frames"] + 1
+                - getattr(self, "_gba_dispatch_frame", 0)
+                >= cfg.gba_land_frames):
+            self._finish_pending_gba()
         kf_prev = self._prev_kf()
         self._pred_span = (
             (getattr(self, "_last_track_ts", None), timestamp)
@@ -1073,6 +1086,14 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
                 and self.stats["frames"] - getattr(self, "_ba_dispatch_frame", 0)
                 >= cfg.async_ba_land_frames):
             self._finish_pending_ba()
+        # matured deferred global BA (loop-closure refinement): by now the
+        # device has had gba_land_frames frames of overlap with the ~90 ms
+        # solve, so the fetch is cheap
+        if (getattr(self, "_pending_gba", None) is not None
+                and self.stats["frames"]
+                - getattr(self, "_gba_dispatch_frame", 0)
+                >= cfg.gba_land_frames):
+            self._finish_pending_gba()
 
         kf_prev = self._prev_kf()
         # prediction span: last successfully tracked frame -> this frame
@@ -1152,6 +1173,7 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
     def finalize(self):
         """Flush asynchronous backend work (call before reading poses/map)."""
         self._finish_pending_ba()
+        self._finish_pending_gba()
         # batch-LM mode (Optimization=1): one full-batch re-optimization of
         # all keyframes + landmarks at session end (reference LM path,
         # Backend.cpp:3269-3317 re-solves the whole accumulated graph)
@@ -1162,6 +1184,7 @@ class MultiCameraSLAM(LoopClosingMixin, WindowBAMixin, SensorsMixin):
             vis = [k for k in self.keyframes if not k.is_dummy]
             pre = {k.kf_id: k.world_T_ref.copy() for k in vis}
             self._run_global_ba()
+            self._finish_pending_gba()
             # retro-correct the recorded per-frame trajectory by the
             # nearest (in time) keyframe's correction so the TUM output
             # reflects the batch solve

@@ -53,6 +53,7 @@ def _run_session(global_ba: bool, mesh=None, num_frames=38, revisit=18):
         )
         slam.process_frame(ff, f.timestamp)
     assert slam.state == INITIALIZED
+    slam.finalize()  # land any deferred (async) global-BA write-back
     ts, est = slam.trajectory_arrays()
     ate = metrics.ate_rmse(est, poses)
     return slam, ate
@@ -82,6 +83,7 @@ def test_global_ba_beats_pgo_only():
     poses_before = np.stack([k.world_T_ref for k in slam_on.keyframes])
     slam_on.mesh = make_mesh(4)
     slam_on._run_global_ba()  # landmark-sharded over the 4-device mesh
+    slam_on._finish_pending_gba()  # land the deferred write-back
     assert slam_on.stats["global_ba"] == n_gba + 1
     for k in slam_on.keyframes:
         assert np.all(np.isfinite(k.world_T_ref))
