@@ -44,6 +44,48 @@ def ate_rmse(poses_est, poses_gt, align: bool = True, with_scale: bool = False):
     return float(np.sqrt(np.mean(err**2)))
 
 
+def drift(poses_est, poses_gt, segment_fractions=(0.1, 0.2, 0.3, 0.4, 0.5)):
+    """KITTI-style odometric drift: (translation drift [% of segment
+    length], rotation error [rad/m]), averaged over all sub-segments whose
+    ground-truth path length matches each requested fraction of the total.
+
+    These are the two accuracy numbers the reference publishes for its
+    real-rig sequences (/root/reference/README.md:239-240, computed there
+    by scripts/python/compute_drift.py via the evo toolkit); KITTI uses
+    fixed 100–800 m segments, which we scale to the scene as fractions of
+    the total trajectory length so synthetic-scale drives produce
+    comparable relative numbers.
+    """
+    pe = np.asarray(poses_est)
+    pg = np.asarray(poses_gt)
+    step = np.linalg.norm(np.diff(pg[:, :3, 3], axis=0), axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(step)])
+    total = float(cum[-1])
+    t_errs, r_errs = [], []
+    for frac in segment_fractions:
+        seg_len = total * frac
+        if seg_len <= 1e-9:
+            continue
+        targets = cum + seg_len
+        ends = np.searchsorted(cum, targets)
+        for i in range(len(pe)):
+            j = int(ends[i])
+            if j >= len(pe):
+                break
+            d_est = np.linalg.inv(pe[i]) @ pe[j]
+            d_gt = np.linalg.inv(pg[i]) @ pg[j]
+            e = np.linalg.inv(d_gt) @ d_est
+            seg = cum[j] - cum[i]
+            if seg <= 1e-9:
+                continue
+            t_errs.append(np.linalg.norm(e[:3, 3]) / seg)
+            w = np.asarray(lie.so3_log(jnp.asarray(e[:3, :3], jnp.float32)))
+            r_errs.append(np.linalg.norm(w) / seg)
+    if not t_errs:
+        return float("nan"), float("nan")
+    return 100.0 * float(np.mean(t_errs)), float(np.mean(r_errs))
+
+
 def rpe(poses_est, poses_gt, delta: int = 1):
     """Relative pose error: (trans_rmse [m/step], rot_rmse [rad/step])."""
     pe = np.asarray(poses_est)

@@ -48,6 +48,11 @@ def main(argv=None):
     print(f"trajectory length [m]: {length:.3f}")
     print(f"ATE RMSE [m]: {ate:.4f}  ({100*ate/max(length,1e-9):.2f}% of length)")
     print(f"RPE trans [m/step]: {t_rpe:.4f}  RPE rot [rad/step]: {r_rpe:.5f}")
+    # the reference's two published accuracy metrics
+    # (/root/reference/README.md:239-240): segment-averaged drift
+    t_drift, r_drift = metrics.drift(pe, pg)
+    print(f"translation drift [%]: {t_drift:.3f}  "
+          f"rotation error [rad/m]: {r_drift:.6f}")
     if args.plot:
         from mcslam_tpu.viz import viewer
 

@@ -103,6 +103,18 @@ def test_textured_vo_tracks_and_bounds_ate(textured_session):
     assert slam.stats["keyframes"] >= 20
     # measured 0.82 m (2026-08); generous headroom against RNG drift
     assert ate < 1.5, f"ATE {ate:.3f} m on textured+photometric scene"
+    # the reference's two published accuracy metrics (README.md:239-240):
+    # segment-averaged translation drift %/length + rotation error rad/m.
+    # Reported on the hard-mode drive as the measurable stand-in for the
+    # real-sequence parity row until EuRoC data can be mounted.
+    t_drift, r_drift = metrics.drift(est[: len(poses)], poses[: len(est)])
+    print(f"\n[hard-mode drift] translation {t_drift:.2f} %/length, "
+          f"rotation {r_drift:.5f} rad/m")
+    assert np.isfinite(t_drift) and np.isfinite(r_drift)
+    # generous bounds: the reference publishes 0.4-3.5 % translation drift
+    # on its real sequences; this synthetic corruption scene is harder
+    assert t_drift < 25.0, t_drift
+    assert r_drift < 0.2, r_drift
 
 
 # ---------------------------------------------------------------------------
