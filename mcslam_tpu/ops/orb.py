@@ -306,12 +306,27 @@ def extract_orb_rig(
     # response-SORTED global selection: a threshold+compaction variant was
     # tried and reverted — on plateau-heavy scenes its tie-breaking picks
     # different keypoints as content shifts cells between frames, which
-    # destabilizes tracking (ATE 0.07 -> 3.2 on the blob-image loop run)
-    yx, resp, valid = jax.vmap(
-        lambda sc: topk_grid.select_keypoints(
-            sc, maxb, cell=cell, per_cell=per_cell, approx=approx_topk
-        )
-    )(score)
+    # destabilizes tracking (ATE 0.07 -> 3.2 on the blob-image loop run).
+    # MCSLAM_SEL_SUBCELL=1 swaps in the transpose-free subcell-max form
+    # (topk_grid.select_keypoints_subcell) as the on-chip A/B vehicle for
+    # the selection chain (largest stage-A sub-kernel, round-4 bisection);
+    # it is NOT the default because the easy blob scenes degrade outside
+    # their equivalence class (verify-drive ATE 0.054 -> 0.094 at
+    # per_sub=1 / 0.114 at per_sub=2) even though the full suite stays
+    # green — selection semantics are knife-edge (see above) and the
+    # speed claim is unproven until the paired chip A/B runs.
+    if os.environ.get("MCSLAM_SEL_SUBCELL", "0") == "1":
+        yx, resp, valid = jax.vmap(
+            lambda sc: topk_grid.select_keypoints_subcell(
+                sc, maxb, sub=max(4, cell // 2), approx=approx_topk
+            )
+        )(score)
+    else:
+        yx, resp, valid = jax.vmap(
+            lambda sc: topk_grid.select_keypoints(
+                sc, maxb, cell=cell, per_cell=per_cell, approx=approx_topk
+            )
+        )(score)
     resp = jnp.where(resp > 1.0, resp - 1.0, resp)  # undo rank bonus
     # per-level quota: top_k is response-sorted, so the quota is a prefix
     budget_arr = jnp.repeat(jnp.asarray(budgets, jnp.int32), C)

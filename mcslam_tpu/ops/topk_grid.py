@@ -14,6 +14,81 @@ import jax
 import jax.numpy as jnp
 
 
+def select_keypoints_subcell(
+    score: jax.Array,
+    num_points: int,
+    sub: int = 8,
+    per_sub: int = 2,
+    approx: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Subcell-max variant of select_keypoints: per_sub candidates per
+    sub x sub subcell, then the same global top-N.
+
+    2x the candidate density of the default (cell=2*sub, per_cell=4) at
+    per_sub=2, but a fundamentally cheaper dataflow on TPU: the per-cell
+    top-4 needs the (G, cell^2) lane layout (a strided transpose of the
+    whole score map) plus k iterations of max/argmax/mask (12 streaming
+    passes); the subcell max is per_sub rounds of two multi-axis
+    reductions straight off the (H, W) layout — max for the value, masked
+    min-of-raster-index for the position — with no transpose. Round-4
+    chip bisection ranked selection as the largest stage-A sub-kernel
+    (~1.2 ms net, docs/onchip_r04/bisect_frame.out); this targets exactly
+    that.
+
+    per_sub=1 was measured first and REGRESSED the easy blob scenes
+    (verify drive ATE 0.054 -> 0.094): blob corners cluster within one
+    8 px subcell and strict one-per-subcell drops their neighbors.
+    per_sub=2 restores cluster coverage (up to 8 per legacy 16 px cell — a
+    candidate superset of the old scheme's 4) while keeping the
+    transpose-free form. Deterministic in the scores with raster-order
+    tie-breaking, so frame-to-frame stability matches the exact sort.
+    """
+    h, w = score.shape
+    gh, gw = -(-h // sub), -(-w // sub)
+    padded = jnp.pad(
+        score, ((0, gh * sub - h), (0, gw * sub - w)), constant_values=0.0
+    )
+    cells = padded.reshape(gh, sub, gw, sub)
+    ry = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 1)
+    rx = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 3)
+    rid = ry * sub + rx
+    big = jnp.int32(sub * sub)
+    gy = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0) * sub
+    gx = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1) * sub
+    resp_r, ys_r, xs_r = [], [], []
+    for _ in range(per_sub):
+        m = jnp.max(cells, axis=(1, 3))  # (gh, gw)
+        # position of the first (raster-order) pixel attaining the max
+        hit = cells == m[:, None, :, None]
+        amin = jnp.min(jnp.where(hit, rid, big), axis=(1, 3))
+        amin = jnp.minimum(amin, big - 1)  # empty cell -> (0,0), masked
+        resp_r.append(m)
+        ys_r.append(gy + amin // sub)
+        xs_r.append(gx + amin % sub)
+        # knock out the winner pixel for the next round
+        cells = jnp.where(rid == amin[:, None, :, None], -jnp.inf, cells)
+
+    flat_resp = jnp.stack(resp_r, -1).reshape(-1)
+    flat_ys = jnp.stack(ys_r, -1).reshape(-1)
+    flat_xs = jnp.stack(xs_r, -1).reshape(-1)
+    n = min(num_points, flat_resp.shape[0])
+    if approx and n < flat_resp.shape[0]:
+        top_resp, top_arg = jax.lax.approx_max_k(
+            flat_resp, n, recall_target=0.98
+        )
+    else:
+        top_resp, top_arg = jax.lax.top_k(flat_resp, n)
+    yx = jnp.stack([flat_ys[top_arg], flat_xs[top_arg]], axis=-1)
+    valid = top_resp > 0.0
+    yx = jnp.where(valid[:, None], yx, 0)
+    if n < num_points:
+        pad = num_points - n
+        yx = jnp.pad(yx, ((0, pad), (0, 0)))
+        top_resp = jnp.pad(top_resp, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return yx.astype(jnp.int32), top_resp, valid
+
+
 def select_keypoints(
     score: jax.Array,
     num_points: int,

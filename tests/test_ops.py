@@ -246,6 +246,42 @@ def test_select_keypoints_balanced():
     assert sum(1 for (y, x) in got if y < 16 and x < 16) == 4
 
 
+def test_select_keypoints_subcell():
+    """Subcell-max selection: the per-subcell top-per_sub survive, with
+    raster-order tie-breaking and empty subcells masked out."""
+    score = np.zeros((64, 64), np.float32)
+    score[10, 10], score[10, 11] = 5.0, 4.9   # same 8x8 subcell (1,1)
+    score[12, 12], score[13, 10] = 4.8, 4.7   # also subcell (1,1)
+    score[40, 40] = 0.5                        # subcell (5,5)
+    score[50, 20] = 0.4                        # subcell (6,2)
+    score[33, 57] = 2.0
+    score[32, 56] = 2.0                        # tie in subcell (4,7)
+
+    # per_sub=1: strict one winner per subcell
+    yx, resp, valid = topk_grid.select_keypoints_subcell(
+        jnp.asarray(score), 8, sub=8, per_sub=1)
+    got = {tuple(p) for p in np.asarray(yx)[np.asarray(valid)].tolist()}
+    assert (10, 10) in got and (40, 40) in got and (50, 20) in got
+    assert sum(1 for (y, x) in got if y < 16 and x < 16) == 1
+    # raster-order tie-break: (32, 56) precedes (33, 57)
+    assert (32, 56) in got and (33, 57) not in got
+    assert int(np.asarray(valid).sum()) == 4
+    by_pos = {tuple(p): float(r) for p, r in zip(
+        np.asarray(yx).tolist(), np.asarray(resp).tolist())}
+    assert by_pos[(10, 10)] == 5.0 and by_pos[(32, 56)] == 2.0
+
+    # per_sub=2 (default): the cluster keeps its two best, the tie pair
+    # yields both pixels (knockout makes the picks distinct)
+    yx2, resp2, valid2 = topk_grid.select_keypoints_subcell(
+        jnp.asarray(score), 16, sub=8, per_sub=2)
+    got2 = {tuple(p) for p in np.asarray(yx2)[np.asarray(valid2)].tolist()}
+    assert (10, 10) in got2 and (10, 11) in got2
+    assert (12, 12) not in got2  # third-best in its subcell
+    assert (32, 56) in got2 and (33, 57) in got2
+    assert (40, 40) in got2 and (50, 20) in got2
+    assert int(np.asarray(valid2).sum()) == 6
+
+
 def test_select_keypoints_padding():
     score = np.zeros((32, 32), np.float32)
     score[5, 5] = 1.0
