@@ -28,17 +28,20 @@ from mcslam_tpu.geometry import lie, linalg3
 CHI2_2DOF = 5.991
 
 # Unrolling the LM chains removes per-step scan bookkeeping at ~2x compile
-# time; identical math either way. DEFAULT: LOOPED. The round-4 on-chip
-# paired kit measured the looped scans not slower (FULL fused track prod
-# 5.02 ms looped vs 5.09 unrolled, docs/onchip_r04/bisect_track_nounroll.out)
-# and the pre-registered rule (docs/onchip_r04/PLAN.md step 6) says prefer
-# looped at equal speed for the halved compile time. MCSLAM_UNROLL=1 opts
-# back in for A/B. Read at TRACE time so the paired harness
-# (scripts/ab_paired.py) can host both variants in one process.
+# time; identical math either way. DEFAULT: UNROLLED. The round-4
+# separate-process A/B read "equal speed" (5.02 vs 5.09) and the
+# pre-registered rule picked looped for compile time — but the round-5
+# PAIRED in-process A/B (scripts/ab_paired.py, docs/onchip_r05/
+# ab_paired1.out) measured unrolled -0.154 ms on the fused track program
+# with a tight IQR [-0.231, -0.101], i.e. the separate-process read was
+# window noise. With the persistent compile cache (utils/compile_cache)
+# the 2x trace cost is paid once per program shape, so speed wins.
+# MCSLAM_NO_UNROLL=1 opts back into looped scans for A/B. Read at TRACE
+# time so the paired harness can host both variants in one process.
 def _unroll() -> bool:
-    if os.environ.get("MCSLAM_NO_UNROLL") == "1":  # round-4 kit back-compat
+    if os.environ.get("MCSLAM_NO_UNROLL") == "1":
         return False
-    return os.environ.get("MCSLAM_UNROLL") == "1"
+    return os.environ.get("MCSLAM_UNROLL", "1") == "1"
 
 
 # 6x6 LM solves via unrolled scalar Cholesky instead of LU. REJECTED as

@@ -20,13 +20,15 @@ import jax.numpy as jnp
 from mcslam_tpu.geometry import lie, linalg3
 
 # see pose_opt._unroll: scan/loop unrolling is a latency-vs-compile-time
-# trade. Default LOOPED since the round-4 chip A/B (not slower, half the
-# compile time); MCSLAM_UNROLL=1 opts back in. Trace-time read so the
-# paired A/B harness can host both variants in one process.
+# trade. Default UNROLLED since the round-5 paired chip A/B (-0.154 ms on
+# the fused track program, docs/onchip_r05/ab_paired1.out); the persistent
+# compile cache pays the 2x trace cost once. MCSLAM_NO_UNROLL=1 opts back
+# into looped scans. Trace-time read so the paired A/B harness can host
+# both variants in one process.
 def _unroll() -> bool:
     if os.environ.get("MCSLAM_NO_UNROLL") == "1":
         return False
-    return os.environ.get("MCSLAM_UNROLL") == "1"
+    return os.environ.get("MCSLAM_UNROLL", "1") == "1"
 
 
 def triangulate_rays(

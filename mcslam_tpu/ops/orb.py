@@ -308,13 +308,13 @@ def extract_orb_rig(
     # different keypoints as content shifts cells between frames, which
     # destabilizes tracking (ATE 0.07 -> 3.2 on the blob-image loop run).
     # MCSLAM_SEL_SUBCELL=1 swaps in the transpose-free subcell-max form
-    # (topk_grid.select_keypoints_subcell) as the on-chip A/B vehicle for
-    # the selection chain (largest stage-A sub-kernel, round-4 bisection);
-    # it is NOT the default because the easy blob scenes degrade outside
-    # their equivalence class (verify-drive ATE 0.054 -> 0.094 at
-    # per_sub=1 / 0.114 at per_sub=2) even though the full suite stays
-    # green — selection semantics are knife-edge (see above) and the
-    # speed claim is unproven until the paired chip A/B runs.
+    # (topk_grid.select_keypoints_subcell), built as an A/B vehicle for
+    # the selection chain (largest stage-A sub-kernel, round-4 bisection).
+    # REJECTED by the round-5 paired chip A/B: +0.350 ms [+0.244, +0.391]
+    # on the frame build (docs/onchip_r05/ab_paired1.out) — the per_sub
+    # knockout rounds cost more than the transpose they avoid — and it
+    # also degrades easy-blob ATE (0.054 -> 0.094/0.114). Kept only as
+    # the A/B vehicle.
     if os.environ.get("MCSLAM_SEL_SUBCELL", "0") == "1":
         yx, resp, valid = jax.vmap(
             lambda sc: topk_grid.select_keypoints_subcell(
