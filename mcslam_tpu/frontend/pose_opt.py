@@ -52,6 +52,20 @@ def _chol6() -> bool:
     return os.environ.get("MCSLAM_CHOL6") == "1"
 
 
+# Augmented normal-equation reduction: stack [J | r] into one (M, 2, 7)
+# tensor so H = J'WJ, g = J'Wr and the robust cost all come out of a
+# SINGLE einsum (a (7, 2M) x (2M, 7) MXU matmul) instead of three
+# separate reductions. The LM chains are latency-bound 16-step sequences
+# where every fused kernel costs fixed overhead, so collapsing 3
+# reductions to 1 per linearize pass is a per-step launch-count cut, not
+# a FLOP cut. Same products, different f32 reduction order (within the
+# calibrated equivalence class, see PERF.md). MCSLAM_NO_AUG7=1 restores
+# the separate reductions for A/B; read at trace time for the paired
+# harness.
+def _aug7() -> bool:
+    return os.environ.get("MCSLAM_NO_AUG7") != "1"
+
+
 class PoseOptResult(NamedTuple):
     world_T_ref: jax.Array  # (4, 4)
     inliers: jax.Array  # (M,) bool
@@ -115,13 +129,19 @@ def optimize_pose(
     fxycxy: jax.Array,
     mask: jax.Array,
     sigma2: jax.Array | None = None,  # (M,) per-obs variance scale (octave)
-    iters: int = 8,
+    iters: int | tuple = 8,
     rounds: int = 2,
     huber_px: float = 2.5,
     chi2_thresh: float = CHI2_2DOF,
     lm_lambda: float = 1e-3,
 ) -> PoseOptResult:
-    """LM with `rounds` chi2 re-gating passes of `iters` iterations each."""
+    """LM with `rounds` chi2 re-gating passes of `iters` iterations each.
+
+    `iters` may be a tuple giving a PER-ROUND schedule (its length then
+    overrides `rounds`), e.g. (8, 4): full depth before the first chi2
+    re-gate, a shorter polish after — the post-gate round starts at the
+    converged pose, so its tail iterations are usually no-op accepts on a
+    latency-bound chain (each LM step is a full linearize pass)."""
     if sigma2 is None:
         sigma2 = jnp.ones(X_world.shape[0], X_world.dtype)
     inv_sig2 = 1.0 / sigma2
@@ -135,13 +155,18 @@ def optimize_pose(
             rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9)
         )
         w = w_huber * inv_sig2 * active.astype(T.dtype)  # (M,)
-        Jw = J * w[:, None, None]
-        H0 = jnp.einsum("mri,mrj->ij", Jw, J)
-        g = jnp.einsum("mri,mr->i", Jw, r)
-        cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
+        if _aug7():
+            G = jnp.concatenate([J, r[..., None]], axis=-1)  # (M, 2, 7)
+            S = jnp.einsum("mri,mrj->ij", G * w[:, None, None], G)
+            H0, g, cost = S[:6, :6], S[:6, 6], S[6, 6]
+        else:
+            Jw = J * w[:, None, None]
+            H0 = jnp.einsum("mri,mrj->ij", Jw, J)
+            g = jnp.einsum("mri,mr->i", Jw, r)
+            cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
         return H0, g, cost, r
 
-    def lm_round(carry, _):
+    def lm_round(carry, n_iters):
         T, active = carry
         H0, g, c, r = linearize(T, active)
 
@@ -183,16 +208,24 @@ def optimize_pose(
         # math while letting XLA schedule across steps
         (T, _, _, _, r, _), _ = jax.lax.scan(
             lm_step, (T, H0, g, c, r, jnp.asarray(lm_lambda, T.dtype)),
-            None, length=iters, unroll=_unroll(),
+            None, length=n_iters, unroll=_unroll(),
         )
         # chi2 re-gate for the next round from the carried residuals
         chi2 = jnp.sum(r * r, axis=-1) * inv_sig2
         active = mask & (chi2 < chi2_thresh)
         return (T, active), None
 
-    (T, active), _ = jax.lax.scan(
-        lm_round, (T_init, mask), None, length=rounds, unroll=_unroll()
-    )
+    sched = iters if isinstance(iters, tuple) else (iters,) * rounds
+    if _unroll() or len(set(sched)) > 1:
+        carry = (T_init, mask)
+        for n in sched:
+            carry, _ = lm_round(carry, n)
+        T, active = carry
+    else:
+        (T, active), _ = jax.lax.scan(
+            lambda c, _: lm_round(c, sched[0]), (T_init, mask), None,
+            length=len(sched),
+        )
     r = _residuals(jnp.zeros(6, T.dtype), T, X_world, uv, cam_T_ref, fxycxy)
     chi2 = jnp.sum(r * r, axis=-1) * inv_sig2
     inliers = mask & (chi2 < chi2_thresh)

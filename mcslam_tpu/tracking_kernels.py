@@ -5,6 +5,7 @@ of slam.py; same contracts)."""
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,31 @@ import jax.numpy as jnp
 from mcslam_tpu.frontend import pose_opt, ransac
 from mcslam_tpu.geometry import lie, triangulation
 from mcslam_tpu.ops import hamming, match as match_ops
+from mcslam_tpu.ops import match_pallas
+
+
+def _sched(env: str, default: str) -> tuple:
+    """Per-round LM iteration schedule from an env var ("8,4" -> (8, 4)).
+    Trace-time read (paired-A/B-able); the budgets are knife-edge
+    load-bearing (see the NOTE in _track_core), so any non-default
+    schedule must pass the full accuracy suite before adoption."""
+    return tuple(
+        int(x) for x in os.environ.get(env, default).split(",") if x
+    )
+
+
+def _fused_match() -> bool:
+    """Use the single-kernel gated matcher (ops/match_pallas.py) for the
+    tracking and local-map match stages. TPU only (the kernel targets the
+    TPU memory model; other backends keep the XLA formulation, which is
+    also the semantics reference). MCSLAM_NO_FUSED_MATCH=1 opts out for
+    the paired on-chip A/B; read at trace time."""
+    if os.environ.get("MCSLAM_NO_FUSED_MATCH") == "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
 
 
 # --------------------------------------------------------------------------
@@ -65,6 +91,49 @@ def _mutual_match(dist, valid_a, valid_b, max_dist: int, ratio: float):
     )
 
 
+def _gate_factors(
+    uv, anchor, proj, penalize, row_invalid, col_invalid, col_pass=None
+):
+    """Low-rank factors (ahat (M, DG), bhat (DG, N)) whose product is the
+    anchored squared pixel distance of _anchored_sq_px_dist PLUS validity
+    bias terms, for ops/match_pallas.hamming_argmin2:
+
+        d2_eff = d2_raw + 4*PB*row_invalid + 2*PB*col_invalid
+                 - PB*col_pass                       (PB = PASS_BIAS)
+
+    so with threshold thr2 << PB: invalid rows/columns always fail the
+    gate (2*PB or 3*PB net), pass-always columns always pass (-PB
+    dominates d2_raw <= ~4e10 + the 1e12 frustum penalty), and normal
+    pairs gate on the true distance.
+    """
+    C = proj.shape[0]
+    oh = jax.nn.one_hot(anchor, C, dtype=uv.dtype)  # (M, C)
+    P2 = jnp.sum(proj * proj, axis=-1) + jnp.where(
+        penalize, _GATE_BIG, 0.0
+    )  # (C, N)
+    A = (oh[:, :, None] * uv[:, None, :]).reshape(uv.shape[0], 2 * C)
+    B = proj.transpose(0, 2, 1).reshape(2 * C, proj.shape[1])
+    u2 = jnp.sum(uv * uv, axis=-1)
+    PB = match_pallas.PASS_BIAS
+    r_bias = 2.0 * PB * col_invalid.astype(jnp.float32)
+    if col_pass is not None:
+        r_bias = r_bias - PB * col_pass.astype(jnp.float32)
+    ahat = jnp.concatenate(
+        [
+            -2.0 * A,
+            oh,
+            (u2 + 4.0 * PB * row_invalid.astype(jnp.float32))[:, None],
+            jnp.ones((uv.shape[0], 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    bhat = jnp.concatenate(
+        [B, P2, jnp.ones((1, B.shape[1]), jnp.float32), r_bias[None, :]],
+        axis=0,
+    )
+    return ahat, bhat
+
+
 def _track_core(
     key, cur_desc, cur_valid, cur_uv, cur_anchor, cur_sigma2, cur_p3d,
     cur_has_depth, prev_desc, prev_valid, prev_lm_id, map_pos, map_valid,
@@ -86,7 +155,9 @@ def _track_core(
     restores the inlier fraction. Landmark-less prev features stay
     ungated — they only seed NEW landmark triangulation, where the
     Sampson gate downstream does the filtering."""
+    use_fused = _fused_match() and gate_px > 0.0
     pair_mask = None
+    uvp = pen = prev_has = None
     if gate_px > 0.0:
         safe_prev = jnp.maximum(prev_lm_id, 0)
         prev_has = (prev_lm_id >= 0) & map_valid[safe_prev]
@@ -99,21 +170,45 @@ def _track_core(
             + cam_T_w[:, None, :3, 3]
         )  # (C, Mp, 3)
         z = pc[..., 2]
-        uvp = (
+        uvp = jnp.clip(
             pc[..., :2] / jnp.maximum(z[..., None], 1e-6)
-            * fxycxy_all[:, None, :2] + fxycxy_all[:, None, 2:]
+            * fxycxy_all[:, None, :2] + fxycxy_all[:, None, 2:],
+            -1e5, 1e5,
         )  # (C, Mp, 2)
-        d2 = _anchored_sq_px_dist(
-            cur_uv, cur_anchor, jnp.clip(uvp, -1e5, 1e5), z <= 0.05
+        pen = z <= 0.05
+        if not use_fused:
+            d2 = _anchored_sq_px_dist(cur_uv, cur_anchor, uvp, pen)
+            pair_mask = jnp.where(
+                prev_has[None, :], d2 < gate_px * gate_px, True
+            )
+    if use_fused:
+        # single-kernel gated matcher: distance matmul + gate matmul +
+        # row/col argmin in one Pallas launch (no (M, N) HBM round trip)
+        ahat, bhat = _gate_factors(
+            cur_uv, cur_anchor, uvp, pen, ~cur_valid, ~prev_valid,
+            col_pass=~prev_has,
         )
-        pair_mask = jnp.where(
-            prev_has[None, :], d2 < gate_px * gate_px, True
+        best, second, idx, col_idx = match_pallas.hamming_argmin2(
+            hamming.to_planes(cur_desc),
+            hamming.to_planes(prev_desc).T,
+            ahat, bhat, gate_px * gate_px, want_cols=True,
         )
-    d = hamming.hamming_matrix(cur_desc, prev_desc)
-    res = match_ops.match_mutual(
-        d, row_mask=cur_valid, col_mask=prev_valid, max_dist=max_dist,
-        ratio=ratio, pair_mask=pair_mask,
-    )
+        rows = jnp.arange(cur_desc.shape[0], dtype=jnp.int32)
+        ok = (
+            (col_idx[idx] == rows)
+            & (best <= max_dist)
+            & (best <= ratio * second)
+            & cur_valid
+        )
+        res = match_ops.MatchResult(
+            idx=idx, dist=best.astype(jnp.int32), ok=ok
+        )
+    else:
+        d = hamming.hamming_matrix(cur_desc, prev_desc)
+        res = match_ops.match_mutual(
+            d, row_mask=cur_valid, col_mask=prev_valid, max_dist=max_dist,
+            ratio=ratio, pair_mask=pair_mask,
+        )
     lm = jnp.where(res.ok, prev_lm_id[res.idx], -1)
     safe = jnp.maximum(lm, 0)
     with_lm = (lm >= 0) & map_valid[safe]
@@ -153,7 +248,8 @@ def _track_core(
     # regressed the VIO probe 0.04 -> 0.26 at iters=5. The
     # deferred-accept scan already cut the per-step cost ~40%.
     ref_pred = pose_opt.optimize_pose(
-        pred_T_wr, X_world, cur_uv, cTr, f, with_lm, sigma2=cur_sigma2
+        pred_T_wr, X_world, cur_uv, cTr, f, with_lm, sigma2=cur_sigma2,
+        iters=_sched("MCSLAM_REF_SCHED", "8,8"),
     )
     score_pred, _ = ransac._score_reprojection(
         ref_pred.world_T_ref[None], X_world, cur_uv, cTr, f, with_lm, px
@@ -167,13 +263,19 @@ def _track_core(
     )
 
     def _portfolio(key):
+        # MCSLAM_HYPS: trace-time hypothesis-count override for the
+        # paired chip A/B (a flat 512->256 config cut was tried and
+        # REVERTED on the noisy-mono canary — but mono always takes the
+        # portfolio through its own program, so a rig-only cut remains
+        # adoptable per-config if the suite stays green)
+        nh = int(os.environ.get("MCSLAM_HYPS", num_hyp))
         rr_kab = ransac.ransac_kabsch(
             key, cur_p3d, X_world, cur_uv, cTr, f, mask3d,
-            num_hyp=num_hyp, px_thresh=px,
+            num_hyp=nh, px_thresh=px,
         )
         rr_pnp = ransac.ransac_pnp(
             key, X_world, cur_uv, cTr, f, with_lm,
-            num_hyp=max(num_hyp // 2, 64), px_thresh=px,
+            num_hyp=max(nh // 2, 64), px_thresh=px,
         )
         inits = jnp.stack([rr_kab.world_T_ref, rr_pnp.world_T_ref])
         masks = jnp.stack(
@@ -181,7 +283,8 @@ def _track_core(
         )
         refs = jax.vmap(
             lambda T0, m: pose_opt.optimize_pose(
-                T0, X_world, cur_uv, cTr, f, m, sigma2=cur_sigma2
+                T0, X_world, cur_uv, cTr, f, m, sigma2=cur_sigma2,
+                iters=_sched("MCSLAM_REF_SCHED", "8,8"),
             )
         )(inits, masks)
         # UNIFORM selection score: each candidate's refine mask is a
@@ -248,12 +351,15 @@ def _localmap_core(
     X_world = map_pos[jnp.maximum(lm, 0)]
     cTr = cam_T_ref[im_anchor]
     f = fxycxy[im_anchor]
-    # iters=5 x 2 rounds: T_wr already went through the portfolio refine,
-    # so this pass starts inside the basin and only folds in the
-    # local-map matches; both re-gate rounds are kept (new matches need
-    # the chi2 cleanup)
+    # T_wr already went through the portfolio refine, so this pass starts
+    # inside the basin and only folds in the local-map matches; both
+    # re-gate rounds are kept (new matches need the chi2 cleanup).
+    # Schedule note: a flat iters=5 cut was tried and REVERTED (VIO probe
+    # 0.04 -> 0.26); asymmetric schedules via MCSLAM_LMAP_SCHED are the
+    # round-5 A/B vehicle, full-suite accuracy-gated before adoption.
     ref = pose_opt.optimize_pose(
-        T_wr, X_world, im_uv, cTr, f, sel, sigma2=im_sigma2
+        T_wr, X_world, im_uv, cTr, f, sel, sigma2=im_sigma2,
+        iters=_sched("MCSLAM_LMAP_SCHED", "8,8"),
     )
     lm_out = jnp.where(ref.inliers, lm, -1)
     # single packed buffer -> single tunnel round trip
@@ -396,11 +502,22 @@ def _project_and_match_local(
     # per current feature: distance to its anchor camera's projection of
     # each landmark — matmul form, no (M, L, 2) gather (see
     # _anchored_sq_px_dist; the gather form cost ~100 MB of HBM traffic)
-    d2 = _anchored_sq_px_dist(
-        im_uv, im_anchor,
-        jnp.clip(proj.transpose(1, 0, 2), -1e5, 1e5),
-        ~vis.transpose(1, 0),
-    )
+    proj_c = jnp.clip(proj.transpose(1, 0, 2), -1e5, 1e5)
+    pen = ~vis.transpose(1, 0)
+    if _fused_match():
+        ahat, bhat = _gate_factors(
+            im_uv, im_anchor, proj_c, pen, ~im_valid, ~lm_valid
+        )
+        best, second, idx, _ = match_pallas.hamming_argmin2(
+            hamming.to_planes(im_desc),
+            hamming.to_planes(lm_desc).T,
+            ahat, bhat, radius * radius, want_cols=False,
+        )
+        ok = (best <= max_dist) & (best <= second) & im_valid
+        return match_ops.MatchResult(
+            idx=idx, dist=best.astype(jnp.int32), ok=ok
+        )
+    d2 = _anchored_sq_px_dist(im_uv, im_anchor, proj_c, pen)
     close = d2 < radius * radius
     dmat = hamming.hamming_matrix(im_desc, lm_desc)
     res = match_ops.match_one_way(

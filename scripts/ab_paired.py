@@ -22,13 +22,18 @@ Usage:
 FLAG -> (workload, env var) mapping below. Output: one JSON line per
 flag on stdout; progress on stderr.
 
-Flags (all default-off opt-ins; see the read sites for semantics):
+Flags (see the read sites for semantics; no* flags are default-ON
+features measured by switching them OFF, so a POSITIVE delta confirms
+the default):
     subcell      frame  MCSLAM_SEL_SUBCELL       ops/orb.py
     latecompact  frame  MCSLAM_LATE_COMPACT      ops/orb.py
     nohskip      frame  MCSLAM_FAST_NO_HSKIP     ops/orb.py
     unroll       track  MCSLAM_UNROLL            frontend/pose_opt.py
+    nounroll     track  MCSLAM_NO_UNROLL         frontend/pose_opt.py
     chol6        track  MCSLAM_CHOL6             frontend/pose_opt.py
     invcdf       track  MCSLAM_INVCDF_SAMPLING   frontend/ransac.py
+    noaug7       track  MCSLAM_NO_AUG7           frontend/pose_opt.py
+    nofusedmatch track  MCSLAM_NO_FUSED_MATCH    tracking_kernels.py
 Suffix a flag with "@ab" (e.g. subcell@ab) to time it on the fused
 build+track production program instead of its default workload.
 """
@@ -51,8 +56,11 @@ FLAGS = {
     "latecompact": ("frame", "MCSLAM_LATE_COMPACT"),
     "nohskip": ("frame", "MCSLAM_FAST_NO_HSKIP"),
     "unroll": ("track", "MCSLAM_UNROLL"),
+    "nounroll": ("track", "MCSLAM_NO_UNROLL"),
     "chol6": ("track", "MCSLAM_CHOL6"),
     "invcdf": ("track", "MCSLAM_INVCDF_SAMPLING"),
+    "noaug7": ("track", "MCSLAM_NO_AUG7"),
+    "nofusedmatch": ("track", "MCSLAM_NO_FUSED_MATCH"),
 }
 
 
@@ -143,7 +151,7 @@ def _build_workloads(which):
         )
         return state
 
-    def make_track():
+    def _make_track(fastpath_frac):
         s = _track_inputs()
 
         def body(cur, prev):
@@ -157,7 +165,7 @@ def _build_workloads(which):
                 scfg.ransac_hyps, scfg.ransac_px, scfg.inter_max_dist,
                 scfg.inter_ratio, rig.image_size, scfg.local_map_radius_px,
                 scfg.local_map_max_dist, scfg.track_match_radius_px,
-                scfg.track_fastpath_frac, scfg.track_fastpath_min_inliers,
+                fastpath_frac, scfg.track_fastpath_min_inliers,
             )[:20].sum()
 
         compiled = jax.jit(body).lower(s["ff0"], s["ff1"]).compile()
@@ -165,6 +173,16 @@ def _build_workloads(which):
                         else compiled(s["ff0"], s["ff1"]))
         fn.hlo_hash = _hlo_hash(compiled)
         return fn
+
+    def make_track():
+        return _make_track(scfg.track_fastpath_frac)
+
+    def make_trackslow():
+        # fastpath_frac > 1 forces the full portfolio branch every call:
+        # the workload for flags that only touch the RANSAC stages (the
+        # default-scene motion prediction is strong, so plain `track`
+        # times the fast path and never executes the portfolio)
+        return _make_track(2.0)
 
     def make_ab():
         s = _track_inputs()
@@ -195,7 +213,8 @@ def _build_workloads(which):
         fn.hlo_hash = _hlo_hash(compiled)
         return fn
 
-    makers = {"frame": make_frame, "track": make_track, "ab": make_ab}
+    makers = {"frame": make_frame, "track": make_track,
+              "trackslow": make_trackslow, "ab": make_ab}
     return {k: makers[k] for k in which}
 
 
@@ -219,10 +238,12 @@ def run_flag(flag, workload_maker, env_var, pairs, n):
 
     base_env = dict(os.environ)
 
+    env_var, _, env_val = env_var.partition("=")
+
     def make_variant(on):
         os.environ.pop(env_var, None)
         if on:
-            os.environ[env_var] = "1"
+            os.environ[env_var] = env_val or "1"
         # the flag is read at trace time behind process-wide tracing
         # caches; clear them so this variant's AOT lower re-traces under
         # the env now in effect (backend compiles stay disk-cached)
@@ -282,9 +303,15 @@ def main(argv=None):
     specs = []
     for f in args.flags:
         name, _, wl_override = f.partition("@")
-        if name not in FLAGS:
+        if name in FLAGS:
+            wl, env = FLAGS[name]
+        elif "=" in name:
+            # raw VAR=value flag, e.g. MCSLAM_REF_SCHED=8,4@track —
+            # times `value` against the var being unset
+            env = name
+            wl = "track"
+        else:
             ap.error(f"unknown flag {name!r}")
-        wl, env = FLAGS[name]
         specs.append((f, wl_override or wl, env))
 
     makers = _build_workloads({wl for _, wl, _ in specs})
