@@ -277,7 +277,6 @@ def extract_orb_rig(
         ],
         axis=0,
     )
-    blurred = image_ops.gaussian_blur(stacked, 7, 2.0)
     h_l = jnp.repeat(jnp.asarray([h for h, _ in hw], jnp.int32), C)
     w_l = jnp.repeat(jnp.asarray([w for _, w in hw], jnp.int32), C)
     if _use_pallas():
@@ -288,10 +287,25 @@ def extract_orb_rig(
         # the interior mask below anyway); MCSLAM_FAST_NO_HSKIP=1 is the
         # on-chip A/B + fallback
         hskip = os.environ.get("MCSLAM_FAST_NO_HSKIP", "0") != "1"
-        score = fast_corners_pallas(
-            stacked, min_threshold, heights=h_l if hskip else None
-        )
+        # fused blur: the FAST kernel's row-band DMA also emits the
+        # separable 7-tap blur (ops/fast_pallas._blur_band), replacing
+        # gaussian_blur's two f32 (H, H)/(W, W) banded MXU matmuls — the
+        # most FLOP-heavy op of the frame build at O(H) band work per
+        # 7-tap output. MCSLAM_NO_FUSED_BLUR=1 restores the banded-matmul
+        # pass for the paired chip A/B.
+        fuse_blur = os.environ.get("MCSLAM_NO_FUSED_BLUR", "0") != "1"
+        if fuse_blur:
+            score, blurred = fast_corners_pallas(
+                stacked, min_threshold, heights=h_l if hskip else None,
+                taps=image_ops._np_gaussian_taps(7, 2.0),
+            )
+        else:
+            blurred = image_ops.gaussian_blur(stacked, 7, 2.0)
+            score = fast_corners_pallas(
+                stacked, min_threshold, heights=h_l if hskip else None
+            )
     else:
+        blurred = image_ops.gaussian_blur(stacked, 7, 2.0)
         score = fast_ops.fast_corners(stacked, min_threshold)
     # mask scores outside each level's TRUE bounds (the kernel's interior
     # mask only knows the padded shape)

@@ -61,6 +61,7 @@ FLAGS = {
     "invcdf": ("track", "MCSLAM_INVCDF_SAMPLING"),
     "noaug7": ("track", "MCSLAM_NO_AUG7"),
     "nofusedmatch": ("track", "MCSLAM_NO_FUSED_MATCH"),
+    "nofusedblur": ("frame", "MCSLAM_NO_FUSED_BLUR"),
 }
 
 

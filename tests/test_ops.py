@@ -155,6 +155,51 @@ def test_fast_pallas_height_skip_matches_masked():
     assert not np.any(skip[2, 40:])
 
 
+def test_fast_pallas_fused_blur_matches_gaussian():
+    """The fused blur output (taps=...) must equal gaussian_blur on every
+    pixel a descriptor can sample: >= 13 px inside each image's true
+    bounds (keypoints are >= EDGE=19 from borders; blur taps reach 3 px,
+    patch samples 16 -> the outermost blurred pixel read sits 16 px in,
+    built from taps >= 13 px in). Boundary treatment differs by design
+    (edge halo + lane wrap vs reflect) outside that region. The score
+    output must be untouched by the fusion."""
+    from mcslam_tpu.ops import image as image_ops
+    from mcslam_tpu.ops.fast_pallas import fast_corners_pallas
+
+    rng = np.random.RandomState(13)
+    H, W = 120, 256
+    heights = np.asarray([120, 77], np.int32)
+    img_np = rng.rand(2, H, W).astype(np.float32)
+    for c, h in enumerate(heights):
+        img_np[c, h:] = img_np[c, h - 1]
+    img = jnp.asarray(img_np)
+    taps = image_ops._np_gaussian_taps(7, 2.0)
+
+    score_ref = np.asarray(
+        fast_corners_pallas(img, 0.05, tile_h=40, interpret=True,
+                            heights=jnp.asarray(heights))
+    )
+    score, blurred = fast_corners_pallas(
+        img, 0.05, tile_h=40, interpret=True,
+        heights=jnp.asarray(heights), taps=taps,
+    )
+    blur_ref = np.asarray(image_ops.gaussian_blur(img, 7, 2.0))
+    m = 13
+    for c, h in enumerate(heights):
+        np.testing.assert_allclose(
+            np.asarray(blurred)[c, m:h - m, m:W - m],
+            blur_ref[c, m:h - m, m:W - m],
+            rtol=0, atol=2e-6,
+        )
+        # score parity where the caller's interior mask keeps rows
+        # (the fused variant computes tiles up to h instead of
+        # h - BORDER; everything below the mask line must agree)
+        keep = int(h) - fast.BORDER
+        np.testing.assert_array_equal(
+            np.asarray(score)[c, :keep], score_ref[c, :keep]
+        )
+
+
 def test_patch_pallas_matches_xla():
     """The DMA patch-extraction kernel (interpret mode on CPU) must
     reproduce the dynamic-slice reference bit-exactly, including clamped
