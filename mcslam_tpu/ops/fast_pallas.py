@@ -97,8 +97,12 @@ def _fast_kernel_hskip_blur(h_ref, img_hbm, out_ref, blur_ref, scratch, sem,
                        blur_ref=blur_ref, **kw)
 
 
-def _fast_tile_body(img_hbm, out_ref, scratch, sem, c, i, *, tile_h, width,
-                    height, threshold):
+def _fast_tile_body(img_hbm, out_ref, scratch, sem, c, i, **kw):
+    out_ref[0] = _fast_tile_score(img_hbm, scratch, sem, c, i, **kw)
+
+
+def _fast_tile_score(img_hbm, scratch, sem, c, i, *, tile_h, width,
+                     height, threshold):
     # DMA this row band (tile + halos) into VMEM
     dma = pltpu.make_async_copy(
         img_hbm.at[c, pl.ds(i * tile_h, tile_h + 2 * HALO), :],
@@ -160,7 +164,192 @@ def _fast_tile_body(img_hbm, out_ref, scratch, sem, c, i, *, tile_h, width,
             shifted = (pltpu.roll(rows, (-dx) % rows.shape[1], axis=1)
                        if dx != 0 else rows)
             pooled = jnp.maximum(pooled, shifted)
-    out_ref[0] = jnp.where((mid >= pooled) & (mid > 0.0), mid, 0.0)
+    return jnp.where((mid >= pooled) & (mid > 0.0), mid, 0.0)
+
+
+def _cell_topk_band(score, *, fast_threshold, h_img, w_img, row0, cell, k):
+    """Exact per-cell top-k of the masked+bonused score tile, in VMEM.
+
+    Replaces (WHAT) the XLA selection chain's per-cell stage
+    (topk_grid.select_keypoints: strided (cell x cell) transpose + k
+    knockout passes over the dense HBM score map — the largest stage-A
+    sub-kernel in the round-4 chip bisection). Here the tile is already
+    register-resident, so each knockout round is: a sublane reduction to
+    per-column (max, min-rid-of-max), two 4-step lane doubling trees
+    (suffix + prefix windows clipped at cell boundaries via lane masks,
+    wrap-around rolls always cross a boundary so the masks kill them),
+    and a one-op knockout of the winner pixel. The (value, rid) combine
+    is lexicographic (value desc, rid asc) with rid = raster offset
+    inside the cell — bit-identical tie-breaking to jnp.argmax over the
+    flattened cell.
+
+    Applies the caller's per-image true-bounds interior mask
+    (rows/cols < h/w - BORDER) and the two-threshold rank bonus
+    (ORBextractor.cpp:780 semantics: +1.0 above iniThFAST) BEFORE
+    selection, exactly like the XLA path in ops/orb.py.
+
+    Returns (vals, rids), each (k * ncr, Wp): row r*ncr + j holds round
+    r's per-cell result for the tile's j-th cell row, broadcast across
+    every lane of its cell (the caller slices lane stride `cell`).
+    """
+    tile_h, Wp = score.shape
+    ncr = tile_h // cell
+    NEG = jnp.float32(-1.0)  # knocked-out marker; real scores are >= 0
+    BIG = jnp.int32(cell * cell)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+    ok = ((rows + row0 < h_img - BORDER) & (cols < w_img - BORDER))
+    s = jnp.where(ok, score, 0.0)
+    s = jnp.where(s > fast_threshold, s + 1.0, s)
+
+    rid = (rows % cell) * cell + (cols % cell)  # raster offset in cell
+    rid3 = rid.reshape(ncr, cell, Wp)
+    lc = jax.lax.broadcasted_iota(jnp.int32, (ncr, Wp), 1) % cell
+
+    def comb(v1, r1, v2, r2):
+        take = (v2 > v1) | ((v2 == v1) & (r2 < r1))
+        return jnp.where(take, v2, v1), jnp.where(take, r2, r1)
+
+    out_v, out_r = [], []
+    x = s
+    for _ in range(k):
+        # per-column best within the cell row (ties -> smallest row)
+        x3 = x.reshape(ncr, cell, Wp)
+        vcol = jnp.max(x3, axis=1)  # (ncr, Wp)
+        hit = x3 == vcol[:, None, :]
+        rcol = jnp.min(jnp.where(hit, rid3, BIG), axis=1)
+        # suffix windows [j, min(j + 2^t, cell)) by doubling
+        sv, sr = vcol, rcol
+        sh = 1
+        while sh < cell:
+            v2 = pltpu.roll(sv, Wp - sh, axis=1)  # value from lane j + sh
+            r2 = pltpu.roll(sr, Wp - sh, axis=1)
+            in_cell = lc + sh < cell
+            sv, sr = comb(sv, sr, jnp.where(in_cell, v2, NEG),
+                          jnp.where(in_cell, r2, BIG))
+            sh *= 2
+        # prefix windows (max(j - 2^t, 0), j] by doubling
+        pv, pr = vcol, rcol
+        sh = 1
+        while sh < cell:
+            v2 = pltpu.roll(pv, sh, axis=1)  # value from lane j - sh
+            r2 = pltpu.roll(pr, sh, axis=1)
+            in_cell = lc >= sh
+            pv, pr = comb(pv, pr, jnp.where(in_cell, v2, NEG),
+                          jnp.where(in_cell, r2, BIG))
+            sh *= 2
+        bv, br = comb(sv, sr, pv, pr)  # full-cell best at every lane
+        out_v.append(bv)
+        out_r.append(br)
+        # knock out the winner pixel (rid unique within each cell)
+        br_full = jnp.broadcast_to(
+            br[:, None, :], (ncr, cell, Wp)
+        ).reshape(tile_h, Wp)
+        x = jnp.where(rid == br_full, NEG, x)
+    return jnp.concatenate(out_v, axis=0), jnp.concatenate(out_r, axis=0)
+
+
+def _fast_kernel_select(hw_ref, img_hbm, blur_ref, cv_ref, cr_ref, scratch,
+                        sem, *, tile_h, width, height, threshold, taps,
+                        fast_threshold, cell, k, num_cams):
+    """FAST + NMS + blur + per-cell top-k selection, one launch: the
+    dense score map never visits HBM. Skip rule matches the blur+hskip
+    variant (tiles at or beyond the true height emit zeros)."""
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    blur_ref[0] = jnp.zeros_like(blur_ref[0])
+    cv_ref[0] = jnp.zeros_like(cv_ref[0])
+    cr_ref[0] = jnp.zeros_like(cr_ref[0])
+
+    @pl.when(i * tile_h < hw_ref[c])
+    def _():
+        score = _fast_tile_score(
+            img_hbm, scratch, sem, c, i, tile_h=tile_h, width=width,
+            height=height, threshold=threshold,
+        )
+        blur_ref[0] = _blur_band(scratch[:], taps, tile_h)
+        vals, rids = _cell_topk_band(
+            score, fast_threshold=fast_threshold, h_img=hw_ref[c],
+            w_img=hw_ref[num_cams + c], row0=i * tile_h, cell=cell, k=k,
+        )
+        cv_ref[0] = vals
+        cr_ref[0] = rids
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "min_threshold", "fast_threshold", "tile_h", "cell", "k", "interpret",
+    "taps"))
+def fast_select_pallas(img: jax.Array, min_threshold: float,
+                       fast_threshold: float, heights: jax.Array,
+                       widths: jax.Array, taps: tuple, tile_h: int = 64,
+                       cell: int = 16, k: int = 4, interpret: bool = False):
+    """(C, H, W) float32 -> (blurred (C, H, W), cand_v (C, G, k),
+    cand_rid (C, G, k)): FAST scores at min_threshold, NMS, 7-tap blur,
+    per-image interior mask + rank bonus, and exact per-(cell x cell)
+    top-k — all in ONE Pallas launch, with the dense score map staying in
+    VMEM. G = total cell rows x cells per row, raster order; candidate
+    (g, r) sits at pixel (g // ncx * cell + rid // cell,
+    g % ncx * cell + rid % cell) with ncx = ceil_to_128(W) // cell.
+    Skipped-height tiles and out-of-bounds cells emit value 0 (invalid
+    under the caller's resp > 0 rule), matching the XLA chain.
+    """
+    C, H, W = img.shape
+    assert tile_h % cell == 0, "cell must divide tile_h"
+    n_tiles = -(-H // tile_h)
+    pad_h = n_tiles * tile_h - H
+    Wp = -(-W // 128) * 128
+    assert Wp % cell == 0, "cell must divide the padded lane width"
+    ncr = tile_h // cell
+    padded = jnp.pad(
+        img, ((0, 0), (HALO, HALO + pad_h), (0, Wp - W)), mode="edge"
+    )
+    blur_shape = jax.ShapeDtypeStruct((C, n_tiles * tile_h, Wp), jnp.float32)
+    cand_v_shape = jax.ShapeDtypeStruct(
+        (C, n_tiles * k * ncr, Wp), jnp.float32
+    )
+    cand_r_shape = jax.ShapeDtypeStruct(
+        (C, n_tiles * k * ncr, Wp), jnp.int32
+    )
+    blur_spec = pl.BlockSpec(
+        (1, tile_h, Wp), lambda c, i, hw_sp: (c, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cand_spec = pl.BlockSpec(
+        (1, k * ncr, Wp), lambda c, i, hw_sp: (c, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(blur_spec, cand_spec, cand_spec),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * HALO, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    hw = jnp.concatenate(
+        [heights.astype(jnp.int32), widths.astype(jnp.int32)]
+    )
+    blur, cv, cr = pl.pallas_call(
+        functools.partial(
+            _fast_kernel_select, tile_h=tile_h, width=W, height=H,
+            threshold=min_threshold, taps=taps,
+            fast_threshold=fast_threshold, cell=cell, k=k, num_cams=C,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(blur_shape, cand_v_shape, cand_r_shape),
+        interpret=interpret,
+    )(hw, padded)
+    # per-cell results are broadcast across the cell's lanes; take the
+    # leader lane and order candidates (cell raster-major, round-minor)
+    # to match topk_grid.select_keypoints' flattening
+    cv = cv.reshape(C, n_tiles, k, ncr, Wp)[..., ::cell]
+    cr = cr.reshape(C, n_tiles, k, ncr, Wp)[..., ::cell]
+    cv = cv.transpose(0, 1, 3, 4, 2).reshape(C, -1, k)
+    cr = cr.transpose(0, 1, 3, 4, 2).reshape(C, -1, k)
+    return blur[:, :H, :W], cv, cr
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "tile_h",

@@ -216,6 +216,39 @@ def _level_budget(total: int, num_levels: int, scale: float) -> tuple:
     return tuple(int(c) for c in counts)
 
 
+def _select_from_cells(cand_v, cand_rid, maxb: int, *, per_cell: int,
+                       cell: int, ncx: int, approx: bool):
+    """Global top-N over the select-fused kernel's per-cell candidates
+    (fast_pallas.fast_select_pallas). The kernel already applied the
+    interior mask + rank bonus; candidate flattening is (cell
+    raster-major, knockout-round-minor) — the same order
+    topk_grid.select_keypoints uses, so tie-breaking matches the XLA
+    chain exactly (proven by
+    tests/test_ops.py::test_fast_select_pallas_matches_xla_selection).
+    Returns (yx (LC, maxb, 2) int32, resp, valid) like select_keypoints.
+    """
+    LC = cand_v.shape[0]
+    flat_v = cand_v.reshape(LC, -1)
+    flat_r = cand_rid.reshape(LC, -1)
+    n = min(maxb, flat_v.shape[1])
+    if approx and n < flat_v.shape[1]:
+        resp, arg = jax.lax.approx_max_k(flat_v, n, recall_target=0.98)
+    else:
+        resp, arg = jax.lax.top_k(flat_v, n)
+    g = arg // per_cell
+    rid = jnp.take_along_axis(flat_r, arg, axis=1)
+    valid = resp > 0.0
+    ys = jnp.where(valid, (g // ncx) * cell + rid // cell, 0)
+    xs = jnp.where(valid, (g % ncx) * cell + rid % cell, 0)
+    yx = jnp.stack([ys, xs], axis=-1).astype(jnp.int32)
+    if n < maxb:
+        pad = maxb - n
+        yx = jnp.pad(yx, ((0, 0), (0, pad), (0, 0)))
+        resp = jnp.pad(resp, ((0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    return yx, resp, valid
+
+
 def _use_pallas() -> bool:
     # the Pallas kernels here are written for the TPU memory model; any
     # other backend (cpu, gpu) takes the XLA path
@@ -294,7 +327,25 @@ def extract_orb_rig(
         # 7-tap output. MCSLAM_NO_FUSED_BLUR=1 restores the banded-matmul
         # pass for the paired chip A/B.
         fuse_blur = os.environ.get("MCSLAM_NO_FUSED_BLUR", "0") != "1"
-        if fuse_blur:
+        # in-kernel selection: the same launch also applies the interior
+        # mask + rank bonus and emits exact per-cell top-k candidates
+        # from the VMEM-resident score tile — the dense score map never
+        # visits HBM and the XLA selection chain's strided transpose +
+        # knockout passes (largest stage-A sub-kernel, round-4 chip
+        # bisection) disappear. Opt-in via MCSLAM_SEL_INKERNEL=1 for the
+        # paired chip A/B.
+        sel_ik = fuse_blur and os.environ.get(
+            "MCSLAM_SEL_INKERNEL", "0") == "1"
+        score = None
+        if sel_ik:
+            from mcslam_tpu.ops.fast_pallas import fast_select_pallas
+
+            blurred, cand_v, cand_rid = fast_select_pallas(
+                stacked, min_threshold, fast_threshold, h_l, w_l,
+                taps=image_ops._np_gaussian_taps(7, 2.0),
+                cell=cell, k=per_cell,
+            )
+        elif fuse_blur:
             score, blurred = fast_corners_pallas(
                 stacked, min_threshold, heights=h_l if hskip else None,
                 taps=image_ops._np_gaussian_taps(7, 2.0),
@@ -307,40 +358,48 @@ def extract_orb_rig(
     else:
         blurred = image_ops.gaussian_blur(stacked, 7, 2.0)
         score = fast_ops.fast_corners(stacked, min_threshold)
-    # mask scores outside each level's TRUE bounds (the kernel's interior
-    # mask only knows the padded shape)
-    yy = jnp.arange(H0, dtype=jnp.int32)[None, :, None]
-    xx = jnp.arange(W0, dtype=jnp.int32)[None, None, :]
-    interior = (yy < (h_l[:, None, None] - fast_ops.BORDER)) & (
-        xx < (w_l[:, None, None] - fast_ops.BORDER)
-    )
-    score = jnp.where(interior, score, 0.0)
-    # prefer corners passing the high threshold: add a rank bonus
-    score = jnp.where(score > fast_threshold, score + 1.0, score)
-    # response-SORTED global selection: a threshold+compaction variant was
-    # tried and reverted — on plateau-heavy scenes its tie-breaking picks
-    # different keypoints as content shifts cells between frames, which
-    # destabilizes tracking (ATE 0.07 -> 3.2 on the blob-image loop run).
-    # MCSLAM_SEL_SUBCELL=1 swaps in the transpose-free subcell-max form
-    # (topk_grid.select_keypoints_subcell), built as an A/B vehicle for
-    # the selection chain (largest stage-A sub-kernel, round-4 bisection).
-    # REJECTED by the round-5 paired chip A/B: +0.350 ms [+0.244, +0.391]
-    # on the frame build (docs/onchip_r05/ab_paired1.out) — the per_sub
-    # knockout rounds cost more than the transpose they avoid — and it
-    # also degrades easy-blob ATE (0.054 -> 0.094/0.114). Kept only as
-    # the A/B vehicle.
-    if os.environ.get("MCSLAM_SEL_SUBCELL", "0") == "1":
-        yx, resp, valid = jax.vmap(
-            lambda sc: topk_grid.select_keypoints_subcell(
-                sc, maxb, sub=max(4, cell // 2), approx=approx_topk
-            )
-        )(score)
+    if score is None:
+        yx, resp, valid = _select_from_cells(
+            cand_v, cand_rid, maxb, per_cell=per_cell, cell=cell,
+            ncx=(-(-W0 // 128) * 128) // cell, approx=approx_topk,
+        )
     else:
-        yx, resp, valid = jax.vmap(
-            lambda sc: topk_grid.select_keypoints(
-                sc, maxb, cell=cell, per_cell=per_cell, approx=approx_topk
-            )
-        )(score)
+        # mask scores outside each level's TRUE bounds (the kernel's
+        # interior mask only knows the padded shape)
+        yy = jnp.arange(H0, dtype=jnp.int32)[None, :, None]
+        xx = jnp.arange(W0, dtype=jnp.int32)[None, None, :]
+        interior = (yy < (h_l[:, None, None] - fast_ops.BORDER)) & (
+            xx < (w_l[:, None, None] - fast_ops.BORDER)
+        )
+        score = jnp.where(interior, score, 0.0)
+        # prefer corners passing the high threshold: add a rank bonus
+        score = jnp.where(score > fast_threshold, score + 1.0, score)
+        # response-SORTED global selection: a threshold+compaction variant
+        # was tried and reverted — on plateau-heavy scenes its tie-breaking
+        # picks different keypoints as content shifts cells between frames,
+        # which destabilizes tracking (ATE 0.07 -> 3.2 on the blob-image
+        # loop run).
+        # MCSLAM_SEL_SUBCELL=1 swaps in the transpose-free subcell-max form
+        # (topk_grid.select_keypoints_subcell), built as an A/B vehicle for
+        # the selection chain (largest stage-A sub-kernel, round-4
+        # bisection). REJECTED by the round-5 paired chip A/B: +0.350 ms
+        # [+0.244, +0.391] on the frame build
+        # (docs/onchip_r05/ab_paired1.out) — the per_sub knockout rounds
+        # cost more than the transpose they avoid — and it also degrades
+        # easy-blob ATE (0.054 -> 0.094/0.114). Kept only as the A/B
+        # vehicle.
+        if os.environ.get("MCSLAM_SEL_SUBCELL", "0") == "1":
+            yx, resp, valid = jax.vmap(
+                lambda sc: topk_grid.select_keypoints_subcell(
+                    sc, maxb, sub=max(4, cell // 2), approx=approx_topk
+                )
+            )(score)
+        else:
+            yx, resp, valid = jax.vmap(
+                lambda sc: topk_grid.select_keypoints(
+                    sc, maxb, cell=cell, per_cell=per_cell, approx=approx_topk
+                )
+            )(score)
     resp = jnp.where(resp > 1.0, resp - 1.0, resp)  # undo rank bonus
     # per-level quota: top_k is response-sorted, so the quota is a prefix
     budget_arr = jnp.repeat(jnp.asarray(budgets, jnp.int32), C)

@@ -200,6 +200,73 @@ def test_fast_pallas_fused_blur_matches_gaussian():
         )
 
 
+def test_fast_select_pallas_matches_xla_selection():
+    """The select-fused kernel (FAST + NMS + blur + interior mask + rank
+    bonus + exact per-cell top-k in one launch) must reproduce the XLA
+    selection chain's picks exactly: same (resp, y, x) sequence over the
+    valid slots, including argmax tie-breaking inside plateau cells and
+    cross-cell tie order in the global sort, on images with per-image
+    true heights AND widths. The blur output must equal the fused-blur
+    variant bit-for-bit (same code path)."""
+    from mcslam_tpu.ops import image as image_ops
+    from mcslam_tpu.ops.fast_pallas import (fast_corners_pallas,
+                                            fast_select_pallas)
+
+    rng = np.random.RandomState(7)
+    H, W, CELL, K, TILE = 96, 256, 16, 4, 32
+    heights = np.asarray([96, 61], np.int32)
+    widths = np.asarray([256, 200], np.int32)
+    # quantized pixels force plateau ties so the tie-break rules are
+    # actually exercised
+    img_np = (rng.randint(0, 24, (2, H, W)) / 24.0).astype(np.float32)
+    for c, (h, w) in enumerate(zip(heights, widths)):
+        img_np[c, h:] = img_np[c, h - 1]
+        img_np[c, :, w:] = img_np[c, :, w - 1][:, None]
+    img = jnp.asarray(img_np)
+    taps = image_ops._np_gaussian_taps(7, 2.0)
+    minthr, fastthr = 0.04, 0.12
+    maxb = 64
+
+    # XLA reference chain (exact top_k), mirroring ops/orb.py
+    score, blur_ref = fast_corners_pallas(
+        img, minthr, tile_h=TILE, interpret=True,
+        heights=jnp.asarray(heights), taps=taps,
+    )
+    yy = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+    xx = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    interior = (yy < (jnp.asarray(heights)[:, None, None] - fast.BORDER)) \
+        & (xx < (jnp.asarray(widths)[:, None, None] - fast.BORDER))
+    score = jnp.where(interior, score, 0.0)
+    score = jnp.where(score > fastthr, score + 1.0, score)
+    yx_ref, resp_ref, valid_ref = jax.vmap(
+        lambda sc: topk_grid.select_keypoints(
+            sc, maxb, cell=CELL, per_cell=K, approx=False
+        )
+    )(score)
+
+    # select-fused kernel + the candidate-to-top-N glue
+    blur, cv, cr = fast_select_pallas(
+        img, minthr, fastthr, jnp.asarray(heights), jnp.asarray(widths),
+        taps=taps, tile_h=TILE, cell=CELL, k=K, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(blur), np.asarray(blur_ref))
+    # the PRODUCTION glue (what extract_orb_rig dispatches)
+    yx, resp, valid = orb._select_from_cells(
+        cv, cr, maxb, per_cell=K, cell=CELL, ncx=W // CELL, approx=False
+    )
+    valid = np.asarray(valid)
+
+    np.testing.assert_array_equal(valid, np.asarray(valid_ref))
+    for c in range(2):
+        m = valid[c]
+        np.testing.assert_array_equal(
+            np.asarray(resp)[c][m], np.asarray(resp_ref)[c][m]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(yx)[c][m], np.asarray(yx_ref)[c][m]
+        )
+
+
 def test_patch_pallas_matches_xla():
     """The DMA patch-extraction kernel (interpret mode on CPU) must
     reproduce the dynamic-slice reference bit-exactly, including clamped
