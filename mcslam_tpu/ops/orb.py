@@ -327,15 +327,23 @@ def extract_orb_rig(
         # 7-tap output. MCSLAM_NO_FUSED_BLUR=1 restores the banded-matmul
         # pass for the paired chip A/B.
         fuse_blur = os.environ.get("MCSLAM_NO_FUSED_BLUR", "0") != "1"
-        # in-kernel selection: the same launch also applies the interior
-        # mask + rank bonus and emits exact per-cell top-k candidates
-        # from the VMEM-resident score tile — the dense score map never
-        # visits HBM and the XLA selection chain's strided transpose +
-        # knockout passes (largest stage-A sub-kernel, round-4 chip
-        # bisection) disappear. Opt-in via MCSLAM_SEL_INKERNEL=1 for the
-        # paired chip A/B.
+        # in-kernel selection (DEFAULT ON): the same launch also applies
+        # the interior mask + rank bonus and emits exact per-cell top-k
+        # candidates from the VMEM-resident score tile — the dense score
+        # map never visits HBM and the XLA selection chain's strided
+        # transpose + knockout passes (largest stage-A sub-kernel,
+        # round-4 chip bisection) disappear. Adopted from the round-5
+        # paired chip A/B: -0.477 ms [-0.559, -0.393] on the frame build
+        # (docs/onchip_r05/ab_paired6.out). Selection is bit-identical to
+        # the XLA chain under exact top-k (test_fast_select_pallas_
+        # matches_xla_selection); under ApproxTopK only the flat
+        # candidate-list length differs (padded-height cells), the same
+        # boundary-recall class as the approx_topk adoption itself.
+        # MCSLAM_NO_SEL_INKERNEL=1 restores the XLA selection chain
+        # (the adoption A/B ran under the pre-flip opt-in name
+        # MCSLAM_SEL_INKERNEL).
         sel_ik = fuse_blur and os.environ.get(
-            "MCSLAM_SEL_INKERNEL", "0") == "1"
+            "MCSLAM_NO_SEL_INKERNEL", "0") != "1"
         score = None
         if sel_ik:
             from mcslam_tpu.ops.fast_pallas import fast_select_pallas

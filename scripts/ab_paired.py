@@ -62,7 +62,7 @@ FLAGS = {
     "noaug7": ("track", "MCSLAM_NO_AUG7"),
     "nofusedmatch": ("track", "MCSLAM_NO_FUSED_MATCH"),
     "nofusedblur": ("frame", "MCSLAM_NO_FUSED_BLUR"),
-    "selinkernel": ("frame", "MCSLAM_SEL_INKERNEL"),
+    "noselinkernel": ("frame", "MCSLAM_NO_SEL_INKERNEL"),
 }
 
 

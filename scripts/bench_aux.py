@@ -98,6 +98,24 @@ def main(argv=None):
           f" {t*1e3:9.2f} ms")
     results["global_ba_ms"] = round(t * 1e3, 2)
 
+    # With async_gba (default, driver_loop._finish_pending_gba) the frame
+    # loop only pays the DISPATCH of this solve at closure time — the
+    # fetch lands frames later. Measure dispatch cost: call the jitted
+    # solve and stop the clock before materializing anything (JAX
+    # dispatch is async); drain afterwards so queue backpressure can't
+    # leak into the next rep. Closure-frame synchronous overhead =
+    # pgo_se3_ms + gba_dispatch_ms (+ landmark merge, host-side, ~0).
+    best = float("inf")
+    for _ in range(5):
+        _ = np.asarray(gba(problem).poses)  # drain
+        t0 = time.perf_counter()
+        out = gba(problem)
+        best = min(best, time.perf_counter() - t0)
+        _ = np.asarray(out.poses)
+    print(f"global BA dispatch only (async_gba closure cost)"
+          f" {best*1e3:9.2f} ms")
+    results["gba_dispatch_ms"] = round(best * 1e3, 2)
+
     # ---- loop-closure spike 2: SE(3) and Sim(3) PGO over the trajectory ----
     N = 64
     g_poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (N, 1, 1))
