@@ -52,6 +52,24 @@ def _chol6() -> bool:
     return os.environ.get("MCSLAM_CHOL6") == "1"
 
 
+# Whole-refine Pallas kernel (pose_opt_pallas): the ENTIRE LM schedule
+# in one launch, per-observation arrays VMEM-resident, pose algebra and
+# the 6x6 Cholesky unrolled to scalars. Targets the latency-bound chain
+# itself rather than its per-step contents (the round-4 bisection's
+# ~110 us/step is mostly inter-kernel overhead). f32 reduction order
+# differs from the XLA chain (lane tree vs dot-general) — within the
+# calibrated accuracy equivalence class, parity-tested in
+# tests/test_pose_opt_pallas.py. Opt-in via MCSLAM_PALLAS_REFINE=1 for
+# the paired chip A/B; TPU-only (the XLA chain stays the CPU/test path).
+def _pallas_refine() -> bool:
+    if os.environ.get("MCSLAM_PALLAS_REFINE", "0") != "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
 # Augmented normal-equation reduction: stack [J | r] into one (M, 2, 7)
 # tensor so H = J'WJ, g = J'Wr and the robust cost all come out of a
 # SINGLE einsum (a (7, 2M) x (2M, 7) MXU matmul) instead of three
@@ -145,6 +163,23 @@ def optimize_pose(
     if sigma2 is None:
         sigma2 = jnp.ones(X_world.shape[0], X_world.dtype)
     inv_sig2 = 1.0 / sigma2
+
+    if _pallas_refine() and cam_T_ref.ndim == 3:
+        from mcslam_tpu.frontend import pose_opt_pallas
+
+        sched_pl = iters if isinstance(iters, tuple) else (iters,) * rounds
+        T_pl, chi2_pl = pose_opt_pallas.optimize_pose_pallas(
+            T_init, X_world, uv, cam_T_ref, fxycxy, mask, inv_sig2,
+            sched=sched_pl, huber_px=huber_px, chi2_thresh=chi2_thresh,
+            lm_lambda=lm_lambda,
+        )
+        inl = mask & (chi2_pl < chi2_thresh)
+        return PoseOptResult(
+            world_T_ref=T_pl,
+            inliers=inl,
+            num_inliers=jnp.sum(inl).astype(jnp.int32),
+            final_cost=jnp.sum(jnp.where(inl, chi2_pl, 0.0)),
+        )
 
     def linearize(T, active):
         """One residual+jacobian pass -> (H0 (undamped), g, cost, r)."""

@@ -34,6 +34,9 @@ def main(argv=None):
     # different (harder) scene. 34 is the calibrated canary; don't
     # lower it to save wall-clock (20 frames loses tracking outright).
     ap.add_argument("--frames", type=int, default=34)
+    # ADVICE r4: one 33-dispatch scene gives a ~±17 pp 95% CI on the
+    # rate; pooling several differently-seeded scenes tightens it.
+    ap.add_argument("--scenes", type=int, default=3)
     args = ap.parse_args(argv)
 
     import jax
@@ -57,36 +60,58 @@ def main(argv=None):
             num_cams=3, baseline=0.2, image_size=(320, 240), focal=260.0
         )
     )
-    poses = synthetic.loop_trajectory(args.frames, radius=4.0,
-                                      revisit_frames=7, seed=0)
-    imgs = synthetic.render_textured_world(rig, poses, radius=10.0, seed=11)
-    imgs = synthetic.apply_photometric(
-        imgs, seed=5, exposure_flicker=0.25, pixel_noise=0.02,
-        motion_blur_px=3,
-    )
+    from mcslam_tpu.utils import metrics
 
-    slam = MultiCameraSLAM(
-        rig,
-        SlamConfig(
-            window_size=4, ba_obs_capacity=8192, ba_lm_capacity=1024,
-            local_map_landmarks=1024, kf_translation=0.25, kf_rotation=0.15,
-            min_inter_matches=40,
-        ),
-    )
     t0 = time.time()
-    for k in range(len(imgs)):
-        ff = build_frame(jnp.asarray(imgs[k]), rig, num_points=512,
-                         num_levels=3, max_intra=768)
-        slam.process_frame(ff, k / 20.0)
-    taken = int(slam.stats.get("track_fastpath", 0))
-    disp = int(slam.stats.get("track_dispatch", 0))
+    taken = disp = failures = 0
+    per_scene = []
+    for s in range(args.scenes):
+        # scene 0 is the calibrated canary (seeds 0/11/5); later scenes
+        # re-seed the texture + corruption (same trajectory shape so the
+        # motion difficulty stays comparable)
+        poses = synthetic.loop_trajectory(args.frames, radius=4.0,
+                                          revisit_frames=7, seed=0)
+        imgs = synthetic.render_textured_world(
+            rig, poses, radius=10.0, seed=11 + 101 * s
+        )
+        imgs = synthetic.apply_photometric(
+            imgs, seed=5 + 101 * s, exposure_flicker=0.25, pixel_noise=0.02,
+            motion_blur_px=3,
+        )
+        slam = MultiCameraSLAM(
+            rig,
+            SlamConfig(
+                window_size=4, ba_obs_capacity=8192, ba_lm_capacity=1024,
+                local_map_landmarks=1024, kf_translation=0.25,
+                kf_rotation=0.15, min_inter_matches=40,
+            ),
+        )
+        for k in range(len(imgs)):
+            ff = build_frame(jnp.asarray(imgs[k]), rig, num_points=512,
+                             num_levels=3, max_intra=768)
+            slam.process_frame(ff, k / 20.0)
+        tk = int(slam.stats.get("track_fastpath", 0))
+        dp = int(slam.stats.get("track_dispatch", 0))
+        taken += tk
+        disp += dp
+        failures += int(slam.stats.get("failures", 0))
+        try:
+            _, est = slam.trajectory_arrays()
+            ate = float(metrics.ate_rmse(est, poses[: len(est)]))
+        except Exception:  # noqa: BLE001 - ATE is advisory here
+            ate = float("nan")
+        per_scene.append({"taken": tk, "dispatches": dp,
+                          "ate": round(ate, 4)})
+        print(f"# scene {s}: {tk}/{dp} fast, ate {ate:.3f}",
+              file=sys.stderr)
     rate = taken / disp if disp else 0.0
     out = {
         "rate": round(rate, 4),
         "taken": taken,
         "dispatches": disp,
-        "frames": len(imgs),
-        "failures": int(slam.stats.get("failures", 0)),
+        "frames": args.frames * args.scenes,
+        "failures": failures,
+        "per_scene": per_scene,
         "backend": str(dev),
         "scene": "hard_textured_photometric",
         "wall_s": round(time.time() - t0, 1),

@@ -79,6 +79,31 @@ def test_pallas_refine_matches_xla():
         assert disagree < 0.02, (seed, disagree)
 
 
+def test_pallas_refine_vmaps():
+    """The pose-candidate portfolio vmaps optimize_pose over candidate
+    (T_init, mask) pairs; the Pallas path must batch the same way (the
+    pallas_call batching rule grows the grid)."""
+    (T_true, X, uv, camT_obs, f_obs, mask, isig2,
+     *_rest) = _make_problem(5, M=256)
+    inits = jnp.stack([jnp.eye(4, dtype=jnp.float32)] * 2)
+    masks = jnp.stack([mask, mask & (jnp.arange(256) % 2 == 0)])
+    Ts, chi2s = jax.vmap(
+        lambda T0, m: optimize_pose_pallas(
+            T0, X, uv, camT_obs, f_obs, m, isig2, sched=(8, 8),
+            interpret=True,
+        )
+    )(inits, masks)
+    for b in range(2):
+        ref = pose_opt.optimize_pose(
+            inits[b], X, uv, camT_obs, f_obs, masks[b],
+            sigma2=1.0 / isig2, iters=(8, 8),
+        )
+        np.testing.assert_allclose(
+            np.asarray(Ts[b]), np.asarray(ref.world_T_ref),
+            rtol=0, atol=2e-3,
+        )
+
+
 def test_pallas_refine_respects_mask():
     (T_true, X, uv, camT_obs, f_obs, mask, isig2,
      *_rest) = _make_problem(3, M=256, outliers=0.0)
