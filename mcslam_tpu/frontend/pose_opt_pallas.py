@@ -310,12 +310,14 @@ def optimize_pose_pallas(
             chi2_thresh=chi2_thresh, lm_lambda=lm_lambda,
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # pose in/out are scalar-accessed -> SMEM (Mosaic cannot
+            # load/store scalars against VMEM refs)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
