@@ -59,10 +59,16 @@ def _chol6() -> bool:
 # ~110 us/step is mostly inter-kernel overhead). f32 reduction order
 # differs from the XLA chain (lane tree vs dot-general) — within the
 # calibrated accuracy equivalence class, parity-tested in
-# tests/test_pose_opt_pallas.py. Opt-in via MCSLAM_PALLAS_REFINE=1 for
-# the paired chip A/B; TPU-only (the XLA chain stays the CPU/test path).
+# tests/test_pose_opt_pallas.py. DEFAULT ON (TPU only; the XLA chain
+# stays the CPU/test path): the round-5 paired chip A/B measured the
+# fused track program 6.10 -> 3.51 ms (-2.60 ms [-2.61, -2.53],
+# docs/onchip_r05/ab_paired7.out) and the three-scene hard-drive gate
+# read per-scene ATE deltas +0.085/+0.001/-0.026 (median ~0) at
+# identical take-rates (fastpath3.out vs fastpath2.out).
+# MCSLAM_NO_PALLAS_REFINE=1 restores the XLA chain (the adoption A/B
+# ran under the pre-flip opt-in name MCSLAM_PALLAS_REFINE).
 def _pallas_refine() -> bool:
-    if os.environ.get("MCSLAM_PALLAS_REFINE", "0") != "1":
+    if os.environ.get("MCSLAM_NO_PALLAS_REFINE") == "1":
         return False
     try:
         return jax.default_backend() == "tpu"

@@ -63,7 +63,7 @@ FLAGS = {
     "nofusedmatch": ("track", "MCSLAM_NO_FUSED_MATCH"),
     "nofusedblur": ("frame", "MCSLAM_NO_FUSED_BLUR"),
     "noselinkernel": ("frame", "MCSLAM_NO_SEL_INKERNEL"),
-    "pallasrefine": ("track", "MCSLAM_PALLAS_REFINE"),
+    "nopallasrefine": ("track", "MCSLAM_NO_PALLAS_REFINE"),
 }
 
 
