@@ -270,6 +270,70 @@ def main():
 
     kf_interval = 4  # BA runs on keyframes only (~every 4th frame)
 
+    # ---- DEVICE throughput: repeat-loop programs (scan of REPS bodies
+    # with a carry-fed input perturbation, so iterations can't be hoisted
+    # or value-cached). One dispatch per timed call amortizes the
+    # tunnel's per-dispatch overhead (~1.5 ms here, ~0.1 ms on
+    # direct-attached TPUs), leaving pure device compute — the number a
+    # production deployment sees. The pipelined tunnel headline below
+    # stays the conservative shared-relay figure. ----
+    DREPS = 16
+
+    def _scan_rep(body):
+        return jax.jit(
+            lambda seed: jax.lax.scan(body, seed, None, length=DREPS)[0]
+        )
+
+    def _ab_body(fp_frac):
+        def body(c, _):
+            cur = imgs[0] * (1.0 + 1e-7 * c)
+            *_, pk = tk._build_and_track_step(
+                key, cur, rig, ff0.im_desc, ff0.im_valid, d_prev_lm,
+                d_map_pos, d_map_valid, d_map_desc, d_map_normal, d_cand,
+                d_cand_valid, pred_T, num_points=NPTS, num_levels=NLVL,
+                fast_threshold=20.0 / 255.0, min_threshold=7.0 / 255.0,
+                max_intra=MAXI, min_z=0.5, max_z=40.0, angle_bins=BINS,
+                approx_topk=True, num_hyp=scfg.ransac_hyps,
+                px=scfg.ransac_px, max_dist=scfg.inter_max_dist,
+                ratio=scfg.inter_ratio, image_wh=rig.image_size,
+                lm_radius=scfg.local_map_radius_px,
+                lm_max_dist=scfg.local_map_max_dist,
+                gate_px=scfg.track_match_radius_px, fastpath_frac=fp_frac,
+                fastpath_min=scfg.track_fastpath_min_inliers,
+            )
+            return jnp.sum(pk[:20]).astype(jnp.float32) * 1e-20, None
+        return body
+
+    def _ba_body(c, _):
+        p = problem._replace(landmarks=problem.landmarks * (1.0 + 1e-7 * c))
+        r = ba.ba_solve(p, iters=scfg.ba_iters, gate_rounds=2,
+                        kf_blocked=True)
+        return jnp.sum(r.poses).astype(jnp.float32) * 1e-20, None
+
+    _floor_fn = jax.jit(
+        lambda x: jax.lax.scan(lambda c, _: (c + 1e-9, None), x, None,
+                               length=DREPS)[0]
+    )
+
+    def _dev_time(f):
+        def run(i):
+            return f(jnp.float32(i))
+        _ = np.asarray(run(0))
+        best = float("inf")
+        for r in range(3):
+            t0 = time.perf_counter()
+            out = run(r + 1)
+            _ = np.asarray(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_floor_dev = _dev_time(_floor_fn)
+    dev_ab_fast = (_dev_time(_scan_rep(_ab_body(scfg.track_fastpath_frac)))
+                   - t_floor_dev) / DREPS
+    dev_ab_full = (_dev_time(_scan_rep(_ab_body(2.0)))
+                   - t_floor_dev) / DREPS
+    dev_ba = (_dev_time(_scan_rep(_ba_body)) - t_floor_dev) / DREPS
+
     def pipeline_window(n_frames=32):
         """One steady-state window of the driver-shaped pipeline; returns
         seconds/frame. Frame i+1's build and the (async) BA are enqueued
@@ -357,6 +421,13 @@ def main():
     # VIO configuration (the reference's flagship mode): same fused
     # front-end, VIO window solve instead of vision-only BA
     fps_vio = 1.0 / (t_ab + t_d / kf_interval)
+    # device throughput (repeat-loop measurement above): what a
+    # direct-attached TPU sees, the tunnel's per-dispatch overhead
+    # amortized out
+    dev_ab = (fast_share * dev_ab_fast + (1.0 - fast_share) * dev_ab_full) \
+        if fast_taken > 0.5 else dev_ab_fast
+    dev_per_frame = dev_ab + dev_ba / kf_interval
+    fps_dev = 1.0 / dev_per_frame
     print(
         f"# stage_a(frame build)={t_a*1e3:.2f}ms stage_b(track)={t_b*1e3:.2f}ms"
         f" [fast-path dispatch {t_b_prod*1e3:.2f}, full portfolio "
@@ -381,6 +452,14 @@ def main():
         f" round-trip, not by device compute",
         file=sys.stderr,
     )
+    print(
+        f"# DEVICE throughput (repeat-loop, dispatch floor amortized):"
+        f" AB fast {dev_ab_fast*1e3:.2f} ms, full {dev_ab_full*1e3:.2f},"
+        f" BA {dev_ba*1e3:.2f} -> per-frame {dev_per_frame*1e3:.2f} ms ="
+        f" {fps_dev:.1f} fps (floor {t_floor_dev*1e3/DREPS:.2f} ms/dispatch"
+        f" through this tunnel; ~0.1 on direct-attached TPUs)",
+        file=sys.stderr,
+    )
     # Aux-stage numbers (loop spike global-BA/PGO, reloc query, BoW
     # transform) ride along in the same single JSON line when
     # scripts/bench_aux.py has written docs/bench_aux.json on this
@@ -396,6 +475,10 @@ def main():
         # SURVEY §3.4) rides along so the fused-sensor path can't regress
         # silently (VERDICT r4 item 6)
         "frontend_vio_fps": round(fps_vio, 2),
+        # pure device compute (repeat-loop, per-dispatch tunnel overhead
+        # amortized): the production-TPU number. The headline `value`
+        # stays the conservative tunneled figure.
+        "device_fps": round(fps_dev, 2),
     }
     try:
         aux_file = pathlib.Path(__file__).parent / "docs" / "bench_aux.json"
