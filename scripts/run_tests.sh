@@ -15,7 +15,8 @@ FAILED=0
 run() { echo "== pytest $* =="; python -m pytest -q "$@" || FAILED=1; }
 run tests/test_lie.py tests/test_camera_geom.py tests/test_ops.py \
     tests/test_stereo.py tests/test_native_loader.py
-run tests/test_frontend.py tests/test_seventeen.py tests/test_jacobians.py
+run tests/test_frontend.py tests/test_seventeen.py tests/test_jacobians.py \
+    tests/test_match_pallas.py tests/test_pose_opt_pallas.py
 run tests/test_backend.py tests/test_parallel.py tests/test_pgo_sim3.py \
     tests/test_global_ba.py
 run tests/test_slam_vo.py tests/test_slam_mono.py tests/test_slam_vio.py \
