@@ -348,10 +348,14 @@ def extract_orb_rig(
         if sel_ik:
             from mcslam_tpu.ops.fast_pallas import fast_select_pallas
 
+            # MCSLAM_FAST_TILE_H: row-tile height A/B knob (fewer, taller
+            # tiles amortize per-grid-step overheads of the arc trees;
+            # must be a multiple of `cell`)
+            tile_h = int(os.environ.get("MCSLAM_FAST_TILE_H", "64"))
             blurred, cand_v, cand_rid = fast_select_pallas(
                 stacked, min_threshold, fast_threshold, h_l, w_l,
                 taps=image_ops._np_gaussian_taps(7, 2.0),
-                cell=cell, k=per_cell,
+                cell=cell, k=per_cell, tile_h=tile_h,
             )
         elif fuse_blur:
             score, blurred = fast_corners_pallas(
