@@ -310,6 +310,14 @@ def main():
                         kf_blocked=True)
         return jnp.sum(r.poses).astype(jnp.float32) * 1e-20, None
 
+    def _vio_body(c, _):
+        p = vio_problem._replace(
+            landmarks=vio_problem.landmarks * (1.0 + 1e-7 * c)
+        )
+        r = ba_vio.vio_solve(p, iters=scfg.ba_iters, gate_rounds=2,
+                             kf_blocked=True)
+        return jnp.sum(r.poses).astype(jnp.float32) * 1e-20, None
+
     _floor_fn = jax.jit(
         lambda x: jax.lax.scan(lambda c, _: (c + 1e-9, None), x, None,
                                length=DREPS)[0]
@@ -333,6 +341,7 @@ def main():
     dev_ab_full = (_dev_time(_scan_rep(_ab_body(2.0)))
                    - t_floor_dev) / DREPS
     dev_ba = (_dev_time(_scan_rep(_ba_body)) - t_floor_dev) / DREPS
+    dev_vio = (_dev_time(_scan_rep(_vio_body)) - t_floor_dev) / DREPS
 
     def pipeline_window(n_frames=32):
         """One steady-state window of the driver-shaped pipeline; returns
@@ -428,6 +437,7 @@ def main():
         if fast_taken > 0.5 else dev_ab_fast
     dev_per_frame = dev_ab + dev_ba / kf_interval
     fps_dev = 1.0 / dev_per_frame
+    fps_dev_vio = 1.0 / (dev_ab + dev_vio / kf_interval)
     print(
         f"# stage_a(frame build)={t_a*1e3:.2f}ms stage_b(track)={t_b*1e3:.2f}ms"
         f" [fast-path dispatch {t_b_prod*1e3:.2f}, full portfolio "
@@ -455,8 +465,9 @@ def main():
     print(
         f"# DEVICE throughput (repeat-loop, dispatch floor amortized):"
         f" AB fast {dev_ab_fast*1e3:.2f} ms, full {dev_ab_full*1e3:.2f},"
-        f" BA {dev_ba*1e3:.2f} -> per-frame {dev_per_frame*1e3:.2f} ms ="
-        f" {fps_dev:.1f} fps (floor {t_floor_dev*1e3/DREPS:.2f} ms/dispatch"
+        f" BA {dev_ba*1e3:.2f}, VIO {dev_vio*1e3:.2f} -> per-frame"
+        f" {dev_per_frame*1e3:.2f} ms = {fps_dev:.1f} fps (VIO"
+        f" {fps_dev_vio:.1f}; floor {t_floor_dev*1e3/DREPS:.2f} ms/dispatch"
         f" through this tunnel; ~0.1 on direct-attached TPUs)",
         file=sys.stderr,
     )
@@ -479,6 +490,7 @@ def main():
         # amortized): the production-TPU number. The headline `value`
         # stays the conservative tunneled figure.
         "device_fps": round(fps_dev, 2),
+        "device_vio_fps": round(fps_dev_vio, 2),
     }
     try:
         aux_file = pathlib.Path(__file__).parent / "docs" / "bench_aux.json"
