@@ -501,14 +501,31 @@ def extract_orb_rig(
     flat_yx = yxm.reshape(T, 2)
     flat_img = img_m.reshape(T)
     if _use_pallas():
-        from mcslam_tpu.ops.patch_pallas import extract_patches_indexed_pallas
+        from mcslam_tpu.ops.patch_pallas import (
+            extract_patches_indexed_pallas, extract_patches_oriented_pallas)
 
-        patches, origin = extract_patches_indexed_pallas(
-            blurred, flat_yx, flat_img
-        )
+        # MCSLAM_FUSED_ORIENT=1: the patch-DMA kernel also computes the
+        # IC moments on the register-resident f32 patch and emits the
+        # patch bf16 (its only consumer, the steered-BRIEF matmul, casts
+        # to bf16 anyway) — drops the orientation matmul pass and halves
+        # the patch HBM traffic. NOTE this is NOT the reverted
+        # bf16-patches experiment above: the moments stay f32 in-kernel,
+        # so the steering-bin failure mode that killed loop recall
+        # (0.77 -> 0.567) does not apply; only the f32 reduce ORDER
+        # differs (VPU tree vs MXU dot), ULP-level.
+        if os.environ.get("MCSLAM_FUSED_ORIENT", "0") == "1":
+            patches, m, origin = extract_patches_oriented_pallas(
+                blurred, flat_yx, flat_img
+            )
+            ang = jnp.arctan2(m[:, 1], m[:, 0])
+        else:
+            patches, origin = extract_patches_indexed_pallas(
+                blurred, flat_yx, flat_img
+            )
+            ang = patch_orientation(patches, flat_yx, origin)
     else:
         patches, origin = extract_patches_indexed(blurred, flat_yx, flat_img)
-    ang = patch_orientation(patches, flat_yx, origin)
+        ang = patch_orientation(patches, flat_yx, origin)
     desc = compute_descriptors_patch(
         patches, (flat_yx - origin).astype(jnp.float32), ang, angle_bins
     )

@@ -64,6 +64,7 @@ FLAGS = {
     "nofusedblur": ("frame", "MCSLAM_NO_FUSED_BLUR"),
     "noselinkernel": ("frame", "MCSLAM_NO_SEL_INKERNEL"),
     "nopallasrefine": ("track", "MCSLAM_NO_PALLAS_REFINE"),
+    "fusedorient": ("frame", "MCSLAM_FUSED_ORIENT"),
 }
 
 

@@ -267,6 +267,38 @@ def test_fast_select_pallas_matches_xla_selection():
         )
 
 
+def test_patch_oriented_pallas_matches_xla():
+    """The oriented-patch kernel must reproduce the indexed-DMA patches
+    (bf16-rounded) and the IC moments of the XLA matmul form (same f32
+    sums up to reduction order), so angle = atan2 agrees to float
+    tolerance."""
+    from mcslam_tpu.ops.patch_pallas import (
+        extract_patches_indexed_pallas, extract_patches_oriented_pallas)
+
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.rand(3, 96, 160).astype(np.float32))
+    T = 50
+    ys = rng.randint(orb.PATCH_R, 96 - orb.PATCH_R, T)
+    xs = rng.randint(orb.PATCH_R, 160 - orb.PATCH_R, T)
+    yx = jnp.asarray(np.stack([ys, xs], -1).astype(np.int32))
+    idx = jnp.asarray(rng.randint(0, 3, T).astype(np.int32))
+
+    p_ref, org_ref = extract_patches_indexed_pallas(imgs, yx, idx,
+                                                    interpret=True)
+    ang_ref = orb.patch_orientation(p_ref, yx, org_ref)
+
+    p, m, org = extract_patches_oriented_pallas(imgs, yx, idx,
+                                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(org), np.asarray(org_ref))
+    np.testing.assert_array_equal(
+        np.asarray(p), np.asarray(p_ref.astype(jnp.bfloat16))
+    )
+    ang = np.arctan2(np.asarray(m)[:, 1], np.asarray(m)[:, 0])
+    d = np.abs(np.unwrap(np.asarray(ang_ref)) - np.unwrap(ang))
+    d = np.minimum(d, 2 * np.pi - d)
+    assert d.max() < 1e-4, d.max()
+
+
 def test_patch_pallas_matches_xla():
     """The DMA patch-extraction kernel (interpret mode on CPU) must
     reproduce the dynamic-slice reference bit-exactly, including clamped
