@@ -348,10 +348,15 @@ def extract_orb_rig(
         if sel_ik:
             from mcslam_tpu.ops.fast_pallas import fast_select_pallas
 
-            # MCSLAM_FAST_TILE_H: row-tile height A/B knob (fewer, taller
+            # MCSLAM_FAST_TILE_H: row-tile height knob (fewer, taller
             # tiles amortize per-grid-step overheads of the arc trees;
-            # must be a multiple of `cell`)
-            tile_h = int(os.environ.get("MCSLAM_FAST_TILE_H", "64"))
+            # must be a multiple of `cell`). Default 96 from the round-5
+            # paired chip sweep (ab_paired10/11.out): 32 is +0.19 ms vs
+            # 64, 96 is -0.148 ms [-0.185, -0.048] (and divides VGA's 480
+            # rows exactly, so the last tile carries no pad rows); 128
+            # exceeds the 16 MB scoped-VMEM limit at the 16-image
+            # 4-cam/4-level stack (compile-time OOM by 192 KB).
+            tile_h = int(os.environ.get("MCSLAM_FAST_TILE_H", "96"))
             blurred, cand_v, cand_rid = fast_select_pallas(
                 stacked, min_threshold, fast_threshold, h_l, w_l,
                 taps=image_ops._np_gaussian_taps(7, 2.0),

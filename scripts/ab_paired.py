@@ -65,6 +65,10 @@ FLAGS = {
     "noselinkernel": ("frame", "MCSLAM_NO_SEL_INKERNEL"),
     "nopallasrefine": ("track", "MCSLAM_NO_PALLAS_REFINE"),
     "fusedorient": ("frame", "MCSLAM_FUSED_ORIENT"),
+    "tileh32": ("frame", "MCSLAM_FAST_TILE_H=32"),
+    "tileh96": ("frame", "MCSLAM_FAST_TILE_H=96"),
+    "tileh128": ("frame", "MCSLAM_FAST_TILE_H=128"),
+    "tileh160": ("frame", "MCSLAM_FAST_TILE_H=160"),
 }
 
 
