@@ -62,6 +62,19 @@ def test_vo_synthetic_sequence_ate():
     assert ate / length < 0.01, (ate, length)
 
 
+def test_vo_five_camera_rig():
+    """Rig-scalability parity: the reference advertises "up to 5+
+    cameras" with a hard cap of 5 (MultiCameraFrame.h:44); here the
+    camera count is just a batch axis, so a 5-camera rig must run the
+    identical pipeline with no cap and track at the same quality bar."""
+    slam, poses_gt = _run_sequence(num_frames=8, num_cams=5)
+    assert slam.state == INITIALIZED
+    assert slam.stats["failures"] == 0
+    ts, poses_est = slam.trajectory_arrays()
+    ate = metrics.ate_rmse(poses_est, poses_gt)
+    assert ate < 0.05, ate
+
+
 def test_vo_writes_tum(tmp_path):
     slam, _ = _run_sequence(num_frames=4)
     path = tmp_path / "traj.txt"
